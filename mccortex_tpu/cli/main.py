@@ -1,0 +1,32 @@
+"""mctx — command dispatcher (role of ref src/main/mccortex.c:23-172).
+
+Subcommands are registered here as they are implemented; `mctx` with no
+args prints the table.
+"""
+
+import sys
+
+COMMANDS = {}
+
+
+def register(name, fn, summary):
+    COMMANDS[name] = (fn, summary)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    from . import commands  # noqa: F401  populates COMMANDS
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: mctx <command> [args]\n\ncommands:")
+        for name, (_, summary) in sorted(COMMANDS.items()):
+            print(f"  {name:12s} {summary}")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"mctx: unknown command '{cmd}'", file=sys.stderr)
+        return 1
+    return COMMANDS[cmd][0](argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
