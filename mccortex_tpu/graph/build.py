@@ -1,0 +1,143 @@
+"""Graph construction from reads: the TPU map-shuffle-reduce build.
+
+Role of ref src/tools/build_graph.c (hot loop build_graph_from_str_mt,
+build_graph.c:122): split reads on quality/N/homopolymer, extract every
+kmer, canonicalise, count coverage and record edge bits between
+consecutive kmers.  Here a whole read batch is processed as one fused
+device computation (SURVEY.md §7 mapping 2): rolling extraction is
+O(log k) vector passes, records are aggregated by sort + segmented
+reduction instead of per-kmer hash probes + atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..constants import nwords
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from . import store as gstore
+
+
+def mask_reads(bases: jnp.ndarray, quals: jnp.ndarray | None = None,
+               fq_cutoff: int = 0, hp_cutoff: int = 0) -> jnp.ndarray:
+    """Apply quality/homopolymer masking by overwriting bases with the
+    invalid code 4 (the reference instead splits reads at these points:
+    ref seq_reader.h:25 seq_contig_start2 — masking a base is equivalent,
+    it breaks every kmer window covering it).
+
+    quals: phred+0 integer array same shape as bases (or None);
+    fq_cutoff: bases with qual < cutoff masked (0 = off);
+    hp_cutoff: mask bases in homopolymer runs >= cutoff (0 = off).
+    """
+    invalid = jnp.uint8(4)
+    if quals is not None and fq_cutoff > 0:
+        bases = jnp.where(quals < fq_cutoff, invalid, bases)
+    if hp_cutoff > 0:
+        # run length ending at i, computed with log2 doubling
+        same_prev = jnp.concatenate(
+            [jnp.zeros_like(bases[..., :1], dtype=bool),
+             (bases[..., 1:] == bases[..., :-1]) & (bases[..., 1:] < 4)],
+            axis=-1)
+        # run[i] = number of consecutive same-prev ending at i
+        run = same_prev.astype(jnp.int32)
+        d = 1
+        L = bases.shape[-1]
+        while d < hp_cutoff:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(run[..., :d]), run[..., :-d]], axis=-1)
+            run = jnp.where(run == d, run + shifted, run)
+            d *= 2
+        bases = jnp.where(run + 1 >= hp_cutoff, invalid, bases)
+    return bases
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def reads_to_records(bases: jnp.ndarray, k: int):
+    """Extract (key, orient, edge_byte, valid) for every kmer occurrence.
+
+    bases: (B, L) uint8 codes (4 = invalid/pad).
+    Returns keys (B, L, W), edge bytes (B, L) uint8, valid (B, L) bool.
+
+    Edge semantics (ref: db_node.h nuc_orient_to_edge, db_graph.c
+    db_graph_add_edge): for the occurrence at position i with key
+    orientation o, a following base b contributes bit (b + 4*o)
+    — and a preceding base p contributes bit (comp(p) + 4*(1-o)), which
+    is the symmetric half of the edge between kmers i-1 and i recorded
+    from i's side.
+    """
+    B, L = bases.shape
+    kmers, valid = kops.rolling_kmers(bases, k)
+    keys, orient = kops.canonical(kmers, k)
+
+    nxt = jnp.concatenate(
+        [bases[:, k:], jnp.full((B, k), 4, dtype=bases.dtype)], axis=1)
+    prv = jnp.concatenate(
+        [jnp.full((B, 1), 4, dtype=bases.dtype), bases[:, :-1]], axis=1)
+    valid_next = jnp.concatenate(
+        [valid[:, 1:], jnp.zeros((B, 1), bool)], axis=1) & valid
+    valid_prev = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1) & valid
+
+    o = orient.astype(jnp.uint8)
+    fw_bit = (jnp.uint8(1) << ((nxt & 3) + (o << 2))).astype(jnp.uint8)
+    rv_bit = (jnp.uint8(1) << (((3 - (prv & 3)) & 3)
+                               + ((1 - o) << 2))).astype(jnp.uint8)
+    ebyte = jnp.where(valid_next, fw_bit, 0) | jnp.where(valid_prev, rv_bit, 0)
+    keys = jnp.where(valid[..., None], keys, sops.sentinel((B, L), keys.shape[-1]))
+    return keys, ebyte.astype(jnp.uint8), valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "ncols", "colour"))
+def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
+    """One build epoch: reads -> aggregated unique (keys, covg, edges).
+
+    Returns (keys (M, W), covg (M, ncols), edges (M, ncols), n_unique)
+    with M = B*L (static bound), compacted, sentinel padded, sorted.
+    """
+    B, L = bases.shape
+    keys, ebyte, valid = reads_to_records(bases, k)
+    M = B * L
+    W = keys.shape[-1]
+    flat_keys = keys.reshape(M, W)
+    covg = jnp.zeros((M, ncols), jnp.uint32)
+    covg = covg.at[:, colour].set(valid.reshape(M).astype(jnp.uint32))
+    edges = jnp.zeros((M, ncols), jnp.uint8)
+    edges = edges.at[:, colour].set(ebyte.reshape(M))
+    skeys, scovg, sedges = sops.sort_by_key(flat_keys, covg, edges)
+    return sops.unique_reduce(skeys, scovg, sedges, M)
+
+
+def build(reads_batches, k: int, ncols: int = 1,
+          capacity: int | None = None) -> gstore.DBGraph:
+    """Build a graph from an iterable of (bases (B,L) np.uint8, colour).
+
+    Host-side driver (role of ref build_graph.c:257 build_graph): each
+    batch is aggregated on device, batches are merged pairwise into the
+    running store.
+    """
+    g = None
+    parts = []
+    total = 0
+    for bases, colour in reads_batches:
+        keys, covg, edges, nu = count_batch(
+            jnp.asarray(bases), k, ncols, colour)
+        nu = int(nu)
+        parts.append((keys[:_pad_len(nu)], covg[:_pad_len(nu)],
+                      edges[:_pad_len(nu)]))
+        total += _pad_len(nu)
+    if not parts:
+        return gstore.empty(k, capacity or 1024, ncols)
+    allk = jnp.concatenate([p[0] for p in parts])
+    allc = jnp.concatenate([p[1] for p in parts])
+    alle = jnp.concatenate([p[2] for p in parts])
+    cap = capacity or total
+    return gstore.from_records(k, allk, allc, alle, capacity=cap)
+
+
+def _pad_len(n: int, align: int = 1024) -> int:
+    return max(align, (n + align - 1) // align * align)

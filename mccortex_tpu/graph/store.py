@@ -1,0 +1,111 @@
+"""The coloured de Bruijn graph store.
+
+Role of the reference dBGraph (ref: src/graph/db_graph.h:23-56): a kmer
+set with per-colour coverage and per-colour edge bytes.  TPU-native
+design: a sorted (cap, W) uint64 key array with parallel (cap, C) value
+arrays, sentinel-padded; batched binary-search lookups; sort-merge
+inserts (SURVEY.md §7 mapping 1).  The whole store is a pytree and moves
+through jit/pjit as regular arrays; `k` and capacity are static.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..constants import nwords, check_k
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+
+
+@struct.dataclass
+class DBGraph:
+    """Sorted coloured kmer store (pytree)."""
+    keys: jnp.ndarray    # (cap, W) uint64, ascending, sentinel padded
+    covg: jnp.ndarray    # (cap, C) uint32
+    edges: jnp.ndarray   # (cap, C) uint8
+    n: jnp.ndarray       # () int64 — number of live kmers
+    k: int = struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.covg.shape[1]
+
+    @property
+    def W(self) -> int:
+        return self.keys.shape[1]
+
+
+def empty(k: int, capacity: int, ncols: int) -> DBGraph:
+    check_k(k)
+    W = nwords(k)
+    return DBGraph(
+        keys=sops.sentinel((capacity,), W),
+        covg=jnp.zeros((capacity, ncols), jnp.uint32),
+        edges=jnp.zeros((capacity, ncols), jnp.uint8),
+        n=jnp.zeros((), jnp.int64),
+        k=k)
+
+
+def from_records(k: int, keys: jnp.ndarray, covg: jnp.ndarray,
+                 edges: jnp.ndarray, capacity: int | None = None) -> DBGraph:
+    """Build a store from unaggregated (key, covg, edges) records.
+
+    keys (N, W); covg (N, C); edges (N, C).  Records with sentinel keys are
+    ignored.  capacity defaults to N.
+    """
+    N = keys.shape[0]
+    capacity = capacity or N
+    skeys, scovg, sedges = sops.sort_by_key(keys, covg, edges)
+    okeys, ocovg, oedges, n = sops.unique_reduce(skeys, scovg, sedges, capacity)
+    return DBGraph(keys=okeys, covg=ocovg, edges=oedges,
+                   n=n.astype(jnp.int64), k=k)
+
+
+@jax.jit
+def lookup(g: DBGraph, query_keys: jnp.ndarray):
+    """Batched lookup: (idx, found) per query key (..., W).
+
+    The replacement for hash_table_find (ref: hash_table.c:84); one of the
+    two headline inner loops (BASELINE.json metric).
+    """
+    return sops.lookup(g.keys, query_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def merge_records(g: DBGraph, keys: jnp.ndarray, covg: jnp.ndarray,
+                  edges: jnp.ndarray, capacity: int | None = None) -> DBGraph:
+    """Merge unaggregated records into the store (find-or-insert epoch,
+    replacing ref hash_table_find_or_insert_mt).  Returns a new store of
+    `capacity` (default: same as g)."""
+    cap = capacity or g.capacity
+    allk = jnp.concatenate([g.keys, keys], axis=0)
+    allc = jnp.concatenate([g.covg, covg.astype(jnp.uint32)], axis=0)
+    alle = jnp.concatenate([g.edges, edges], axis=0)
+    skeys, scovg, sedges = sops.sort_by_key(allk, allc, alle)
+    okeys, ocovg, oedges, n = sops.unique_reduce(skeys, scovg, sedges, cap)
+    return DBGraph(keys=okeys, covg=ocovg, edges=oedges,
+                   n=n.astype(jnp.int64), k=g.k)
+
+
+@jax.jit
+def union_edges(g: DBGraph) -> jnp.ndarray:
+    """Per-kmer edge byte OR-ed across colours (population edges)."""
+    from . import edges as E
+    return E._union_fallback(g.edges)
+
+
+def to_host(g: DBGraph):
+    """Compact live records to host numpy (for file IO)."""
+    n = int(g.n)
+    return (np.asarray(g.keys[:n]), np.asarray(g.covg[:n]),
+            np.asarray(g.edges[:n]))

@@ -1,0 +1,134 @@
+"""Sorted-array primitives: the TPU replacement for the reference's
+open-addressing kmer hash table (ref: src/graph/hash_table.c).
+
+The graph's kmer set lives as a sorted (N, W) uint64 key array; lookups are
+batched binary searches, inserts are sort-merge epochs, duplicate records
+are combined with segmented reductions.  Padding slots hold SENTINEL
+(all-ones), which can never be a valid kmer (k odd => top bits of word 0
+are always zero) and sorts after every real key.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kmer import mw_lt, mw_eq
+
+U64 = jnp.uint64
+SENTINEL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def sentinel(shape_prefix, W: int) -> jnp.ndarray:
+    return jnp.full(tuple(shape_prefix) + (W,), SENTINEL64, dtype=U64)
+
+
+def is_sentinel(keys: jnp.ndarray) -> jnp.ndarray:
+    """True where a key slot is padding (all ones)."""
+    return jnp.all(keys == SENTINEL64, axis=-1)
+
+
+def sort_by_key(keys: jnp.ndarray, *vals):
+    """Sort records by multiword key; returns (keys_sorted, vals_sorted...).
+
+    keys: (N, W); vals: arrays with leading dim N (any trailing shape).
+    Values ride along via an argsort permutation so dtypes/shapes are free.
+    """
+    N, W = keys.shape
+    iota = jnp.arange(N, dtype=jnp.int32)
+    ops = tuple(keys[:, w] for w in range(W)) + (iota,)
+    perm = jax.lax.sort(ops, num_keys=W)[-1]
+    out_vals = tuple(v[perm] for v in vals)
+    return (keys[perm],) + out_vals
+
+
+def searchsorted_mw(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+    """First index i with sorted_keys[i] >= query (side='left'), vectorised.
+
+    sorted_keys: (M, W) ascending (sentinel padding at the end is fine);
+    queries: (..., W).  Returns int32 (...,).
+
+    Replaces hash probing (ref: hash_table.c:169 find_or_insert): a batched
+    binary search is ~log2(M) gathers, fully vectorised on the VPU.
+    """
+    M, W = sorted_keys.shape
+    qshape = queries.shape[:-1]
+    lo = jnp.zeros(qshape, dtype=jnp.int32)
+    hi = jnp.full(qshape, M, dtype=jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        kmid = sorted_keys[jnp.clip(mid, 0, M - 1)]
+        less = mw_lt(kmid, queries)  # kmid < q
+        lo = jnp.where(less, mid + 1, lo)
+        hi = jnp.where(less, hi, mid)
+    return lo
+
+
+def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+    """Return (idx, found) for each query key; idx is the slot of the key
+    if found (else insertion point, clipped).  Sentinel queries -> not
+    found."""
+    M, W = sorted_keys.shape
+    idx = searchsorted_mw(sorted_keys, queries)
+    idxc = jnp.clip(idx, 0, M - 1)
+    found = mw_eq(sorted_keys[idxc], queries) & ~is_sentinel(queries)
+    return idxc, found
+
+
+def segment_bounds(sorted_keys: jnp.ndarray):
+    """For sorted keys: (is_start, seg_id, nseg_incl_sentinel)."""
+    N = sorted_keys.shape[0]
+    neq = ~mw_eq(sorted_keys[1:], sorted_keys[:-1])
+    is_start = jnp.concatenate([jnp.ones((1,), bool), neq])
+    seg_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    return is_start, seg_id
+
+
+def segmented_or(vals: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int):
+    """Bitwise-OR of vals over segments.  vals: (N, ...) unsigned ints,
+    seg_id ascending.  Memory-light: log2(N) shifted-OR passes (cumulative
+    OR is monotone nondecreasing per element, so segment_max of the
+    inclusive scan equals the segment OR)."""
+    N = vals.shape[0]
+    extra = vals.ndim - 1
+    sid = seg_id.reshape((N,) + (1,) * extra)
+    scan = vals
+    d = 1
+    while d < N:
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(scan[:d]), scan[:-d]], axis=0)
+        sseg = jnp.concatenate(
+            [jnp.full_like(sid[:d], -1), sid[:-d]], axis=0)
+        scan = scan | jnp.where(sseg == sid, shifted, jnp.zeros_like(shifted))
+        d *= 2
+    return jax.ops.segment_max(scan, seg_id, num_segments=num_segments)
+
+
+def unique_reduce(sorted_keys: jnp.ndarray, covg: jnp.ndarray,
+                  edges: jnp.ndarray, num_out: int):
+    """Combine duplicate adjacent keys: covg summed, edges OR-ed.
+
+    sorted_keys: (N, W) ascending with sentinel padding last;
+    covg: (N, C) uint32; edges: (N, C) uint8.
+    Returns (keys (num_out, W), covg (num_out, C), edges (num_out, C),
+    n_unique) — compacted to the front, sentinel padded.
+    """
+    N, W = sorted_keys.shape
+    is_start, seg_id = segment_bounds(sorted_keys)
+    valid = ~is_sentinel(sorted_keys)
+    covg_out = jax.ops.segment_sum(
+        covg * valid[:, None].astype(covg.dtype), seg_id,
+        num_segments=num_out)
+    edges_out = segmented_or(
+        edges * valid[:, None].astype(edges.dtype), seg_id,
+        num_segments=num_out)
+    keys_out = sentinel((num_out,), W)
+    keys_out = keys_out.at[seg_id].set(
+        jnp.where(valid[:, None], sorted_keys, keys_out[0]))
+    n_unique = jnp.sum(is_start & valid)
+    return keys_out, covg_out.astype(covg.dtype), \
+        edges_out.astype(edges.dtype), n_unique

@@ -17,6 +17,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mctx_jax_cache")
 
 import jax  # noqa: E402
 
+# The jaxtyping pytest plugin imports jax BEFORE this conftest, so jax has
+# already captured JAX_PLATFORMS=axon (the remote TPU tunnel) from the
+# environment; selecting cpu via config still works post-import and keeps
+# tests off the (slow, single-claim) tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import mccortex_tpu  # noqa: E402,F401  (enables x64)

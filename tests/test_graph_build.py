@@ -1,0 +1,138 @@
+"""Graph store + build tests vs the pure-Python reference builder.
+
+Parallels ref src/tests/{hash_table_tests.c, build_graph tests}: build
+tiny graphs from string literals, assert kmer sets, coverage and edges.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mccortex_tpu.constants import nwords
+from mccortex_tpu.graph import build as gbuild
+from mccortex_tpu.graph import store as gstore
+from mccortex_tpu.ops import kmer as K
+from mccortex_tpu.ops import sorted as sops
+
+from util import random_dna, seq_to_codes, words_to_kmer, kmer_to_words
+from graph_ref import build_ref_graph
+
+
+def batchify(seqs_cols, pad_to=None):
+    """[(seq, colour)] -> [(codes (B,L), colour)] grouped by colour."""
+    by_col = {}
+    for s, c in seqs_cols:
+        by_col.setdefault(c, []).append(s)
+    L = pad_to or max(len(s) for s, _ in seqs_cols)
+    out = []
+    for c, seqs in by_col.items():
+        codes = np.stack([seq_to_codes(s, pad_to=L) for s in seqs])
+        out.append((codes, c))
+    return out
+
+
+def graph_to_dict(g, k):
+    keys, covg, edges = gstore.to_host(g)
+    return {words_to_kmer(keys[i], k): (covg[i].tolist(), edges[i].tolist())
+            for i in range(len(keys))}
+
+
+@pytest.mark.parametrize("k", [5, 21, 31, 33])
+def test_build_single_colour(k):
+    seq = random_dna(200, seed=k)
+    ref = build_ref_graph([(seq, 0)], k)
+    g = gbuild.build(batchify([(seq, 0)]), k, ncols=1)
+    got = graph_to_dict(g, k)
+    assert got == ref
+    assert int(g.n) == len(ref)
+
+
+def test_build_multi_colour_and_revcmp_merge():
+    k = 11
+    s0 = random_dna(150, seed=1)
+    s1 = random_dna(150, seed=2)
+    # colour 1 also sees s0 reverse-complemented: same keys, covg doubled
+    from util import revcomp_str
+    inputs = [(s0, 0), (s1, 1), (revcomp_str(s0), 1)]
+    ref = build_ref_graph(inputs, k)
+    g = gbuild.build(batchify(inputs), k, ncols=2)
+    assert graph_to_dict(g, k) == ref
+
+
+def test_build_with_n_bases():
+    k = 7
+    seq = "ACGTACGTTTNGGCATCAGTCNNACGGCATCA"
+    ref = build_ref_graph([(seq, 0)], k)
+    g = gbuild.build(batchify([(seq, 0)]), k, ncols=1)
+    assert graph_to_dict(g, k) == ref
+
+
+def test_build_repeated_kmers_coverage():
+    k = 5
+    seq = "AAAAAAAAAA"  # all AAAAA, key TTTTT... no: key = AAAAA (lex min)
+    g = gbuild.build(batchify([(seq, 0)]), k, ncols=1)
+    ref = build_ref_graph([(seq, 0)], k)
+    assert graph_to_dict(g, k) == ref
+    assert int(g.n) == 1
+
+
+def test_lookup_found_and_missing():
+    k = 11
+    seq = random_dna(300, seed=42)
+    g = gbuild.build(batchify([(seq, 0)]), k, ncols=1)
+    # all real kmers are found
+    codes = jnp.asarray(seq_to_codes(seq)[None])
+    kmers, valid = K.rolling_kmers(codes, k)
+    keys, _ = K.canonical(kmers, k)
+    idx, found = gstore.lookup(g, keys[0])
+    found_np = np.asarray(found)
+    valid_np = np.asarray(valid[0])
+    assert (found_np == valid_np).all()
+    # looked-up slots hold the queried keys
+    keys_np = np.asarray(keys[0])
+    store_keys = np.asarray(g.keys)
+    got = store_keys[np.asarray(idx)][valid_np]
+    np.testing.assert_array_equal(got, keys_np[valid_np])
+    # unseen kmer is not found
+    other = random_dna(k, seed=4242)
+    while other in seq:
+        other = random_dna(k, seed=None)
+    okey, _ = K.canonical(K.pack_kmers(jnp.asarray(seq_to_codes(other)[None]), k), k)
+    _, f2 = gstore.lookup(g, okey)
+    assert not bool(f2[0])
+
+
+def test_merge_records_grows_graph():
+    k = 11
+    s0, s1 = random_dna(100, seed=7), random_dna(100, seed=8)
+    g0 = gbuild.build(batchify([(s0, 0)]), k, ncols=1, capacity=2048)
+    keys, covg, edges, nu = gbuild.count_batch(
+        jnp.asarray(batchify([(s1, 0)])[0][0]), k, 1, 0)
+    g = gstore.merge_records(g0, keys, covg, edges)
+    ref = build_ref_graph([(s0, 0), (s1, 0)], k)
+    assert graph_to_dict(g, k) == ref
+
+
+def test_quality_masking():
+    k = 7
+    seq = random_dna(60, seed=9)
+    quals = np.full(60, 30, np.uint8)
+    quals[20:25] = 3  # below cutoff
+    masked = gbuild.mask_reads(jnp.asarray(seq_to_codes(seq)[None]),
+                               jnp.asarray(quals[None]), fq_cutoff=10)
+    expect = seq[:20] + "N" * 5 + seq[25:]
+    ref = build_ref_graph([(expect, 0)], k)
+    g = gbuild.build([(np.asarray(masked), 0)], k, ncols=1)
+    assert graph_to_dict(g, k) == ref
+
+
+def test_homopolymer_masking():
+    k = 5
+    seq = "ACGTC" + "A" * 8 + "GTCAGCATG"
+    masked = gbuild.mask_reads(jnp.asarray(seq_to_codes(seq)[None]),
+                               None, hp_cutoff=6)
+    got = np.asarray(masked)[0]
+    # the 8-base A run must be gone; shorter runs survive
+    s = "".join("ACGTN"[min(b, 4)] for b in got)
+    assert "AAAAAA" not in s
+    assert s.startswith("ACGTC")
