@@ -1,3 +1,186 @@
-"""Subcommand registrations (filled in as tools are implemented)."""
+"""mctx subcommands (role of ref src/commands/ctx_*.c shells).
 
-from .main import register  # noqa: F401
+Each command: argparse parse, load inputs, run the tool, write outputs.
+Registered incrementally as tools are implemented.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .main import register
+
+
+def _status(msg):
+    print(f"[mctx] {msg}", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# build (ref: src/commands/ctx_build.c)
+# ---------------------------------------------------------------------------
+
+def cmd_build(argv):
+    p = argparse.ArgumentParser(prog="mctx build",
+                                description="reads -> coloured .ctx graph")
+    p.add_argument("-k", "--kmer", type=int, required=True)
+    p.add_argument("--sample", action="append", default=[],
+                   help="start a new colour with this sample name")
+    p.add_argument("--seq", action="append", default=[], nargs="+",
+                   help="sequence file(s) for the current sample")
+    p.add_argument("--fq-cutoff", type=int, default=0)
+    p.add_argument("--cut-hp", type=int, default=0)
+    p.add_argument("-o", "--out", dest="out_explicit", default=None)
+    p.add_argument("out", nargs="?", default=None)
+    # pair --sample/--seq by order on the command line
+    args, tasks = _parse_build_tasks(p, argv)
+    out = args.out_explicit or args.out
+    if not out:
+        p.error("output .ctx path required")
+    if not tasks:
+        p.error("at least one --sample ... --seq ... required")
+
+    from ..graph import build as gbuild
+    from ..graph import store as gstore
+    from ..io import ctx as ctxio
+    from ..io import seqio
+    import jax.numpy as jnp
+
+    k = args.kmer
+    ncols = len(tasks)
+    ginfo = []
+    batches = []
+    for colour, (sample, files) in enumerate(tasks):
+        total_seq = 0
+        nreads = 0
+        for codes, quals, _ in seqio.read_batches(files, colour=colour):
+            if quals is not None and args.fq_cutoff:
+                codes = np.asarray(gbuild.mask_reads(
+                    jnp.asarray(codes), jnp.asarray(quals),
+                    fq_cutoff=args.fq_cutoff, hp_cutoff=args.cut_hp))
+            elif args.cut_hp:
+                codes = np.asarray(gbuild.mask_reads(
+                    jnp.asarray(codes), None, hp_cutoff=args.cut_hp))
+            total_seq += int((codes < 4).sum())
+            nreads += codes.shape[0]
+            batches.append((codes, colour))
+        gi = ctxio.GraphInfo(sample_name=sample, total_sequence=total_seq,
+                             mean_read_length=(total_seq // max(nreads, 1)))
+        ginfo.append(gi)
+        _status(f"colour {colour} '{sample}': {nreads} reads, "
+                f"{total_seq} bases")
+
+    g = gbuild.build(batches, k, ncols=ncols)
+    keys, covg, edges = gstore.to_host(g)
+    hdr = ctxio.CtxHeader(kmer_size=k, ginfo=ginfo)
+    ctxio.write_ctx(out, hdr, keys, covg, edges)
+    _status(f"wrote {len(keys)} kmers x {ncols} colours to {out}")
+    return 0
+
+
+def _parse_build_tasks(p, argv):
+    """Pair --sample with following --seq groups, preserving CLI order."""
+    tasks = []
+    cur_name, cur_files = None, []
+    rest = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--sample":
+            if cur_name is not None:
+                tasks.append((cur_name, cur_files))
+            cur_name, cur_files = argv[i + 1], []
+            i += 2
+        elif a in ("--seq", "--seq1"):
+            cur_files.append(argv[i + 1])
+            i += 2
+        else:
+            rest.append(a)
+            i += 1
+    if cur_name is not None:
+        tasks.append((cur_name, cur_files))
+    args = p.parse_args(rest)
+    return args, tasks
+
+
+# ---------------------------------------------------------------------------
+# view (ref: src/commands/ctx_view.c)
+# ---------------------------------------------------------------------------
+
+def cmd_view(argv):
+    p = argparse.ArgumentParser(prog="mctx view")
+    p.add_argument("-k", "--kmers", action="store_true")
+    p.add_argument("-i", "--info", action="store_true")
+    p.add_argument("-c", "--check", action="store_true")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    if not (args.kmers or args.info or args.check):
+        args.info = args.check = True
+
+    from ..io import ctx as ctxio
+    h, keys, covg, edges = ctxio.read_ctx(args.ctx)
+    if args.info:
+        print(f"version: {h.version}")
+        print(f"kmer size: {h.kmer_size}")
+        print(f"bitfields: {h.W}")
+        print(f"colours: {h.ncols}")
+        print(f"number of kmers: {len(keys)}")
+        for i, gi in enumerate(h.ginfo):
+            print(f"Colour {i}:")
+            print(f"  sample name: '{gi.sample_name}'")
+            print(f"  mean input contig length: {gi.mean_read_length}")
+            print(f"  total sequence loaded:    {gi.total_sequence}")
+    if args.kmers:
+        _print_kmers(h, keys, covg, edges)
+    if args.check:
+        errs = check_graph_arrays(h.kmer_size, keys, covg, edges)
+        for e in errs:
+            print(f"check: {e}", file=sys.stderr)
+        if errs:
+            return 1
+        _status("graph check passed")
+    return 0
+
+
+def _print_kmers(h, keys, covg, edges, out=None):
+    """Text dump: '<kmer> <covg...> <edgestr...>'
+    (ref: db_graph.c:698 db_graph_print_kmer2)."""
+    out = out or sys.stdout
+    from ..utils.text import kmers_to_strings, edges_to_strings
+    kstrs = kmers_to_strings(keys, h.kmer_size)
+    estrs = edges_to_strings(edges)
+    for i in range(len(keys)):
+        cov = " ".join(str(c) for c in covg[i])
+        edg = " ".join(estrs[i])
+        out.write(f"{kstrs[i]} {cov} {edg}\n")
+
+
+def check_graph_arrays(k, keys, covg, edges):
+    """Structural checks (role of ref ctx_health_check.c): sorted unique
+    keys, canonical keys, no zero-covg kmers, edge symmetry."""
+    from ..utils import checks
+    return checks.check_graph_arrays(k, keys, covg, edges)
+
+
+# ---------------------------------------------------------------------------
+
+def cmd_check(argv):
+    p = argparse.ArgumentParser(prog="mctx check")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..io import ctx as ctxio
+    h, keys, covg, edges = ctxio.read_ctx(args.ctx)
+    errs = check_graph_arrays(h.kmer_size, keys, covg, edges)
+    for e in errs:
+        print(f"check: {e}", file=sys.stderr)
+    if errs:
+        return 1
+    _status(f"{args.ctx}: OK ({len(keys)} kmers, {h.ncols} colours)")
+    return 0
+
+
+register("build", cmd_build, "construct a coloured graph from reads")
+register("view", cmd_view, "print graph info / kmers")
+register("check", cmd_check, "validate graph file integrity")

@@ -25,7 +25,19 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"mctx: unknown command '{cmd}'", file=sys.stderr)
         return 1
-    return COMMANDS[cmd][0](argv[1:]) or 0
+    try:
+        return COMMANDS[cmd][0](argv[1:]) or 0
+    except BrokenPipeError:
+        # stdout consumer (e.g. `| head`) went away — not an error
+        import os
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        os._exit(0)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"mctx {cmd}: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -1,0 +1,103 @@
+"""Sequence file reading: FASTA / FASTQ, plain or gzipped.
+
+Role of ref libs/seq_file + src/basic/seq_reader.c — host-side ingest that
+feeds padded base-code batches to the device build kernels.  A C++ ingest
+path (native/) can replace the parser; this module defines the interface.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..constants import CHAR_TO_BASE
+
+
+@dataclass
+class Read:
+    name: str
+    seq: str
+    quals: np.ndarray | None = None  # phred scores (int) or None
+
+
+def _openseq(path):
+    f = open(path, "rb")
+    if f.read(2) == b"\x1f\x8b":
+        f.seek(0)
+        return gzip.open(f, "rt")
+    f.seek(0)
+    return open(path, "rt")
+
+
+def parse_reads(path: str) -> Iterator[Read]:
+    """Yield reads from FASTA or FASTQ (gz ok); format auto-detected."""
+    with _openseq(path) as fh:
+        first = fh.readline()
+        if not first:
+            return
+        if first.startswith(">"):
+            name, chunks = first[1:].strip(), []
+            for line in fh:
+                if line.startswith(">"):
+                    yield Read(name.split()[0] if name else "",
+                               "".join(chunks).upper())
+                    name, chunks = line[1:].strip(), []
+                else:
+                    chunks.append(line.strip())
+            yield Read(name.split()[0] if name else "", "".join(chunks).upper())
+        elif first.startswith("@"):
+            name = first
+            while name:
+                seq = fh.readline().strip().upper()
+                fh.readline()  # '+' separator
+                qual = fh.readline().strip()
+                quals = np.frombuffer(qual.encode(), np.uint8).astype(
+                    np.int16) - 33
+                yield Read(name[1:].strip().split()[0], seq,
+                           np.clip(quals, 0, 255).astype(np.uint8))
+                name = fh.readline()
+        else:
+            raise ValueError(f"{path}: unrecognised sequence format")
+
+
+def read_batches(paths, batch_size: int = 512, max_len: int | None = None,
+                 colour: int = 0) -> Iterator[tuple]:
+    """Group reads into (codes (B, L) uint8, quals (B, L) uint8 | None,
+    colour) batches, padded with the invalid code 4.  Reads longer than
+    max_len are split into max_len chunks overlapping by k-1?  No — the
+    caller controls splitting; here long reads simply get their own batch
+    row length."""
+    buf = []
+    for path in paths:
+        for rd in parse_reads(path):
+            buf.append(rd)
+            if len(buf) >= batch_size:
+                yield _to_batch(buf, max_len, colour)
+                buf = []
+    if buf:
+        yield _to_batch(buf, max_len, colour)
+
+
+def _to_batch(reads, max_len, colour):
+    L = max(len(r.seq) for r in reads)
+    if max_len:
+        L = min(L, max_len)
+    L = max(L, 1)
+    B = len(reads)
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    any_quals = any(r.quals is not None for r in reads)
+    quals = np.zeros((B, L), dtype=np.uint8) if any_quals else None
+    for i, r in enumerate(reads):
+        s = np.frombuffer(r.seq[:L].encode(), np.uint8)
+        codes[i, :len(s)] = CHAR_TO_BASE[s]
+        if quals is not None and r.quals is not None:
+            q = r.quals[:L]
+            quals[i, :len(q)] = q
+    return codes, quals, colour
+
+
+def total_bases(paths) -> int:
+    return sum(len(r.seq) for p in paths for r in parse_reads(p))
