@@ -184,3 +184,126 @@ def cmd_check(argv):
 register("build", cmd_build, "construct a coloured graph from reads")
 register("view", cmd_view, "print graph info / kmers")
 register("check", cmd_check, "validate graph file integrity")
+
+
+# ---------------------------------------------------------------------------
+# clean (ref: src/commands/ctx_clean.c)
+# ---------------------------------------------------------------------------
+
+def _load_graph(path):
+    """Load a .ctx file into a DBGraph store."""
+    import jax.numpy as jnp
+    from ..graph import store as gstore
+    from ..io import ctx as ctxio
+    from ..ops import sorted as sops
+    h, keys, covg, edges = ctxio.read_ctx(path)
+    n = len(keys)
+    if n == 0:
+        return h, gstore.empty(h.kmer_size, 1, h.ncols)
+    g = gstore.DBGraph(
+        keys=jnp.asarray(keys), covg=jnp.asarray(covg),
+        edges=jnp.asarray(edges), n=jnp.asarray(n, jnp.int64),
+        k=h.kmer_size)
+    return h, g
+
+
+def _save_graph(path, h, g):
+    from ..graph import store as gstore
+    from ..io import ctx as ctxio
+    keys, covg, edges = gstore.to_host(g)
+    ctxio.write_ctx(path, h, keys, covg, edges)
+
+
+def cmd_clean(argv):
+    p = argparse.ArgumentParser(prog="mctx clean")
+    p.add_argument("--tips", type=int, default=0, nargs="?", const=-1,
+                   help="clip tips shorter than this (default 2k)")
+    p.add_argument("--unitigs", type=int, default=0, nargs="?", const=-1,
+                   help="remove unitigs below covg threshold (default auto)")
+    p.add_argument("--fallback", type=int, default=0,
+                   help="threshold to use if auto-detection fails")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..graph import clean as gclean
+    h, g = _load_graph(args.ctx)
+    k = h.kmer_size
+
+    tips = (2 * k) if args.tips == -1 else args.tips
+    thresh = args.unitigs
+    if thresh == -1:  # auto threshold from histogram fit
+        hist = gclean.covg_histogram(g)
+        cutoff, a, b, fp, fn = gclean.pick_kmer_threshold(hist)
+        if cutoff < 0:
+            if args.fallback > 0:
+                cutoff = args.fallback
+                _status(f"auto threshold failed; using fallback {cutoff}")
+            else:
+                p.error("could not pick cleaning threshold "
+                        "(use --fallback <T>)")
+        else:
+            _status(f"auto cleaning threshold: <{cutoff} "
+                    f"(alpha={a:.2f} beta={b:.2f} fp={fp:.4f} fn={fn:.4f})")
+        thresh = cutoff
+
+    before = int(g.n)
+    g2 = gclean.clean_graph(g, covg_threshold=max(thresh, 0),
+                            min_keep_tip=tips)
+    _status(f"cleaned: {before} -> {int(g2.n)} kmers "
+            f"(tips<{tips}, covg<{thresh})")
+    for gi in h.ginfo:
+        if tips:
+            gi.cleaning.cleaned_tips = True
+        if thresh > 0:
+            gi.cleaning.cleaned_unitigs = True
+            gi.cleaning.clean_unitigs_thresh = max(thresh, 0)
+    _save_graph(args.out, h, g2)
+    return 0
+
+
+def cmd_unitigs(argv):
+    p = argparse.ArgumentParser(prog="mctx unitigs")
+    p.add_argument("--gfa", action="store_true", help="GFA v1 output")
+    p.add_argument("--dot", action="store_true", help="graphviz output")
+    p.add_argument("-m", "--min-len", type=int, default=0,
+                   help="minimum unitig length in bases")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..graph import unitigs as gu
+    h, g = _load_graph(args.ctx)
+    seqs = gu.extract_unitigs(g)
+    seqs = [s for s in seqs if len(s) >= args.min_len]
+    if args.gfa or args.dot:
+        from ..graph import unitig_graph as ug
+        if args.gfa:
+            ug.write_gfa(sys.stdout, g, seqs)
+        else:
+            ug.write_dot(sys.stdout, g, seqs)
+    else:
+        for i, s in enumerate(seqs):
+            print(f">unitig{i} length={len(s)}")
+            print(s)
+    return 0
+
+
+def cmd_inferedges(argv):
+    p = argparse.ArgumentParser(prog="mctx inferedges")
+    g1 = p.add_mutually_exclusive_group()
+    g1.add_argument("--pop", action="store_true", default=True)
+    g1.add_argument("--all", dest="all_edges", action="store_true")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..graph import infer_edges as ie
+    h, g = _load_graph(args.ctx)
+    g2 = ie.infer_edges(g, pop_only=not args.all_edges)
+    import numpy as np
+    added = int((np.asarray(g2.edges) != np.asarray(g.edges)).sum())
+    _status(f"inferred edges: {added} edge bytes changed")
+    _save_graph(args.out, h, g2)
+    return 0
+
+
+register("clean", cmd_clean, "remove tips + low-coverage unitigs")
+register("unitigs", cmd_unitigs, "dump unitigs as FASTA/GFA/DOT")
+register("inferedges", cmd_inferedges, "infer population edges")

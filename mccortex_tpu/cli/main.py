@@ -35,7 +35,7 @@ def main(argv=None):
         except Exception:
             pass
         os._exit(0)
-    except (ValueError, FileNotFoundError) as e:
+    except (ValueError, OSError) as e:
         print(f"mctx {cmd}: error: {e}", file=sys.stderr)
         return 1
 

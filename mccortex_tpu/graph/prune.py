@@ -1,0 +1,59 @@
+"""Node removal with edge-consistent cleanup.
+
+Role of ref src/graph/prune_nodes.c: delete kmers not in a keep mask and
+clear any edge bits that point at deleted kmers (in every colour).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from . import store as gstore
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def clear_dangling_edges(keys: jnp.ndarray, edges: jnp.ndarray,
+                         keep: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Clear, per colour, any edge bit whose neighbour kmer is not kept."""
+    N = keys.shape[0]
+    new_edges = edges
+    for o in (0, 1):
+        oarr = jnp.full((N,), o, jnp.uint8)
+        okm = kops.oriented(keys, oarr, k)
+        for n in range(4):
+            bit = np.uint8(1 << (n + 4 * o))
+            nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
+            key2, _ = kops.canonical(nxt, k)
+            j, found = sops.lookup(keys, key2)
+            neighbour_kept = found & keep[j]
+            clear = (~neighbour_kept)[:, None]
+            new_edges = jnp.where(clear, new_edges & np.uint8(0xFF ^ bit),
+                                  new_edges)
+    return new_edges
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def prune_to_mask(g: gstore.DBGraph, keep: jnp.ndarray,
+                  k: int | None = None) -> gstore.DBGraph:
+    """Return a new store containing only kmers where keep is True, with
+    dangling edges cleared.  Capacity preserved; keys stay sorted because
+    compaction is order-preserving."""
+    k = k or g.k
+    keep = keep & ~sops.is_sentinel(g.keys)
+    edges = clear_dangling_edges(g.keys, g.edges, keep, k)
+    N = g.capacity
+    # stable compaction: target slot = exclusive prefix sum of keep
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
+    tgt = jnp.where(keep, pos, N)  # out-of-bounds => dropped by scatter
+    keys_out = sops.sentinel((N,), g.W).at[tgt].set(g.keys, mode="drop")
+    covg_out = jnp.zeros_like(g.covg).at[tgt].set(g.covg, mode="drop")
+    edges_out = jnp.zeros_like(g.edges).at[tgt].set(edges, mode="drop")
+    n = jnp.sum(keep).astype(jnp.int64)
+    return gstore.DBGraph(keys=keys_out, covg=covg_out, edges=edges_out,
+                          n=n, k=k)

@@ -1,0 +1,268 @@
+"""Unitigs via pointer-doubling (SURVEY.md §7 mapping 5).
+
+Role of ref src/graph/db_unitig.c: identify maximal non-branching runs.
+The reference walks each unitig sequentially per thread; here every kmer
+is a pair of vertices (i, orient) in a functional digraph with in/out
+degree <= 1 (chains + cycles), and unitig membership/ends/positions are
+resolved for ALL kmers at once in O(log N) pointer-jumping passes.
+
+Vertex encoding: v = 2*i + orient.  succ[v] = vertex one step along the
+unitig in that orientation, or -1 when the unitig ends (junction, dead
+end, hairpin or self-loop — matching db_unitig_extend's stop conditions,
+db_unitig.c:100-120).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from . import edges as E
+from . import store as gstore
+
+# nibble (popcount==1) -> nucleotide
+_NIB2NUC = np.array([0, 0, 1, 0, 2, 0, 0, 0, 3, 0, 0, 0, 0, 0, 0, 0],
+                    dtype=np.uint8)
+
+
+@struct.dataclass
+class UnitigView:
+    """Per-kmer unitig labelling."""
+    succ: jnp.ndarray      # (2N,) int32, -1 = end of unitig
+    end: jnp.ndarray       # (2N,) int32 terminal vertex (self-ref if end)
+    dist: jnp.ndarray      # (2N,) int32 steps to end (cycle: >= len)
+    uid: jnp.ndarray       # (N,) int32 unitig id (a representative vertex)
+    is_cycle: jnp.ndarray  # (N,) bool
+    length: jnp.ndarray    # (N,) int32 unitig length in kmers
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> jnp.ndarray:
+    """succ[(2N,)] for all kmer-orientation vertices.
+
+    uedges: union (across colours) edge byte per kmer.
+    """
+    N = keys.shape[0]
+    nib2nuc = jnp.asarray(_NIB2NUC)
+    pop4 = jnp.asarray(E.POPCOUNT4)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    out = []
+    for o in (0, 1):
+        oarr = jnp.full((N,), o, jnp.uint8)
+        nib = E.with_orientation(uedges, oarr)
+        single = pop4[nib.astype(jnp.int32)] == 1
+        nuc = nib2nuc[nib.astype(jnp.int32)]
+        okm = kops.oriented(keys, oarr, k)
+        nxt = kops.shift_append(okm, nuc, k)
+        key2, o2 = kops.canonical(nxt, k)
+        j, found = sops.lookup(keys, key2)
+        nib_in = E.with_orientation(uedges[j], (jnp.uint8(1) - o2))
+        indeg1 = pop4[nib_in.astype(jnp.int32)] == 1
+        ok = single & found & indeg1 & (j != idx)
+        out.append(jnp.where(ok, j * 2 + o2.astype(jnp.int32),
+                             jnp.int32(-1)))
+    # interleave: v = 2*i + o
+    succ = jnp.stack([out[0], out[1]], axis=1).reshape(-1)
+    return succ
+
+
+@jax.jit
+def pointer_doubling(succ: jnp.ndarray):
+    """Resolve (end, dist, minvertex) for every vertex in O(log V) passes.
+
+    For chain vertices `end` is the terminal vertex and `dist` the exact
+    number of steps to it.  For cycle vertices (detected via
+    succ[end] != -1) `minv` is the minimum vertex id on the whole cycle.
+    """
+    V = succ.shape[0]
+    iota = jnp.arange(V, dtype=jnp.int32)
+    p = jnp.where(succ < 0, iota, succ)
+    d = jnp.where(succ < 0, 0, 1).astype(jnp.int32)
+    m = jnp.minimum(iota, p)
+    steps = max(1, int(np.ceil(np.log2(max(V, 2)))) + 1)
+    for _ in range(steps):
+        m = jnp.minimum(m, m[p])
+        d = d + d[p]
+        p = p[p]
+    return p, d, m
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> UnitigView:
+    N = keys.shape[0]
+    succ = successors(keys, uedges, k)
+    end, dist, minv = pointer_doubling(succ)
+    e0, e1 = end[0::2], end[1::2]
+    d0, d1 = dist[0::2], dist[1::2]
+    cyc = succ[e0] >= 0  # chains terminate at a vertex with no successor
+    uid_chain = jnp.minimum(e0, e1)
+    uid_cycle = jnp.minimum(minv[0::2], minv[1::2])
+    uid = jnp.where(cyc, uid_cycle, uid_chain)
+    length = jnp.where(cyc, jnp.int32(0), d0 + d1 + 1)
+    # cycle length = number of kmers with this uid; fill below via segsum
+    ones = (~sops.is_sentinel(keys)).astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, uid, num_segments=2 * N)
+    length = jnp.where(cyc, counts[uid], length)
+    return UnitigView(succ=succ, end=end, dist=dist, uid=uid,
+                      is_cycle=cyc, length=length)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def unitig_stats(g: gstore.DBGraph, k: int | None = None):
+    """(uid, length, median_sum_covg, is_tip, extdeg_sum) per kmer.
+
+    median coverage = median over the unitig's kmers of per-kmer
+    sum-across-colours coverage (ref clean_graph.c:388 uses
+    gca_median of db_node_sum_covg).  Tip: external degree at the two
+    ends sums to <= 1 (ref clean_graph.c:289 nodes_are_tip).
+    """
+    k = k or g.k
+    N = g.capacity
+    uedges = gstore.union_edges(g)
+    uv = unitig_view(g.keys, uedges, k)
+    sumcovg = jnp.sum(g.covg, axis=1).astype(jnp.uint32)
+    live = ~sops.is_sentinel(g.keys)
+
+    # median: sort (uid, covg) then index the middle of each segment
+    order = jax.lax.sort(
+        (uv.uid, sumcovg.astype(jnp.int64),
+         jnp.arange(N, dtype=jnp.int32)), num_keys=2)
+    s_uid, s_covg, _ = order
+    # segment starts in the sorted-by-uid order
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s_uid[1:] != s_uid[:-1]])
+    seg_start_pos = jnp.where(first, jnp.arange(N, dtype=jnp.int32), 0)
+    start_of = jax.ops.segment_max(seg_start_pos, s_uid,
+                                   num_segments=2 * N)
+    ln = uv.length
+    start = start_of[uv.uid]
+    # gca_median: odd -> mid; even -> mean of two middles (integer div)
+    mid_hi = start + ln // 2
+    mid_lo = start + (ln - 1) // 2
+    mid_hi = jnp.clip(mid_hi, 0, N - 1)
+    mid_lo = jnp.clip(mid_lo, 0, N - 1)
+    median = ((s_covg[mid_lo] + s_covg[mid_hi]) // 2).astype(jnp.uint32)
+
+    # external degree at the unitig's two ends
+    pop4 = jnp.asarray(E.POPCOUNT4)
+    v_end0, v_end1 = uv.end[0::2], uv.end[1::2]
+
+    def extdeg(v):
+        i, o = v >> 1, (v & 1).astype(jnp.uint8)
+        nib = E.with_orientation(uedges[i], o)
+        return pop4[nib.astype(jnp.int32)]
+
+    ext = extdeg(v_end0) + extdeg(v_end1)
+    # that double counts for length-1 unitigs? no: end0 != end1 for all
+    # chains (two distinct terminal vertices even for a single kmer)
+    is_tip = (~uv.is_cycle) & (ext <= 1) & live
+    return uv, median, is_tip, ext
+
+
+# ---------------------------------------------------------------------------
+# host-side unitig sequence extraction (for `mctx unitigs` / FASTA dump)
+# ---------------------------------------------------------------------------
+
+def extract_unitigs(g: gstore.DBGraph):
+    """Return a list of unitig sequences (strings), normalised like
+    ref db_unitig_normalise: linear unitigs start from the end with the
+    smaller kmer key; cycles start at their lowest kmer key in FORWARD
+    orientation.  Order: by unitig id (deterministic)."""
+    from ..utils.text import kmers_to_strings
+    n = int(g.n)
+    if n == 0:
+        return []
+    k = g.k
+    uv = unitig_view(g.keys, gstore.union_edges(g), k)
+    succ = np.asarray(uv.succ)
+    end = np.asarray(uv.end)
+    dist = np.asarray(uv.dist)
+    uid = np.asarray(uv.uid)[:n]
+    cyc = np.asarray(uv.is_cycle)[:n]
+    length = np.asarray(uv.length)[:n]
+    keys = np.asarray(g.keys)
+
+    out = []
+    # ---- chains, fully vectorised ordering
+    chain_rows = np.nonzero(~cyc)[0]
+    if len(chain_rows):
+        e0, e1 = end[2 * chain_rows], end[2 * chain_rows + 1]
+        k0, k1 = keys[e0 >> 1], keys[e1 >> 1]
+        # lexicographic row compare: key(e0) < key(e1)
+        lt = _rows_lt(k0, k1)
+        eq = (k0 == k1).all(axis=1)
+        # start end = smaller key; on tie choose orientation-1 end so the
+        # single kmer is emitted FORWARD
+        e_start = np.where(lt, e0, e1)
+        tie_pick = np.where((e0 & 1) == 1, e0, e1)
+        e_start = np.where(eq, tie_pick, e_start)
+        e_target = np.where(e_start == e0, e1, e0)
+        o_along = np.where(end[2 * chain_rows] == e_target, 0, 1)
+        v_along = 2 * chain_rows + o_along
+        pos = length[chain_rows] - 1 - dist[v_along]
+        order = np.lexsort((pos, uid[chain_rows]))
+        rows_o = chain_rows[order]
+        oal = o_along[order]
+        okm = np.asarray(kops.oriented(
+            jnp.asarray(keys[rows_o]), jnp.asarray(oal.astype(np.uint8)), k))
+        lastb = (okm[:, -1] & 3).astype(np.uint8)
+        kstrs = kmers_to_strings(okm, k)
+        u_sorted = uid[rows_o]
+        starts = np.nonzero(np.concatenate(
+            [[True], u_sorted[1:] != u_sorted[:-1]]))[0]
+        bounds = np.append(starts, len(u_sorted))
+        basechars = "ACGT"
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seq = kstrs[s] + "".join(basechars[b] for b in lastb[s + 1:e])
+            out.append(seq)
+    # ---- cycles: sequential walk per cycle (rare, usually small)
+    cyc_rows = np.nonzero(cyc)[0]
+    if len(cyc_rows):
+        done = set()
+        keyj = jnp.asarray(keys)
+        for u in np.unique(uid[cyc_rows]):
+            members = cyc_rows[uid[cyc_rows] == u]
+            # start at lowest key, FORWARD (ref db_unitig_normalise cycle)
+            mk = keys[members]
+            lowest = members[_rows_argmin(mk)]
+            v = 2 * int(lowest) + 0
+            seq_nucs = []
+            first = True
+            while True:
+                i, o = v >> 1, v & 1
+                okm = np.asarray(kops.oriented(
+                    keyj[i][None], jnp.asarray([o], dtype=jnp.uint8), g.k))[0]
+                if first:
+                    seq_nucs.append(kmers_to_strings(okm[None], g.k)[0])
+                    first = False
+                else:
+                    seq_nucs.append("ACGT"[int(okm[-1] & 3)])
+                v = int(succ[v])
+                if v < 0 or (v >> 1) == int(lowest):
+                    break
+            out.append("".join(seq_nucs))
+            done.add(u)
+    return out
+
+
+def _rows_lt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Lexicographic row compare for (N, W) uint64."""
+    W = a.shape[1]
+    lt = a[:, W - 1] < b[:, W - 1]
+    for w in range(W - 2, -1, -1):
+        lt = (a[:, w] < b[:, w]) | ((a[:, w] == b[:, w]) & lt)
+    return lt
+
+
+def _rows_argmin(a: np.ndarray) -> int:
+    best = 0
+    for i in range(1, len(a)):
+        if tuple(a[i]) < tuple(a[best]):
+            best = i
+    return best

@@ -46,3 +46,85 @@ def _split_acgt(seq):
             frag = []
     if frag:
         yield "".join(frag)
+
+
+def ref_unitigs(graph, k):
+    """Sequential unitig decomposition from a build_ref_graph dict.
+    Returns a set of canonicalised unitig sequences (min of seq/revcmp).
+    Mirrors db_unitig_extend rules: extend while outdeg==1 and next
+    indeg==1, stop at hairpins/self (next key == current key) and at
+    walk start key (cycles)."""
+    COMP_ = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def rc(s):
+        return "".join(COMP_[c] for c in reversed(s))
+
+    def union_edges(key):
+        cov, edg = graph[key]
+        u = 0
+        for e in edg:
+            u |= e
+        return u
+
+    def oriented_kmer(key, o):
+        return key if o == 0 else rc(key)
+
+    def nibble(key, o):
+        return (union_edges(key) >> (4 * o)) & 0xF
+
+    def popc(x):
+        return bin(x).count("1")
+
+    def step(key, o):
+        nib = nibble(key, o)
+        if popc(nib) != 1:
+            return None
+        nuc = "ACGT"[[1, 2, 4, 8].index(nib)]
+        nxt = oriented_kmer(key, o)[1:] + nuc
+        key2 = min(nxt, rc(nxt))
+        o2 = 0 if key2 == nxt else 1
+        if key2 not in graph:
+            return None
+        if popc(nibble(key2, 1 - o2)) != 1:
+            return None
+        if key2 == key:
+            return None
+        return key2, o2
+
+    seen = set()
+    unitigs = set()
+    for start in graph:
+        if start in seen:
+            continue
+        # walk both directions from start
+        chain = [(start, 0)]
+        startkey = start
+        # extend forward
+        cur, o = start, 0
+        while True:
+            nxt = step(cur, o)
+            if nxt is None or nxt[0] == startkey or nxt[0] == chain[-1][0]:
+                break
+            if any(nxt[0] == c[0] for c in chain):
+                break  # safety for cycles
+            chain.append(nxt)
+            cur, o = nxt
+        # extend backward (walk reverse orientation from start)
+        cur, o = start, 1
+        back = []
+        while True:
+            nxt = step(cur, o)
+            if nxt is None or nxt[0] == startkey or nxt[0] == chain[-1][0]:
+                break
+            if any(nxt[0] == c[0] for c in chain) or \
+               any(nxt[0] == c[0] for c in back):
+                break
+            back.append(nxt)
+            cur, o = nxt
+        full = [(kk, 1 - oo) for kk, oo in reversed(back)] + chain
+        seq = oriented_kmer(*full[0])
+        for kk, oo in full[1:]:
+            seq += oriented_kmer(kk, oo)[-1]
+        unitigs.add(min(seq, rc(seq)))
+        seen.update(kk for kk, _ in full)
+    return unitigs
