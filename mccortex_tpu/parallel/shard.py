@@ -1,0 +1,198 @@
+"""Multi-chip sharding of the kmer space (SURVEY.md §5 'distributed
+communication backend' TPU design).
+
+The canonical kmer space is hash-partitioned across the devices of a 1-D
+`jax.sharding.Mesh` axis ("shards").  The graph build step is a
+map-shuffle-reduce: each device extracts kmer records from its slice of
+the read batch (data parallel), routes records to their owner shard with
+`jax.lax.all_to_all` over ICI, and each shard sort-merges what it
+receives into its local sorted store.  This replaces the reference's
+shared-memory hash table + bucket spinlocks (ref: hash_table.c:169)
+with collective communication.
+
+Routing uses fixed-capacity per-destination buckets (all_to_all needs
+equal splits); overflow records are dropped and counted — callers size
+`bucket_cap` with slack (hash distribution makes overflow exponentially
+unlikely at 2x mean).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import nwords
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from ..graph import build as gbuild
+from ..graph import store as gstore
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def shard_of_key(keys: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Owner shard of each canonical kmer key."""
+    h = kops.kmer_hash(keys)
+    return (h % jnp.uint64(n_shards)).astype(jnp.int32)
+
+
+def _bucketize(keys, covg, edges, owner, n_shards: int, cap: int):
+    """Pack records into (n_shards, cap) fixed buckets, sentinel-padded.
+
+    Returns bucketed (keys, covg, edges, n_dropped)."""
+    M, W = keys.shape
+    C = covg.shape[1]
+    order = jnp.argsort(owner)  # stable; sentinel owners sort high if set
+    keys, covg, edges, owner = (keys[order], covg[order], edges[order],
+                                owner[order])
+    # position within its owner bucket
+    onehot_pos = jnp.arange(M) - jnp.searchsorted(owner, owner, side="left")
+    slot = owner * cap + onehot_pos
+    valid = (onehot_pos < cap) & ~sops.is_sentinel(keys)
+    dropped = jnp.sum((onehot_pos >= cap) & ~sops.is_sentinel(keys))
+    tgt = jnp.where(valid, slot, n_shards * cap)
+    okeys = sops.sentinel((n_shards * cap,), W).at[tgt].set(keys, mode="drop")
+    ocovg = jnp.zeros((n_shards * cap, C), covg.dtype).at[tgt].set(
+        covg, mode="drop")
+    oedges = jnp.zeros((n_shards * cap, C), edges.dtype).at[tgt].set(
+        edges, mode="drop")
+    return (okeys.reshape(n_shards, cap, W),
+            ocovg.reshape(n_shards, cap, C),
+            oedges.reshape(n_shards, cap, C), dropped)
+
+
+def build_step_sharded(mesh: Mesh, k: int, ncols: int, colour: int,
+                       bucket_cap: int, out_cap: int):
+    """Compile a sharded build step.
+
+    Step signature: (bases (B, L) u8 sharded over B, shard-local graph
+    arrays) -> merged shard-local graph arrays + dropped count.
+    B must divide by n_shards.
+    """
+    n_shards = mesh.devices.size
+    W = nwords(k)
+
+    def local_step(bases, keys0, covg0, edges0, n0):
+        # bases: (B/n, L); graph arrays: local shard slices
+        kk, eb, valid = gbuild.reads_to_records(bases, k)
+        Bl, L = bases.shape
+        M = Bl * L
+        fk = kk.reshape(M, W)
+        covg = jnp.zeros((M, ncols), jnp.uint32).at[:, colour].set(
+            valid.reshape(M).astype(jnp.uint32))
+        edges = jnp.zeros((M, ncols), jnp.uint8).at[:, colour].set(
+            eb.reshape(M))
+        # local aggregate before shuffling (cuts all_to_all volume)
+        sk, sc, se = sops.sort_by_key(fk, covg, edges)
+        uk, uc, ue, _ = sops.unique_reduce(sk, sc, se, M)
+        owner = shard_of_key(uk, n_shards)
+        owner = jnp.where(sops.is_sentinel(uk), n_shards, owner)
+        bk, bc, be, dropped = _bucketize(uk, uc, ue, owner, n_shards,
+                                         bucket_cap)
+        # exchange: dim0 = destination shard
+        rk = jax.lax.all_to_all(bk, AXIS, 0, 0, tiled=True)
+        rc = jax.lax.all_to_all(bc, AXIS, 0, 0, tiled=True)
+        re = jax.lax.all_to_all(be, AXIS, 0, 0, tiled=True)
+        rk = rk.reshape(-1, W)
+        rc = rc.reshape(-1, ncols)
+        re = re.reshape(-1, ncols)
+        # merge into local store
+        allk = jnp.concatenate([keys0, rk])
+        allc = jnp.concatenate([covg0, rc])
+        alle = jnp.concatenate([edges0, re])
+        sk2, sc2, se2 = sops.sort_by_key(allk, allc, alle)
+        ok, oc, oe, n = sops.unique_reduce(sk2, sc2, se2, out_cap)
+        return (ok, oc, oe, n.astype(jnp.int64)[None],
+                dropped.astype(jnp.int64)[None])
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                  P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                   P(AXIS)))
+    return jax.jit(mapped)
+
+
+def empty_sharded_graph(mesh: Mesh, k: int, ncols: int, out_cap: int):
+    """Per-shard empty graph arrays, sharded over the mesh axis."""
+    n = mesh.devices.size
+    W = nwords(k)
+    from jax.sharding import NamedSharding
+    sh2 = NamedSharding(mesh, P(AXIS, None))
+    sh1 = NamedSharding(mesh, P(AXIS))
+    keys = jax.device_put(
+        np.full((n * out_cap, W), sops.SENTINEL64, np.uint64), sh2)
+    covg = jax.device_put(np.zeros((n * out_cap, ncols), np.uint32), sh2)
+    edges = jax.device_put(np.zeros((n * out_cap, ncols), np.uint8), sh2)
+    nlive = jax.device_put(np.zeros((n,), np.int64), sh1)
+    return keys, covg, edges, nlive
+
+
+def lookup_sharded(mesh: Mesh, k: int, query_cap: int):
+    """Compile a sharded batched lookup: queries are routed to owner
+    shards, answered from the local sorted slice, and routed back.
+
+    Step: (queries (Q, W) sharded over Q, keys, covg, edges) ->
+    (covg (Q, C), edges (Q, C), found (Q,)) in original query order.
+    """
+    n_shards = mesh.devices.size
+
+    def local(qk, keys, covg, edges):
+        Ql, W = qk.shape
+        C = covg.shape[1]
+        owner = shard_of_key(qk, n_shards)
+        owner = jnp.where(sops.is_sentinel(qk), n_shards, owner)
+        # route queries to owners, remembering origin slots
+        slotid = jnp.arange(Ql, dtype=jnp.int32)
+        order = jnp.argsort(owner)
+        qk_s, slot_s, owner_s = qk[order], slotid[order], owner[order]
+        pos = jnp.arange(Ql) - jnp.searchsorted(owner_s, owner_s, "left")
+        cap = query_cap
+        ok = (pos < cap) & (owner_s < n_shards)
+        tgt = jnp.where(ok, owner_s * cap + pos, n_shards * cap)
+        bq = sops.sentinel((n_shards * cap,), W).at[tgt].set(qk_s, mode="drop")
+        bslot = jnp.full((n_shards * cap,), -1, jnp.int32).at[tgt].set(
+            slot_s, mode="drop")
+        bq = bq.reshape(n_shards, cap, W)
+        bslot = bslot.reshape(n_shards, cap)
+        rq = jax.lax.all_to_all(bq, AXIS, 0, 0, tiled=True).reshape(-1, W)
+        # answer locally
+        idx, found = sops.lookup(keys, rq)
+        acov = jnp.where(found[:, None], covg[idx], 0)
+        aedg = jnp.where(found[:, None], edges[idx], 0)
+        # route answers back (reverse exchange restores origin shard)
+        acov = jax.lax.all_to_all(
+            acov.reshape(n_shards, cap, C), AXIS, 0, 0, tiled=True)
+        aedg = jax.lax.all_to_all(
+            aedg.reshape(n_shards, cap, C), AXIS, 0, 0, tiled=True)
+        afnd = jax.lax.all_to_all(
+            found.reshape(n_shards, cap, 1), AXIS, 0, 0, tiled=True)
+        # scatter back into original slots; unused entries carry -1 which
+        # would WRAP in jax indexing — remap to Ql (out of bounds => drop)
+        flat_slot = bslot.reshape(-1)
+        flat_slot = jnp.where(flat_slot < 0, Ql, flat_slot)
+        out_cov = jnp.zeros((Ql, C), covg.dtype).at[flat_slot].set(
+            acov.reshape(-1, C), mode="drop")
+        out_edg = jnp.zeros((Ql, C), edges.dtype).at[flat_slot].set(
+            aedg.reshape(-1, C), mode="drop")
+        out_fnd = jnp.zeros((Ql,), bool).at[flat_slot].set(
+            afnd.reshape(-1), mode="drop")
+        return out_cov, out_edg, out_fnd
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)))
+    return jax.jit(mapped)

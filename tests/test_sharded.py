@@ -1,0 +1,105 @@
+"""Multi-chip sharded build + lookup on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mccortex_tpu.parallel import shard as psh
+from mccortex_tpu.graph import build as gbuild
+from mccortex_tpu.graph import store as gstore
+from mccortex_tpu.ops import kmer as K
+from mccortex_tpu.ops import sorted as sops
+
+from util import random_dna, seq_to_codes
+from graph_ref import build_ref_graph
+from test_graph_build import graph_to_dict
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should give 8 cpu devices"
+    return psh.make_mesh(8)
+
+
+def test_sharded_build_matches_reference(mesh):
+    k = 11
+    B, L = 16, 80
+    seqs = [random_dna(L, seed=900 + i) for i in range(B)]
+    bases = np.stack([seq_to_codes(s) for s in seqs])
+    step = psh.build_step_sharded(mesh, k, ncols=1, colour=0,
+                                  bucket_cap=512, out_cap=1024)
+    keys0, covg0, edges0, n0 = psh.empty_sharded_graph(mesh, k, 1, 1024)
+    keys, covg, edges, n, dropped = step(
+        jnp.asarray(bases), keys0, covg0, edges0, n0)
+    assert int(np.asarray(dropped).sum()) == 0
+    # collect live records from all shards
+    kh = np.asarray(keys)
+    ch = np.asarray(covg)
+    eh = np.asarray(edges)
+    live = ~np.all(kh == np.uint64(0xFFFFFFFFFFFFFFFF), axis=1)
+    from mccortex_tpu.utils.text import kmers_to_strings
+    kstrs = kmers_to_strings(kh[live], k)
+    got = {kstrs[i]: (ch[live][i].tolist(), eh[live][i].tolist())
+           for i in range(live.sum())}
+    ref = build_ref_graph([(s, 0) for s in seqs], k)
+    assert got == ref
+    # each record landed on its owner shard
+    owners = np.asarray(psh.shard_of_key(jnp.asarray(kh[live]), 8))
+    rows = np.nonzero(live)[0]
+    shard_of_row = rows // 1024
+    np.testing.assert_array_equal(owners, shard_of_row)
+
+
+def test_sharded_build_two_epochs_accumulates(mesh):
+    k = 9
+    s1, s2 = random_dna(60, seed=1000), random_dna(60, seed=1001)
+    b1 = np.stack([seq_to_codes(s1)] * 8)
+    b2 = np.stack([seq_to_codes(s2)] * 8)
+    step = psh.build_step_sharded(mesh, k, ncols=1, colour=0,
+                                  bucket_cap=256, out_cap=512)
+    state = psh.empty_sharded_graph(mesh, k, 1, 512)
+    keys, covg, edges, n, d1 = step(jnp.asarray(b1), *state)
+    keys, covg, edges, n, d2 = step(jnp.asarray(b2), keys, covg, edges, n)
+    ref = build_ref_graph([(s1, 0)] * 8 + [(s2, 0)] * 8, k)
+    kh, ch = np.asarray(keys), np.asarray(covg)
+    live = ~np.all(kh == np.uint64(0xFFFFFFFFFFFFFFFF), axis=1)
+    from mccortex_tpu.utils.text import kmers_to_strings
+    kstrs = kmers_to_strings(kh[live], k)
+    got_cov = {kstrs[i]: ch[live][i].tolist() for i in range(live.sum())}
+    assert {km: v[0] for km, v in got_cov.items()} == \
+        {km: v[0][0] for km, v in ref.items()}
+
+
+def test_sharded_lookup(mesh):
+    k = 11
+    seqs = [random_dna(70, seed=1100 + i) for i in range(8)]
+    bases = np.stack([seq_to_codes(s) for s in seqs])
+    step = psh.build_step_sharded(mesh, k, 1, 0, bucket_cap=256, out_cap=512)
+    state = psh.empty_sharded_graph(mesh, k, 1, 512)
+    keys, covg, edges, n, _ = step(jnp.asarray(bases), *state)
+
+    # query: all kmers of read 0 (present) + 8 random absent kmers
+    q_present = [seqs[0][i:i + k] for i in range(len(seqs[0]) - k + 1)]
+    q_absent = [random_dna(k, seed=1200 + i) for i in range(8)]
+    allq = q_present + q_absent
+    Q = 128
+    qarr = np.stack([seq_to_codes(s) for s in allq])
+    qk, _ = K.canonical(K.pack_kmers(jnp.asarray(qarr), k), k)
+    qk_pad = jnp.concatenate(
+        [qk, sops.sentinel((Q - len(allq),), qk.shape[1])])
+    lk = psh.lookup_sharded(mesh, k, query_cap=Q)
+    cov, edg, found = lk(qk_pad, keys, covg, edges)
+    found = np.asarray(found)[:len(allq)]
+    assert found[:len(q_present)].all()
+    ref = build_ref_graph([(s, 0) for s in seqs], k)
+    absent_truly = [s not in ref and s[::-1] not in ref for s in q_absent]
+    for i, s in enumerate(q_absent):
+        from util import key_str
+        expect = key_str(s) in ref
+        assert bool(found[len(q_present) + i]) == expect
+    # coverage values match reference
+    cov = np.asarray(cov)
+    for i, s in enumerate(q_present):
+        from util import key_str
+        assert cov[i, 0] == ref[key_str(s)][0][0]
