@@ -307,3 +307,93 @@ def cmd_inferedges(argv):
 register("clean", cmd_clean, "remove tips + low-coverage unitigs")
 register("unitigs", cmd_unitigs, "dump unitigs as FASTA/GFA/DOT")
 register("inferedges", cmd_inferedges, "infer population edges")
+
+
+# ---------------------------------------------------------------------------
+# contigs (ref: src/commands/ctx_contigs.c; linkless until .ctp wired in)
+# ---------------------------------------------------------------------------
+
+def cmd_contigs(argv):
+    p = argparse.ArgumentParser(prog="mctx contigs")
+    p.add_argument("-o", "--out", default="-")
+    p.add_argument("--colour", type=int, default=0)
+    p.add_argument("--no-reseed", action="store_true",
+                   help="do not seed from kmers already in a contig")
+    p.add_argument("--max-len", type=int, default=65536,
+                   help="max contig extension per direction (kmers)")
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("-G", "--genome", type=int, default=0,
+                   help="genome size for NG50")
+    p.add_argument("-p", "--paths", action="append", default=[],
+                   help=".ctp link files (link-guided assembly)")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    import numpy as np
+    from ..graph import traverse as T
+    from ..utils.stats import contig_stats
+    h, g = _load_graph(args.ctx)
+    n = int(g.n)
+
+    links = None
+    if args.paths:
+        from ..links import store as lstore
+        from ..io import ctp as ctpio
+        links = ctpio.load_link_store(args.paths, g)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    visited = np.zeros(n, dtype=bool)
+    lengths = []
+    ncontig = 0
+    batch = args.batch
+    order = np.arange(n)
+    for s0 in range(0, n, batch):
+        seeds = order[s0:s0 + batch]
+        if args.no_reseed:
+            seeds = seeds[~visited[seeds]]
+        if len(seeds) == 0:
+            continue
+        if links is not None:
+            from ..links import walk as lwalk
+            contigs, stats = lwalk.assemble_contigs_linked(
+                g, links, seeds, colour=args.colour, max_len=args.max_len)
+        else:
+            contigs, stats = T.assemble_linkless_contigs(
+                g, seeds, colour=args.colour, max_len=args.max_len)
+        for i, c in enumerate(contigs):
+            if args.no_reseed:
+                # a later seed in this batch may already be covered by an
+                # earlier contig (the reference checks seed-by-seed,
+                # assemble_contigs.c:223)
+                if visited[int(seeds[i])]:
+                    continue
+                _mark_contig_kmers(g, c, visited)
+            out.write(f">contig{ncontig} length={len(c)} "
+                      f"seed={int(seeds[i])}\n{c}\n")
+            lengths.append(len(c))
+            ncontig += 1
+    if out is not sys.stdout:
+        out.close()
+    st = contig_stats(lengths, genome_size=args.genome or None)
+    _status(f"contigs: {st['n']} total={st['total']} max={st['max']} "
+            f"N50={st['n50']} NG50={st['ng50']}")
+    return 0
+
+
+def _mark_contig_kmers(g, contig, visited):
+    import numpy as np
+    import jax.numpy as jnp
+    from ..constants import CHAR_TO_BASE
+    from ..ops import kmer as kops
+    from ..ops import sorted as sops
+    k = g.k
+    codes = CHAR_TO_BASE[np.frombuffer(contig.encode(), np.uint8)]
+    if len(codes) < k:
+        return
+    kmers, valid = kops.rolling_kmers(jnp.asarray(codes[None]), k)
+    keys, _ = kops.canonical(kmers, k)
+    idx, found = sops.lookup(g.keys, keys[0])
+    rows = np.asarray(idx)[np.asarray(valid[0]) & np.asarray(found)]
+    visited[rows[rows < len(visited)]] = True
+
+
+register("contigs", cmd_contigs, "assemble contigs from the graph")

@@ -128,3 +128,66 @@ def ref_unitigs(graph, k):
         unitigs.add(min(seq, rc(seq)))
         seen.update(kk for kk, _ in full)
     return unitigs
+
+
+def ref_linkless_contig(graph, seed_key, k, colour=0):
+    """Python reference for linkless contig assembly from a seed kmer key:
+    mirrors graph_walker_choose states 0-5 (no links) + both directions.
+    colour=None walks the union. Returns (contig, right_status,
+    left_status) with status strings."""
+    COMP_ = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def rc(s):
+        return "".join(COMP_[c] for c in reversed(s))
+
+    def nib(key, o, cols):
+        cov, edg = graph[key]
+        u = 0
+        for c in cols:
+            u |= edg[c]
+        return (u >> (4 * o)) & 0xF
+
+    def in_colour(key, colour):
+        if colour is None:
+            return key in graph
+        return key in graph and graph[key][0][colour] > 0
+
+    ncols = len(graph[seed_key][0])
+    all_cols = list(range(ncols))
+
+    def walk(start_km):
+        seen = set()
+        cur = start_km
+        out = []
+        while True:
+            key = min(cur, rc(cur))
+            o = 0 if key == cur else 1
+            if (key, o) in seen:
+                return out, "HitCycle"
+            seen.add((key, o))
+            pop = nib(key, o, all_cols)
+            cands = [n for n in range(4) if pop >> n & 1]
+            if not cands:
+                return out, "FailNoCovg"
+            colc = []
+            for n in cands:
+                nxt = cur[1:] + "ACGT"[n]
+                if in_colour(min(nxt, rc(nxt)), colour):
+                    colc.append(n)
+            if len(cands) == 1 and len(colc) == 1:
+                pick = colc[0]
+            elif len(cands) == 1 and not colc:
+                pick = cands[0]  # POPFWD
+            elif len(cands) > 1 and len(colc) == 1:
+                pick = colc[0]  # POPFRK_COLFWD
+            elif len(cands) > 1 and not colc:
+                return out, "FailNoColCovg"
+            else:
+                return out, "FailNoLinks"
+            cur = cur[1:] + "ACGT"[pick]
+            out.append("ACGT"[pick])
+
+    right, rstat = walk(seed_key)
+    left_rc, lstat = walk(rc(seed_key))
+    left = rc("".join(left_rc))
+    return left + seed_key + "".join(right), rstat, lstat
