@@ -397,3 +397,55 @@ def _mark_contig_kmers(g, contig, visited):
 
 
 register("contigs", cmd_contigs, "assemble contigs from the graph")
+
+
+# ---------------------------------------------------------------------------
+# thread / pview (ref: src/commands/ctx_thread.c, ctx_pview.c)
+# ---------------------------------------------------------------------------
+
+def cmd_thread(argv):
+    p = argparse.ArgumentParser(prog="mctx thread")
+    p.add_argument("--seq", action="append", default=[],
+                   help="read files to thread")
+    p.add_argument("-p", "--paths", action="append", default=[],
+                   help="existing .ctp files to load first")
+    p.add_argument("-o", "--out", required=True, help="output .ctp[.gz]")
+    p.add_argument("--colour", type=int, default=0,
+                   help="link colour to record")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    if not args.seq:
+        p.error("at least one --seq required")
+    from ..links import thread as lthread
+    from ..links import store as lstore
+    from ..io import ctp as ctpio
+    from ..io import seqio
+    h, g = _load_graph(args.ctx)
+    ncols = max(h.ncols, args.colour + 1)
+    batches = [(codes, args.colour)
+               for codes, quals, _ in seqio.read_batches(args.seq)]
+    links = lthread.thread_reads(g, batches, ncols)
+    if args.paths:
+        prev = ctpio.load_link_store(args.paths, g)
+        links = lstore.merge_stores(prev, links, g.capacity)
+    _status(f"threaded {sum(b.shape[0] for b, _ in batches)} reads -> "
+            f"{links.nlinks} links")
+    ctpio.save_ctp(args.out, g, links,
+                   sample_names=[gi.sample_name for gi in h.ginfo])
+    return 0
+
+
+def cmd_pview(argv):
+    p = argparse.ArgumentParser(prog="mctx pview")
+    p.add_argument("ctx")
+    p.add_argument("ctp")
+    args = p.parse_args(argv)
+    import gzip
+    opener = gzip.open if args.ctp.endswith(".gz") else open
+    with opener(args.ctp, "rt") as fh:
+        sys.stdout.write(fh.read())
+    return 0
+
+
+register("thread", cmd_thread, "thread reads through the graph -> links")
+register("pview", cmd_pview, "print a link file as text")

@@ -1,0 +1,283 @@
+"""Link-aware batched traversal.
+
+Extends graph/traverse.py with link-cursor state, mirroring the
+reference walker semantics exactly (ref graph_walker.c):
+
+  * links are picked up at every node whose vertex has links in the walk
+    link-colour (pickup_paths :151), cursor age 0;
+  * cursor ages increment when the walk passes a segment boundary — an
+    out-fork the links resolved (is_fork) or an in-merge (other
+    predecessors exist) (_gw_gseg_update :105-131);
+  * at an in-colour fork, the cursors of greatest age vote: age must be
+    >= 1 and all greatest-age cursors must agree (choose :452-476), else
+    the walk halts with NOLINKS / SPLIT_LINKS;
+  * on a resolved fork every cursor whose current base differs from the
+    taken base dies; matching cursors consume one base
+    (_graph_walker_force_jump :556-585).
+
+Cursors live in fixed per-walker slot arrays (CMAX slots); overflow
+pickups are dropped (the reference list is unbounded; CMAX is a knob).
+Brent cycle detection hashes (node, orientation, cursor multiset) so
+repeats are only cut when the full walker state repeats — same idea as
+the reference's graph_walker_hash64 bloom (repeat_walker.h).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from ..graph import edges as E
+from ..graph import store as gstore
+from ..graph import traverse as T
+from . import store as lstore
+
+CMAX = 64  # cursor slots per walker
+
+
+@struct.dataclass
+class LinkedWalkState:
+    base: T.WalkState
+    cur_link: jnp.ndarray  # (B, CMAX) int32, -1 = empty
+    cur_pos: jnp.ndarray   # (B, CMAX) int32
+    cur_age: jnp.ndarray   # (B, CMAX) int32
+
+
+def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
+                seed_idx, seed_orient, max_len: int,
+                ctpcol: int = 0) -> LinkedWalkState:
+    base = T.walk_init(g, seed_idx, seed_orient, max_len)
+    B = seed_idx.shape[0]
+    st = LinkedWalkState(
+        base=base,
+        cur_link=jnp.full((B, CMAX), -1, jnp.int32),
+        cur_pos=jnp.zeros((B, CMAX), jnp.int32),
+        cur_age=jnp.zeros((B, CMAX), jnp.int32))
+    # pick up links on the seed node itself (ref graph_walker_start ->
+    # pickup via _graph_walker_force_jump on first move; the reference
+    # picks up at start too via graph_walker_start's caller prime)
+    st = _pickup(g, links, st, ctpcol)
+    return st.replace(base=st.base.replace(
+        brent_hash=_linked_hash(st)))
+
+
+def _cursor_bases(links: lstore.LinkStore, st: LinkedWalkState):
+    """Current junction base per cursor slot: (B, CMAX) uint8."""
+    B = st.cur_link.shape[0]
+    lid = jnp.clip(st.cur_link, 0, max(links.nlinks - 1, 0))
+    flat = lid.reshape(-1)
+    pos = st.cur_pos.reshape(-1)
+    if links.nlinks == 0:
+        return jnp.zeros((B, CMAX), jnp.uint8)
+    return lstore.unpack_junc(links.seq[flat], pos).reshape(B, CMAX)
+
+
+def _linked_hash(st: LinkedWalkState) -> jnp.ndarray:
+    """Order-independent hash of (node, cursors)."""
+    h = kops.kmer_hash(st.base.okm)
+    live = st.cur_link >= 0
+    ch = kops.splitmix64(
+        st.cur_link.astype(jnp.uint64)
+        ^ (st.cur_pos.astype(jnp.uint64) << jnp.uint64(24))
+        ^ (st.cur_age.astype(jnp.uint64) << jnp.uint64(48)))
+    ch = jnp.where(live, ch, jnp.uint64(0))
+    return h ^ jax.lax.reduce(ch, jnp.uint64(0),
+                              jax.lax.bitwise_xor, dimensions=(1,))
+
+
+def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
+            st: LinkedWalkState, ctpcol: int) -> LinkedWalkState:
+    """Pick up links at the current node (age 0) into free slots."""
+    if links.nlinks == 0:
+        return st
+    B = st.cur_link.shape[0]
+    v = st.base.idx * 2 + st.base.orient.astype(jnp.int32)
+    start = links.offsets[v]
+    end = links.offsets[v + 1]
+    navail = end - start
+    cap = int(min(CMAX, 16))  # pickup at most 16 links per node
+    cur_link, cur_pos, cur_age = st.cur_link, st.cur_pos, st.cur_age
+    free = cur_link < 0
+    # free-slot ranking per walker
+    free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+    rows = jnp.arange(B)
+    for s in range(cap):
+        lid = jnp.clip(start + s, 0, max(links.nlinks - 1, 0))
+        ok = (s < navail) & st.base.active
+        ok = ok & (links.nseen[lid, ctpcol] > 0)
+        # slot = s-th free slot
+        slot_match = free & (free_rank == s)
+        has_slot = slot_match.any(axis=1)
+        slot = jnp.argmax(slot_match, axis=1)
+        ok = ok & has_slot
+        cur_link = cur_link.at[rows, slot].set(
+            jnp.where(ok, lid.astype(jnp.int32), cur_link[rows, slot]))
+        cur_pos = cur_pos.at[rows, slot].set(
+            jnp.where(ok, 0, cur_pos[rows, slot]))
+        cur_age = cur_age.at[rows, slot].set(
+            jnp.where(ok, 0, cur_age[rows, slot]))
+    return st.replace(cur_link=cur_link, cur_pos=cur_pos, cur_age=cur_age)
+
+
+def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib):
+    """Full 9-state decision (graph_walker_choose)."""
+    nuc0, go0, status0 = T.choose_linkless(pop_nib, col_nib)
+    fork = status0 == T.NOLINKS  # in-colour fork: link logic engages
+    live = st.cur_link >= 0
+    bases = _cursor_bases(links, st)
+    age = jnp.where(live, st.cur_age, -1)
+    max_age = jnp.max(age, axis=1)
+    has_curs = live.any(axis=1)
+    # unanimity among max-age cursors
+    is_oldest = live & (st.cur_age == max_age[:, None])
+    # representative base of the oldest cohort
+    first_idx = jnp.argmax(is_oldest, axis=1)
+    rep = bases[jnp.arange(bases.shape[0]), first_idx]
+    split = (is_oldest & (bases != rep[:, None])).any(axis=1)
+    # the chosen base must be one of the in-colour candidates
+    cand_ok = ((col_nib >> rep) & 1).astype(bool)
+    use = fork & has_curs & (max_age >= 1) & ~split & cand_ok
+    status = jnp.where(
+        fork,
+        jnp.where(~has_curs | (max_age < 1), jnp.int32(T.NOLINKS),
+                  jnp.where(split, jnp.int32(T.SPLIT_LINKS),
+                            jnp.where(cand_ok, jnp.int32(T.USELINKS),
+                                      jnp.int32(T.SPLIT_LINKS)))),
+        status0)
+    nuc = jnp.where(use, rep, nuc0)
+    go = jnp.where(fork, use, go0)
+    return nuc, go, status
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("colour", "ctpcol", "edge_colour",
+                                    "max_steps"))
+def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
+                st: LinkedWalkState, colour: int | None,
+                max_steps: int, ctpcol: int = 0,
+                edge_colour: int = 0) -> LinkedWalkState:
+
+    def cond(st):
+        return (st.base.active & (st.base.nsteps < max_steps)).any()
+
+    def body(st):
+        b = st.base
+        pop_nib, col_nib = T._candidates(g, b, colour)
+        nuc, go, status = _choose_linked(g, links, st, pop_nib, col_nib)
+        is_fork = status == T.USELINKS
+        adv = b.active & go
+        lost_nuc = kops.first_base(b.okm, g.k)
+        nxt_okm = kops.shift_append(b.okm, nuc, g.k)
+        key2, o2 = kops.canonical(nxt_okm, g.k)
+        j, found = sops.lookup(g.keys, key2)
+        okm = jnp.where(adv[:, None], nxt_okm, b.okm)
+        idx = jnp.where(adv, j, b.idx)
+        orient = jnp.where(adv, o2, b.orient).astype(jnp.uint8)
+        nb = b.replace(okm=okm, idx=idx, orient=orient)
+
+        # 1) cursor advancement on resolved forks
+        move_fork = adv & is_fork
+        bases = _cursor_bases(links, st)
+        live = st.cur_link >= 0
+        match = bases == nuc[:, None]
+        exhausted = st.cur_pos + 1 >= _nj_of(links, st)
+        keep = live & jnp.where(move_fork[:, None], match & ~exhausted,
+                                jnp.ones_like(match))
+        cur_pos = jnp.where(move_fork[:, None] & keep,
+                            st.cur_pos + 1, st.cur_pos)
+        cur_link = jnp.where(keep, st.cur_link, -1)
+
+        # 2) segment boundary: out-fork taken or in-merge at the new node
+        rv_fork = _other_prev_exists(g, nb, lost_nuc, edge_colour) & adv
+        bump = (move_fork | rv_fork)
+        cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
+                            st.cur_age + 1, st.cur_age)
+        st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
+                         cur_age=cur_age)
+
+        # 3) pick up links at the new node (only advancing walkers)
+        st2 = st2.replace(base=st2.base.replace(active=adv))
+        st2 = _pickup(g, links, st2, ctpcol)
+
+        # 4) Brent cycle check on full linked state
+        h = _linked_hash(st2)
+        nb2, cyc = T.brent_update(st2.base, h, adv)
+        adv2 = adv & ~cyc
+
+        # 5) output base
+        B = b.idx.shape[0]
+        Lmax = b.out_bases.shape[1]
+        hit_max = adv2 & (b.out_len >= Lmax)
+        writes = adv2 & ~hit_max
+        pos_w = jnp.where(writes, b.out_len, Lmax)
+        out_bases = nb2.out_bases.at[jnp.arange(B), pos_w].set(
+            nuc, mode="drop")
+        out_len = jnp.where(writes, b.out_len + 1, b.out_len)
+        new_status = jnp.where(
+            adv, jnp.where(cyc, T.HALT_CYCLE,
+                           jnp.where(hit_max, T.HALT_MAXLEN, status)),
+            jnp.where(b.active, status, b.status))
+        active = b.active & go & ~cyc & ~hit_max
+        nb2 = nb2.replace(
+            out_bases=out_bases, out_len=out_len,
+            status=new_status.astype(jnp.int32), active=active,
+            nsteps=b.nsteps + b.active.astype(jnp.int32))
+        return st2.replace(base=nb2)
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+def _nj_of(links: lstore.LinkStore, st: LinkedWalkState):
+    if links.nlinks == 0:
+        return jnp.ones_like(st.cur_pos)
+    lid = jnp.clip(st.cur_link, 0, links.nlinks - 1)
+    return links.nj[lid]
+
+
+def _other_prev_exists(g, b, lost_nuc, edge_colour):
+    """True where the (new) current node has in-colour predecessors other
+    than the node we came from (ref db_graph_prev_nodes_with_mask)."""
+    ebyte = g.edges[b.idx, edge_colour]
+    in_nib = E.with_orientation(ebyte, jnp.uint8(1) - b.orient)
+    back_bit = jnp.uint8(1) << ((jnp.uint8(3) - lost_nuc) & 3)
+    rem = in_nib & (~back_bit)
+    return rem > 0
+
+
+def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
+                            seed_rows: np.ndarray, colour: int | None = 0,
+                            max_len: int = 4096, ctpcol: int = 0):
+    """Linked contig assembly (role of ref assemble_contigs.c with paths;
+    no confidence model yet)."""
+    from ..utils.text import kmers_to_strings
+    B = len(seed_rows)
+    if B == 0:
+        return [], np.zeros((0, 2), np.int32)
+    seeds = jnp.asarray(seed_rows, jnp.int32)
+    halves, stats = [], []
+    for o in (0, 1):
+        st = linked_init(g, links, seeds, jnp.full((B,), o, jnp.uint8),
+                         max_len, ctpcol)
+        st = walk_linked(g, links, st, colour, max_steps=max_len + 1,
+                         ctpcol=ctpcol)
+        halves.append((np.asarray(st.base.out_bases),
+                       np.asarray(st.base.out_len)))
+        stats.append(np.asarray(st.base.status))
+    seed_strs = kmers_to_strings(np.asarray(g.keys)[seed_rows], g.k)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    basechars = "ACGT"
+    contigs = []
+    fw_b, fw_l = halves[0]
+    rv_b, rv_l = halves[1]
+    for i in range(B):
+        right = "".join(basechars[c] for c in fw_b[i, :fw_l[i]])
+        left_rc = "".join(basechars[c] for c in rv_b[i, :rv_l[i]])
+        left = "".join(comp[c] for c in reversed(left_rc))
+        contigs.append(left + seed_strs[i] + right)
+    return contigs, np.stack([stats[0], stats[1]], axis=1)

@@ -1,0 +1,187 @@
+"""Link threading + linked traversal tests.
+
+The headline gate is the LOSSLESS property (ref tests/lossless): a random
+sequence must be regenerated exactly from graph + links at k=9.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mccortex_tpu.graph import build as gbuild
+from mccortex_tpu.graph import store as gstore
+from mccortex_tpu.graph import traverse as T
+from mccortex_tpu.links import store as lstore
+from mccortex_tpu.links import thread as lthread
+from mccortex_tpu.links import walk as lwalk
+from mccortex_tpu.io import ctp as ctpio
+
+from util import random_dna, revcomp_str, seq_to_codes, key_str
+from test_graph_build import batchify
+
+
+def build_g(inputs, k, ncols=1):
+    return gbuild.build(batchify(inputs), k, ncols=ncols)
+
+
+def thread_all(g, inputs, ncols=1):
+    batches = batchify(inputs)
+    return lthread.thread_reads(g, batches, ncols)
+
+
+def row_of(g, kmer_str):
+    from mccortex_tpu.ops import kmer as K
+    from mccortex_tpu.ops import sorted as sops
+    key, _ = K.canonical(K.pack_kmers(
+        jnp.asarray(seq_to_codes(kmer_str)[None]), g.k), g.k)
+    row, found = sops.lookup(g.keys, key)
+    assert bool(found[0]), kmer_str
+    return int(row[0])
+
+
+def canon(s):
+    return min(s, revcomp_str(s))
+
+
+def test_thread_x_shape_resolves_fork():
+    """Two reads crossing a shared middle: links must route each walk
+    through its own read's branches (the defining linked-dBG property)."""
+    k = 7
+    m = random_dna(30, seed=301)
+    a1, a2 = random_dna(25, seed=302), random_dna(25, seed=303)
+    b1, b2 = random_dna(25, seed=304), random_dna(25, seed=305)
+    r1, r2 = a1 + m + b1, a2 + m + b2
+    g = build_g([(r1, 0), (r2, 0)], k)
+    links = thread_all(g, [(r1, 0), (r2, 0)])
+    assert links.nlinks > 0
+    # linkless walk from inside a1 stops at the merge/fork
+    seed = row_of(g, a1[:k])
+    c0, s0 = T.assemble_linkless_contigs(g, np.array([seed]), colour=0)
+    assert len(c0[0]) < len(r1)
+    # linked walk recovers the full read
+    c1, s1 = lwalk.assemble_contigs_linked(g, links, np.array([seed]),
+                                           colour=0)
+    assert canon(c1[0]) == canon(r1), (c1[0], s1)
+    seed2 = row_of(g, a2[:k])
+    c2, _ = lwalk.assemble_contigs_linked(g, links, np.array([seed2]),
+                                          colour=0)
+    assert canon(c2[0]) == canon(r2)
+
+
+def test_link_store_counts():
+    k = 7
+    m = random_dna(30, seed=311)
+    a1, b1 = random_dna(20, seed=312), random_dna(20, seed=313)
+    a2, b2 = random_dna(20, seed=314), random_dna(20, seed=315)
+    r1, r2 = a1 + m + b1, a2 + m + b2
+    g = build_g([(r1, 0), (r2, 0)], k)
+    # seeing the same read twice doubles nseen but not nlinks
+    l1 = thread_all(g, [(r1, 0), (r2, 0)])
+    l2 = thread_all(g, [(r1, 0), (r1, 0), (r2, 0)])
+    assert l1.nlinks == l2.nlinks
+    assert int(np.asarray(l2.nseen).sum()) > int(np.asarray(l1.nseen).sum())
+
+
+def flanked(seq, k, seed=0):
+    """Add unique flanks so the sequence ends are unambiguous walk seeds
+    (role of ref uniqkmers -F, tests/lossless recipe)."""
+    rng = np.random.default_rng(seed)
+    for _ in range(100):
+        fl = "".join("ACGT"[i] for i in rng.integers(0, 4, 2 * k))
+        fr = "".join("ACGT"[i] for i in rng.integers(0, 4, 2 * k))
+        full = fl + seq + fr
+        kms = {}
+        ok = True
+        for i in range(len(full) - k + 1):
+            ks = key_str(full[i:i + k])
+            kms[ks] = kms.get(ks, 0) + 1
+        # flank-crossing kmers must be unique in the whole sequence
+        for i in list(range(0, 3 * k)) + list(range(len(full) - 3 * k,
+                                                    len(full) - k + 1)):
+            if kms[key_str(full[i:i + k])] > 1:
+                ok = False
+                break
+        if ok:
+            return full
+    raise RuntimeError("could not build unique flanks")
+
+
+@pytest.mark.parametrize("glen,seed", [(500, 1), (2000, 2)])
+def test_lossless_reconstruction(glen, seed):
+    """The reference's signature property test (tests/lossless): a random
+    sequence is regenerated exactly from graph + links at k=9."""
+    k = 9
+    seq = random_dna(glen, seed=1000 + seed)
+    full = flanked(seq, k, seed=seed)
+    g = build_g([(full, 0)], k)
+    links = thread_all(g, [(full, 0)])
+    # seed from the first kmer of the left flank
+    seed_row = row_of(g, full[:k])
+    contigs, stats = lwalk.assemble_contigs_linked(
+        g, links, np.array([seed_row]), colour=0,
+        max_len=len(full) + 100)
+    assert canon(contigs[0]) == canon(full), (
+        len(contigs[0]), len(full), stats)
+
+
+def test_lossless_all_seeds_are_substrings():
+    """Contigs pulled from every kmer are substrings of the full walk
+    (what rmsubstr relies on)."""
+    k = 9
+    seq = random_dna(300, seed=321)
+    full = flanked(seq, k, seed=3)
+    g = build_g([(full, 0)], k)
+    links = thread_all(g, [(full, 0)])
+    n = int(g.n)
+    contigs, _ = lwalk.assemble_contigs_linked(
+        g, links, np.arange(0, n, 3), colour=0, max_len=len(full) + 100)
+    fullc = canon(full)
+    best = max(contigs, key=len)
+    assert canon(best) == fullc
+    rc = revcomp_str(full)
+    for c in contigs:
+        assert c in full or c in rc or revcomp_str(c) in full
+
+
+def test_ctp_roundtrip(tmp_path):
+    k = 7
+    m = random_dna(30, seed=331)
+    r1 = random_dna(20, seed=332) + m + random_dna(20, seed=333)
+    r2 = random_dna(20, seed=334) + m + random_dna(20, seed=335)
+    g = build_g([(r1, 0), (r2, 0)], k)
+    links = thread_all(g, [(r1, 0), (r2, 0)])
+    p = str(tmp_path / "links.ctp.gz")
+    ctpio.save_ctp(p, g, links)
+    links2 = ctpio.load_ctp(p, g)
+    np.testing.assert_array_equal(np.asarray(links.offsets),
+                                  np.asarray(links2.offsets))
+    np.testing.assert_array_equal(np.asarray(links.nj),
+                                  np.asarray(links2.nj))
+    np.testing.assert_array_equal(np.asarray(links.seq),
+                                  np.asarray(links2.seq))
+    np.testing.assert_array_equal(np.asarray(links.nseen),
+                                  np.asarray(links2.nseen))
+    # walking with reloaded links gives identical contigs
+    seed = row_of(g, r1[:k])
+    c1, _ = lwalk.assemble_contigs_linked(g, links, np.array([seed]))
+    c2, _ = lwalk.assemble_contigs_linked(g, links2, np.array([seed]))
+    assert c1 == c2
+
+
+def test_cli_thread_contigs_lossless(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from test_ctx_io import write_fasta
+    k = 9
+    seq = random_dna(800, seed=341)
+    full = flanked(seq, k, seed=5)
+    fa = str(tmp_path / "seq.fa")
+    write_fasta(fa, [full])
+    ctx = str(tmp_path / "g.ctx")
+    ctp = str(tmp_path / "links.ctp.gz")
+    outfa = str(tmp_path / "contigs.fa")
+    assert mctx(["build", "-k", str(k), "--sample", "s", "--seq", fa, ctx]) == 0
+    assert mctx(["thread", "--seq", fa, "-o", ctp, ctx]) == 0
+    assert mctx(["contigs", "--no-reseed", "-p", ctp, "-o", outfa, ctx]) == 0
+    seqs = [l.strip() for l in open(outfa) if not l.startswith(">")]
+    best = max(seqs, key=len)
+    assert canon(best) == canon(full)
