@@ -1,0 +1,333 @@
+"""Bubble caller: reference-free variant calling across colours.
+
+Role of ref src/tools/bubble_caller.c: at every fork (union out-degree
+> 1 in either orientation), walk each in-colour branch per colour (with
+links if provided) up to max_allele_len; bubbles are groups of >= 2
+distinct branch paths (deduped across colours) that converge on a shared
+downstream unitig; emit 5' flank (backward unitig extension from the
+fork), branch alleles, and the shared 3' flank unitig.  Filters: haploid
+repeat filter (a haploid colour may support at most one branch,
+remove_haploid_paths) and serial-bubble suppression.
+
+TPU mapping: all (fork, branch, colour) walks run as one batched linked
+walk; convergence/grouping runs per fork on the host over the recorded
+vertex paths (vertex-level convergence == entry into the shared unitig).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import kmer as kops
+from ..ops import sorted as sops
+from ..graph import edges as E
+from ..graph import store as gstore
+from ..graph import traverse as T
+from ..graph import unitigs as U
+from ..links import store as lstore
+from ..links import walk as lwalk
+from ..utils.text import kmers_to_strings
+
+
+@dataclasses.dataclass
+class Bubble:
+    fork_vertex: int
+    flank5p: str       # ends with the fork kmer
+    flank3p: str       # shared unitig bases (per-node last nuc)
+    branches: list     # [(allele_bases_str, colour_set)]
+    branch_colsets: list
+
+
+def find_fork_vertices(g: gstore.DBGraph):
+    """All vertices (2*row+orient) with union out-degree > 1
+    (ref bubble_caller_node)."""
+    uedges = np.asarray(gstore.union_edges(g))
+    n = int(g.n)
+    pop = E.POPCOUNT4
+    fw = pop[uedges[:n] & 0xF] > 1
+    rv = pop[(uedges[:n] >> 4) & 0xF] > 1
+    verts = np.concatenate([2 * np.nonzero(fw)[0], 2 * np.nonzero(rv)[0] + 1])
+    return np.sort(verts)
+
+
+def _branch_walks(g, links, fork_verts, max_allele, ncols):
+    """Launch walks for every (fork, branch, colour).  Returns arrays of
+    shape (F, 4, C): lengths, halt, plus vertex paths (F,4,C,La) and
+    base chars."""
+    F = len(fork_verts)
+    C = ncols
+    rows = fork_verts >> 1
+    orients = fork_verts & 1
+    uedges = np.asarray(gstore.union_edges(g))[rows]
+    # out-nibble when traversing orientation o
+    nib = ((uedges >> (4 * orients)) & 0xF).astype(np.uint8)
+
+    # branch-node colour presence (ref find_bubbles node_has_col): only
+    # walk branch b in colour c if both the fork node and the branch's
+    # first node are present in c
+    fork_okm = kops.oriented(jnp.asarray(g.keys)[jnp.asarray(rows)],
+                             jnp.asarray(orients.astype(np.uint8)), g.k)
+    branch_has_col = np.zeros((F, 4, C), bool)
+    for n in range(4):
+        nxt = kops.shift_append(fork_okm, jnp.full((F,), n, jnp.uint8), g.k)
+        key2, _ = kops.canonical(nxt, g.k)
+        jrow, found = sops.lookup(g.keys, key2)
+        pres = np.asarray(g.covg)[np.asarray(jrow)] > 0  # (F, C)
+        branch_has_col[:, n, :] = pres & np.asarray(found)[:, None]
+    fork_has_col = np.asarray(g.covg)[rows] > 0  # (F, C)
+
+    # assemble walker batch: one walker per (fork, branch nuc, colour)
+    meta = []
+    for fi in range(F):
+        for nuc in range(4):
+            if not (nib[fi] >> nuc) & 1:
+                continue
+            for c in range(C):
+                if fork_has_col[fi, c] and branch_has_col[fi, nuc, c]:
+                    meta.append((fi, nuc, c))
+    if not meta:
+        return []
+    B = len(meta)
+    meta = np.array(meta)
+    seed_rows = rows[meta[:, 0]]
+    seed_orients = orients[meta[:, 0]]
+
+    st = lwalk.linked_init(
+        g, links, jnp.asarray(seed_rows.astype(np.int32)),
+        jnp.asarray(seed_orients.astype(np.uint8)), max_allele)
+    # force the first step to the branch nucleotide
+    st = _force_first_step(g, links, st, jnp.asarray(meta[:, 1].astype(np.uint8)),
+                           jnp.asarray(meta[:, 2].astype(np.int32)))
+    # colour-restricted continuation; per-walker colour differs, so walk
+    # with colour=None but mask candidates by covg of that colour via the
+    # generic walk (we run one walk per colour group to keep colours static)
+    out = []
+    for c in range(C):
+        sel = np.nonzero(meta[:, 2] == c)[0]
+        if len(sel) == 0:
+            continue
+        sub = _take_walkers(st, sel)
+        sub = lwalk.walk_linked(g, links, sub, c, max_steps=max_allele,
+                                ctpcol=min(c, links.nseen.shape[1] - 1))
+        out.append((sel, sub))
+    return meta, out, B
+
+
+def _take_walkers(st: lwalk.LinkedWalkState, sel):
+    import jax
+    selj = jnp.asarray(sel)
+    return jax.tree_util.tree_map(lambda a: a[selj], st)
+
+
+def _force_first_step(g, links, st: lwalk.LinkedWalkState, nuc, colours):
+    """Take the forced branch step (ref graph_walker_force at the fork:
+    cursor bases consumed iff the fork is a fork in the walk colour)."""
+    b = st.base
+    B = b.idx.shape[0]
+    # is the fork a fork in each walker's colour? (#next in colour > 1)
+    incol_count = jnp.zeros((B,), jnp.int32)
+    for n in range(4):
+        nxt = kops.shift_append(b.okm, jnp.full((B,), n, jnp.uint8), g.k)
+        key2, _ = kops.canonical(nxt, g.k)
+        j, found = sops.lookup(g.keys, key2)
+        present = found & (jnp.take_along_axis(
+            g.covg[j], colours[:, None], axis=1)[:, 0] > 0)
+        # the branch edge must exist at all
+        uedges = gstore.union_edges(g)
+        has_edge = ((E.with_orientation(uedges[b.idx], b.orient)
+                     >> n) & 1).astype(bool)
+        incol_count = incol_count + (present & has_edge).astype(jnp.int32)
+    is_fork = incol_count > 1
+
+    lost_nuc = kops.first_base(b.okm, g.k)
+    nxt_okm = kops.shift_append(b.okm, nuc, g.k)
+    key2, o2 = kops.canonical(nxt_okm, g.k)
+    j, found = sops.lookup(g.keys, key2)
+    nb = b.replace(okm=nxt_okm, idx=j.astype(jnp.int32),
+                   orient=o2.astype(jnp.uint8), active=b.active & found)
+    # cursor consumption
+    bases = lwalk._cursor_bases(links, st)
+    live = st.cur_link >= 0
+    match = bases == nuc[:, None]
+    exhausted = st.cur_pos + 1 >= lwalk._nj_of(links, st)
+    keep = live & jnp.where(is_fork[:, None], match & ~exhausted,
+                            jnp.ones_like(match))
+    cur_pos = jnp.where(is_fork[:, None] & keep, st.cur_pos + 1, st.cur_pos)
+    cur_link = jnp.where(keep, st.cur_link, -1)
+    rv_fork = lwalk._other_prev_exists(g, nb, lost_nuc, 0) & nb.active
+    bump = (is_fork & nb.active) | rv_fork
+    cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
+                        st.cur_age + 1, st.cur_age)
+    # record the first step output
+    out_bases = nb.out_bases.at[:, 0].set(nuc)
+    out_vert = nb.out_vert.at[:, 0].set(
+        nb.idx * 2 + nb.orient.astype(jnp.int32))
+    out_len = jnp.where(nb.active, 1, 0)
+    nb = nb.replace(out_bases=out_bases, out_vert=out_vert,
+                    out_len=out_len.astype(jnp.int32))
+    st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
+                     cur_age=cur_age)
+    st2 = lwalk._pickup(g, links, st2, 0)
+    return st2.replace(base=st2.base.replace(
+        brent_hash=lwalk._linked_hash(st2)))
+
+
+def unitig_chain(g, start_vertex, succ, max_len):
+    """Vertices of the unitig starting at start_vertex (inclusive)."""
+    out = [start_vertex]
+    v = int(succ[start_vertex])
+    while v >= 0 and len(out) < max_len and v != start_vertex:
+        out.append(v)
+        v = int(succ[v])
+    return out
+
+
+def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
+                 max_allele: int = 300, max_flank: int = 1000,
+                 haploid_cols=(), remove_serial: bool = False):
+    """Find all bubbles.  Returns list[Bubble]."""
+    ncols = g.ncols
+    if links is None:
+        links = lstore.empty(g.capacity, ncols)
+    fork_verts = find_fork_vertices(g)
+    if len(fork_verts) == 0:
+        return []
+    res = _branch_walks(g, links, fork_verts, max_allele, ncols)
+    if not res:
+        return []
+    meta, walks, B = res
+    # gather per-walker outputs
+    verts = np.full((B, max_allele), -1, np.int32)
+    bases = np.zeros((B, max_allele), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for sel, sub in walks:
+        verts[sel] = np.asarray(sub.base.out_vert)
+        bases[sel] = np.asarray(sub.base.out_bases)
+        lens[sel] = np.asarray(sub.base.out_len)
+
+    covg_np = np.asarray(g.covg)
+    succ = np.asarray(U.successors(g.keys, gstore.union_edges(g), g.k))
+    keys_np = np.asarray(g.keys)
+    basechars = "ACGT"
+
+    bubbles = []
+    rows = fork_verts >> 1
+    orients = fork_verts & 1
+    for fi in range(len(fork_verts)):
+        wsel = np.nonzero(meta[:, 0] == fi)[0]
+        if len(wsel) < 2:
+            continue
+        paths = []
+        for w in wsel:
+            if lens[w] == 0:
+                continue
+            paths.append((int(meta[w, 1]), int(meta[w, 2]),
+                          verts[w, :lens[w]], bases[w, :lens[w]]))
+        if len(paths) < 2:
+            continue
+        bub = _group_bubble(g, fi, fork_verts[fi], paths, succ,
+                            covg_np, haploid_cols, max_allele, max_flank,
+                            keys_np)
+        if bub is not None:
+            bubbles.append(bub)
+    return bubbles
+
+
+def _group_bubble(g, fi, fork_vertex, paths, succ, covg_np, haploid_cols,
+                  max_allele, max_flank, keys_np):
+    basechars = "ACGT"
+    # earliest convergence: vertex shared by paths from >= 2 branches
+    pos_of = [dict() for _ in paths]
+    for p, (_, _, vs, _) in enumerate(paths):
+        seen = pos_of[p]
+        for i, v in enumerate(vs):
+            if v not in seen:
+                seen[v] = i
+    best = None  # (max_index, vertex)
+    from collections import defaultdict
+    cand = defaultdict(list)
+    for p, (_br, _c, vs, _b) in enumerate(paths):
+        for v, i in pos_of[p].items():
+            cand[v].append((p, i))
+    for v, plist in cand.items():
+        brset = {paths[p][0] for p, _ in plist}
+        if len(brset) < 2:
+            continue
+        score = max(i for _, i in plist)
+        if best is None or score < best[0] or \
+           (score == best[0] and v < best[1]):
+            best = (score, v, plist)
+    if best is None:
+        return None
+    _, conv_v, plist = best
+    # paths through the convergence vertex, cut at it (allele excludes
+    # the 3p unitig)
+    cut = {p: i for p, i in plist}
+    alleles = {}
+    for p, i in cut.items():
+        br, c, vs, bs = paths[p]
+        seq = "".join(basechars[x] for x in bs[:i])
+        key = (br, seq)
+        alleles.setdefault(key, set()).add(c)
+    # haploid filter (ref remove_haploid_paths)
+    items = sorted(alleles.items())
+    kept = []
+    hap_seen = set()
+    for (br, seq), cols in items:
+        drop = False
+        for h in haploid_cols:
+            if h in cols:
+                if h in hap_seen:
+                    drop = True
+                    break
+                hap_seen.add(h)
+        if not drop:
+            kept.append(((br, seq), cols))
+    if len(kept) < 2:
+        return None
+    if len({br for (br, _), _ in kept}) < 2:
+        return None
+
+    # 3p flank: the unitig starting at the convergence vertex
+    chain = unitig_chain(g, conv_v, succ, max_allele)
+    flank3p = _verts_to_bases(g, chain, keys_np)
+    # 5p flank: backward unitig extension from the fork, revcmp'd, ending
+    # with the fork kmer (ref print_bubble flank5p)
+    rev_fork = fork_vertex ^ 1
+    fchain = unitig_chain(g, rev_fork, succ, max_flank)
+    flank5p = _flank5p_seq(g, fchain, keys_np)
+    return Bubble(fork_vertex=int(fork_vertex), flank5p=flank5p,
+                  flank3p=flank3p,
+                  branches=[seq for (_, seq), _ in kept],
+                  branch_colsets=[sorted(cols) for _, cols in kept])
+
+
+def _vertex_kmer(g, v, keys_np):
+    row, o = v >> 1, v & 1
+    okm = np.asarray(kops.oriented(jnp.asarray(keys_np[row][None]),
+                                   jnp.asarray([o], np.uint8), g.k))
+    return kmers_to_strings(okm, g.k)[0]
+
+
+def _verts_to_bases(g, chain, keys_np):
+    """Per-vertex last base of the oriented kmer along a chain."""
+    if not chain:
+        return ""
+    rows = np.array([v >> 1 for v in chain])
+    os = np.array([v & 1 for v in chain], dtype=np.uint8)
+    okm = np.asarray(kops.oriented(jnp.asarray(keys_np[rows]),
+                                   jnp.asarray(os), g.k))
+    return "".join("ACGT"[int(x & 3)] for x in okm[:, -1])
+
+
+def _flank5p_seq(g, fchain, keys_np):
+    """5' flank: nodes of the backward chain reverse-complemented so the
+    sequence ends at (and includes) the fork kmer; printed as first kmer
+    + last bases (ref branch_to_str with print_first_kmer=True)."""
+    rev_chain = [v ^ 1 for v in reversed(fchain)]
+    first = _vertex_kmer(g, rev_chain[0], keys_np)
+    rest = _verts_to_bases(g, rev_chain[1:], keys_np)
+    return first + rest

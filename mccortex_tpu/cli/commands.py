@@ -449,3 +449,37 @@ def cmd_pview(argv):
 
 register("thread", cmd_thread, "thread reads through the graph -> links")
 register("pview", cmd_pview, "print a link file as text")
+
+
+# ---------------------------------------------------------------------------
+# bubbles (ref: src/commands/ctx_bubbles.c)
+# ---------------------------------------------------------------------------
+
+def cmd_bubbles(argv):
+    p = argparse.ArgumentParser(prog="mctx bubbles")
+    p.add_argument("-o", "--out", required=True, help="output .txt.gz")
+    p.add_argument("-p", "--paths", action="append", default=[])
+    p.add_argument("--max-allele", type=int, default=300)
+    p.add_argument("--max-flank", type=int, default=1000)
+    p.add_argument("--haploid", default="",
+                   help="comma-separated haploid colour list")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..calls import bubbles as bub
+    from ..io import callfile
+    from ..io import ctp as ctpio
+    h, g = _load_graph(args.ctx)
+    links = None
+    if args.paths:
+        links = ctpio.load_link_store(args.paths, g)
+    haploid = [int(x) for x in args.haploid.split(",") if x != ""]
+    bl = bub.call_bubbles(g, links, max_allele=args.max_allele,
+                          max_flank=args.max_flank, haploid_cols=haploid)
+    callfile.write_bubble_file(
+        args.out, bl, g.k, h.ncols, args.max_allele, args.max_flank,
+        sample_names=[gi.sample_name for gi in h.ginfo])
+    _status(f"found {len(bl)} bubbles -> {args.out}")
+    return 0
+
+
+register("bubbles", cmd_bubbles, "call bubbles between colours")

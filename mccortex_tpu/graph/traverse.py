@@ -66,6 +66,7 @@ class WalkState:
     brent_steps: jnp.ndarray  # (B,) int32 steps since checkpoint
     brent_limit: jnp.ndarray  # (B,) int32 current checkpoint interval
     out_bases: jnp.ndarray  # (B, Lmax) uint8 bases appended so far
+    out_vert: jnp.ndarray   # (B, Lmax) int32 vertex (2*idx+orient) per step
     out_len: jnp.ndarray  # (B,) int32
 
 
@@ -85,6 +86,7 @@ def walk_init(g: gstore.DBGraph, seed_idx: jnp.ndarray,
         brent_steps=jnp.zeros((B,), jnp.int32),
         brent_limit=jnp.ones((B,), jnp.int32),
         out_bases=jnp.zeros((B, max_len), jnp.uint8),
+        out_vert=jnp.full((B, max_len), -1, jnp.int32),
         out_len=jnp.zeros((B,), jnp.int32))
     # seed state is the first Brent checkpoint
     return st.replace(brent_hash=_state_hash(st))
@@ -199,6 +201,8 @@ def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
         pos = jnp.where(writes, st.out_len, Lmax)  # Lmax = OOB, dropped
         out_bases = new_st.out_bases.at[jnp.arange(B), pos].set(
             nuc, mode="drop")
+        out_vert = new_st.out_vert.at[jnp.arange(B), pos].set(
+            idx * 2 + orient.astype(jnp.int32), mode="drop")
         out_len = jnp.where(writes, st.out_len + 1, st.out_len)
         new_status = jnp.where(
             adv, jnp.where(cyc, HALT_CYCLE,
@@ -206,7 +210,7 @@ def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
             jnp.where(st.active, status, st.status))
         active = st.active & go & ~cyc & ~hit_max
         return new_st.replace(
-            out_bases=out_bases, out_len=out_len,
+            out_bases=out_bases, out_vert=out_vert, out_len=out_len,
             status=new_status.astype(jnp.int32), active=active,
             nsteps=st.nsteps + st.active.astype(jnp.int32))
 

@@ -218,6 +218,8 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         pos_w = jnp.where(writes, b.out_len, Lmax)
         out_bases = nb2.out_bases.at[jnp.arange(B), pos_w].set(
             nuc, mode="drop")
+        out_vert = nb2.out_vert.at[jnp.arange(B), pos_w].set(
+            idx * 2 + orient.astype(jnp.int32), mode="drop")
         out_len = jnp.where(writes, b.out_len + 1, b.out_len)
         new_status = jnp.where(
             adv, jnp.where(cyc, T.HALT_CYCLE,
@@ -225,7 +227,7 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
             jnp.where(b.active, status, b.status))
         active = b.active & go & ~cyc & ~hit_max
         nb2 = nb2.replace(
-            out_bases=out_bases, out_len=out_len,
+            out_bases=out_bases, out_vert=out_vert, out_len=out_len,
             status=new_status.astype(jnp.int32), active=active,
             nsteps=b.nsteps + b.active.astype(jnp.int32))
         return st2.replace(base=nb2)
