@@ -1,0 +1,471 @@
+"""Second batch of mctx subcommands: subgraph, join, pjoin, reads,
+coverage, dist, sort, uniqkmers, rmsubstr, popbubbles, server.
+(ref: corresponding src/commands/ctx_*.c shells)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .main import register
+from .commands import _status, _load_graph, _save_graph
+
+
+# ---------------------------------------------------------------------------
+# subgraph (ref ctx_subgraph.c)
+# ---------------------------------------------------------------------------
+
+def cmd_subgraph(argv):
+    p = argparse.ArgumentParser(prog="mctx subgraph")
+    p.add_argument("--seq", action="append", required=True)
+    p.add_argument("--dist", type=int, default=0)
+    p.add_argument("--invert", action="store_true")
+    p.add_argument("--unitigs", action="store_true",
+                   help="grab whole unitigs containing seed kmers")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..graph import subgraph as sg
+    from ..io import seqio
+    h, g = _load_graph(args.ctx)
+    batches = [codes for codes, _, _ in seqio.read_batches(args.seq)]
+    g2 = sg.subgraph(g, batches, dist=args.dist, invert=args.invert,
+                     whole_unitigs=args.unitigs)
+    _status(f"subgraph: {int(g.n)} -> {int(g2.n)} kmers")
+    _save_graph(args.out, h, g2)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# join (ref ctx_join.c): merge graphs with colour offsets
+# ---------------------------------------------------------------------------
+
+def cmd_join(argv):
+    p = argparse.ArgumentParser(prog="mctx join")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--flatten", action="store_true",
+                   help="sum all colours into one")
+    p.add_argument("ctx", nargs="+",
+                   help="input graphs; 'N:file.ctx' loads file at colour "
+                        "offset N")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+    from ..graph import store as gstore
+    from ..io import ctx as ctxio
+
+    inputs = []
+    for spec in args.ctx:
+        if ":" in spec and spec.split(":")[0].isdigit():
+            off, path = spec.split(":", 1)
+            off = int(off)
+        else:
+            off, path = None, spec
+        h, keys, covg, edges = ctxio.read_ctx(path)
+        inputs.append((off, h, keys, covg, edges))
+
+    k = inputs[0][1].kmer_size
+    for off, h, *_ in inputs:
+        if h.kmer_size != k:
+            raise ValueError("kmer sizes differ between inputs")
+
+    # assign colour offsets
+    ncols_out = 0
+    ginfo = []
+    placed = []
+    next_off = 0
+    for off, h, keys, covg, edges in inputs:
+        o = off if off is not None else next_off
+        placed.append((o, h, keys, covg, edges))
+        next_off = max(next_off, o + h.ncols)
+        ncols_out = max(ncols_out, o + h.ncols)
+    if args.flatten:
+        ncols_out = 1
+
+    ginfo = [ctxio.GraphInfo() for _ in range(ncols_out)]
+    allk, allc, alle = [], [], []
+    for o, h, keys, covg, edges in placed:
+        C = h.ncols
+        cw = np.zeros((len(keys), ncols_out), np.uint32)
+        ew = np.zeros((len(keys), ncols_out), np.uint8)
+        if args.flatten:
+            cw[:, 0] = covg.sum(axis=1)
+            for c in range(C):
+                ew[:, 0] |= edges[:, c]
+        else:
+            cw[:, o:o + C] = covg
+            ew[:, o:o + C] = edges
+            for c in range(C):
+                gi = ginfo[o + c]
+                gi.sample_name = h.ginfo[c].sample_name
+                gi.total_sequence += h.ginfo[c].total_sequence
+                gi.mean_read_length = max(gi.mean_read_length,
+                                          h.ginfo[c].mean_read_length)
+        allk.append(keys)
+        allc.append(cw)
+        alle.append(ew)
+
+    from ..graph import store as gs
+    keys = jnp.asarray(np.concatenate(allk))
+    covg = jnp.asarray(np.concatenate(allc))
+    edges = jnp.asarray(np.concatenate(alle))
+    g = gs.from_records(k, keys, covg, edges)
+    hdr = ctxio.CtxHeader(kmer_size=k, ginfo=ginfo)
+    _save_graph(args.out, hdr, g)
+    _status(f"joined {len(inputs)} graphs -> {int(g.n)} kmers x "
+            f"{ncols_out} colours")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# pjoin (ref ctx_pjoin.c)
+# ---------------------------------------------------------------------------
+
+def cmd_pjoin(argv):
+    p = argparse.ArgumentParser(prog="mctx pjoin")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("ctx")
+    p.add_argument("ctp", nargs="+")
+    args = p.parse_args(argv)
+    from ..io import ctp as ctpio
+    h, g = _load_graph(args.ctx)
+    links = ctpio.load_link_store(args.ctp, g)
+    ctpio.save_ctp(args.out, g, links,
+                   sample_names=[gi.sample_name for gi in h.ginfo])
+    _status(f"merged {len(args.ctp)} link files -> {links.nlinks} links")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# reads (ref ctx_reads.c): filter reads by graph membership
+# ---------------------------------------------------------------------------
+
+def cmd_reads(argv):
+    p = argparse.ArgumentParser(prog="mctx reads")
+    p.add_argument("--seq", action="append", required=True)
+    p.add_argument("-o", "--out", required=True, help="output FASTA")
+    p.add_argument("--invert", action="store_true",
+                   help="keep reads with NO kmer in graph")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+    from ..io import seqio
+    from ..links import thread as lthread
+    h, g = _load_graph(args.ctx)
+    kept = total = 0
+    with open(args.out, "w") as out:
+        for path in args.seq:
+            for rd in seqio.parse_reads(path):
+                total += 1
+                codes = np.frombuffer(rd.seq.encode(), np.uint8)
+                from ..constants import CHAR_TO_BASE
+                arr = CHAR_TO_BASE[codes][None, :]
+                if arr.shape[1] < g.k:
+                    touch = False
+                else:
+                    _, _, valid = lthread.reads_to_node_paths(
+                        g, jnp.asarray(arr), g.k)
+                    touch = bool(np.asarray(valid).any())
+                if touch != args.invert:
+                    out.write(f">{rd.name}\n{rd.seq}\n")
+                    kept += 1
+    _status(f"kept {kept}/{total} reads")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# coverage (ref ctx_coverage.c)
+# ---------------------------------------------------------------------------
+
+def cmd_coverage(argv):
+    p = argparse.ArgumentParser(prog="mctx coverage")
+    p.add_argument("--seq", action="append", required=True)
+    p.add_argument("--edges", action="store_true")
+    p.add_argument("-o", "--out", default="-")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+    from ..constants import CHAR_TO_BASE
+    from ..links import thread as lthread
+    from ..utils.text import edges_to_strings
+    from ..io import seqio
+    h, g = _load_graph(args.ctx)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for path in args.seq:
+        for rd in seqio.parse_reads(path):
+            arr = CHAR_TO_BASE[np.frombuffer(rd.seq.encode(), np.uint8)]
+            out.write(f">{rd.name}\n")
+            if len(arr) < g.k:
+                out.write("\n")
+                continue
+            idx, orient, valid = lthread.reads_to_node_paths(
+                g, jnp.asarray(arr[None]), g.k)
+            idxn = np.asarray(idx[0])
+            vn = np.asarray(valid[0])
+            npos = len(arr) - g.k + 1
+            covg = np.asarray(g.covg)
+            for c in range(h.ncols):
+                vals = [str(covg[idxn[i], c]) if vn[i] else "0"
+                        for i in range(npos)]
+                out.write(" ".join(vals) + "\n")
+            if args.edges:
+                edges = np.asarray(g.edges)
+                for c in range(h.ncols):
+                    estrs = edges_to_strings(
+                        edges[idxn[:npos]][:, c:c + 1])
+                    out.write(" ".join(
+                        estrs[i][0] if vn[i] else "........"
+                        for i in range(npos)) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# dist (ref ctx_dist_matrix.c)
+# ---------------------------------------------------------------------------
+
+def cmd_dist(argv):
+    p = argparse.ArgumentParser(prog="mctx dist")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    h, g = _load_graph(args.ctx)
+    covg = np.asarray(g.covg)[:int(g.n)] > 0
+    C = h.ncols
+    mat = covg.T.astype(np.int64) @ covg.astype(np.int64)
+    print("\t" + "\t".join(gi.sample_name for gi in h.ginfo))
+    for i in range(C):
+        print(h.ginfo[i].sample_name + "\t"
+              + "\t".join(str(mat[i, j]) for j in range(C)))
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# sort / index (ref ctx_sort.c, ctx_index.c) — our graphs are always
+# written sorted; sort re-sorts foreign files, index emits block offsets
+# ---------------------------------------------------------------------------
+
+def cmd_sort(argv):
+    p = argparse.ArgumentParser(prog="mctx sort")
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..io import ctx as ctxio
+    h, keys, covg, edges = ctxio.read_ctx(args.ctx)
+    order = np.lexsort(tuple(keys[:, w] for w in range(h.W - 1, -1, -1)))
+    ctxio.write_ctx(args.out or args.ctx, h, keys[order], covg[order],
+                    edges[order])
+    _status(f"sorted {len(keys)} kmers")
+    return 0
+
+
+def cmd_index(argv):
+    p = argparse.ArgumentParser(prog="mctx index")
+    p.add_argument("--block-kmers", type=int, default=4096)
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..io import ctx as ctxio
+    from ..utils.text import kmers_to_strings
+    h, keys, covg, edges = ctxio.read_ctx(args.ctx)
+    out = args.out or (args.ctx + ".idx")
+    bk = args.block_kmers
+    with open(out, "w") as fh:
+        fh.write("#block_start_kmer\tindex\tnkmers\n")
+        for s in range(0, len(keys), bk):
+            kstr = kmers_to_strings(keys[s:s + 1], h.kmer_size)[0]
+            fh.write(f"{kstr}\t{s}\t{min(bk, len(keys) - s)}\n")
+    _status(f"indexed {len(keys)} kmers in blocks of {bk}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# uniqkmers (ref ctx_uniqkmers.c)
+# ---------------------------------------------------------------------------
+
+def cmd_uniqkmers(argv):
+    p = argparse.ArgumentParser(prog="mctx uniqkmers")
+    p.add_argument("-k", "--kmer", type=int, required=True)
+    p.add_argument("-F", "--flank", default=None,
+                   help="FASTA whose sequences get unique flanks appended")
+    p.add_argument("-g", "--graph", default=None,
+                   help="also avoid kmers in this .ctx graph")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("num", type=int)
+    args = p.parse_args(argv)
+    import random
+    from ..utils.dna import revcomp
+    rng = random.Random(args.seed)
+    k = args.kmer
+
+    taken = set()
+
+    def add_seq_kmers(seq):
+        for i in range(len(seq) - k + 1):
+            km = seq[i:i + k]
+            taken.add(min(km, revcomp(km)))
+
+    seqs = []
+    if args.flank:
+        from ..io import seqio
+        for rd in seqio.parse_reads(args.flank):
+            seqs.append((rd.name, rd.seq))
+            add_seq_kmers(rd.seq)
+    if args.graph:
+        from ..io import ctx as ctxio
+        from ..utils.text import kmers_to_strings
+        h, keys, _, _ = ctxio.read_ctx(args.graph)
+        if h.kmer_size == k:
+            taken.update(kmers_to_strings(keys, k))
+
+    def fresh_kmer():
+        while True:
+            km = "".join(rng.choice("ACGT") for _ in range(k))
+            key = min(km, revcomp(km))
+            if key not in taken:
+                taken.add(key)
+                return km
+
+    if args.flank:
+        # append a unique kmer either side of each sequence, retrying
+        # until the junction-crossing kmers are unique too
+        # (role of ref uniqkmers -F in tests/lossless)
+        for name, seq in seqs:
+            for _ in range(1000):
+                left, right = fresh_kmer(), fresh_kmer()
+                full = left + seq + right
+                border = [full[i:i + k]
+                          for i in range(0, 2 * k)] +                          [full[i:i + k]
+                          for i in range(len(full) - 2 * k,
+                                         len(full) - k + 1)]
+                counts = {}
+                for i in range(len(full) - k + 1):
+                    key = min(full[i:i + k], revcomp(full[i:i + k]))
+                    counts[key] = counts.get(key, 0) + 1
+                if all(counts[min(b, revcomp(b))] == 1 for b in border):
+                    print(f">{name}")
+                    print(full)
+                    break
+            else:
+                raise ValueError("could not generate unique flanks")
+    for i in range(args.num):
+        print(f">kmer{i}")
+        print(fresh_kmer())
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# rmsubstr (ref ctx_rmsubstr.c)
+# ---------------------------------------------------------------------------
+
+def cmd_rmsubstr(argv):
+    p = argparse.ArgumentParser(prog="mctx rmsubstr")
+    p.add_argument("-o", "--out", default="-")
+    p.add_argument("fasta")
+    args = p.parse_args(argv)
+    from ..io import seqio
+    from ..utils.dna import revcomp
+    reads = list(seqio.parse_reads(args.fasta))
+    reads.sort(key=lambda r: -len(r.seq))
+    kept = []
+    for rd in reads:
+        rc = revcomp(rd.seq)
+        dup = any(rd.seq in other or rc in other for other, _ in kept)
+        if not dup:
+            kept.append((rd.seq, rd.name))
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for seq, name in kept:
+        out.write(f">{name}\n{seq}\n")
+    if out is not sys.stdout:
+        out.close()
+    _status(f"rmsubstr: kept {len(kept)}/{len(reads)}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# popbubbles (ref ctx_pop_bubbles.c)
+# ---------------------------------------------------------------------------
+
+def cmd_popbubbles(argv):
+    p = argparse.ArgumentParser(prog="mctx popbubbles")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("--max-covg", type=int, default=-1,
+                   help="only pop if removed branch covg <= this")
+    p.add_argument("--max-len", type=int, default=-1)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..calls import pop_bubbles as pb
+    h, g = _load_graph(args.ctx)
+    g2, npopped = pb.pop_bubbles(g, max_covg=args.max_covg,
+                                 max_len=args.max_len)
+    _status(f"popped {npopped} bubbles: {int(g.n)} -> {int(g2.n)} kmers")
+    _save_graph(args.out, h, g2)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# server (ref ctx_server.c): JSON kmer queries on stdin/stdout
+# ---------------------------------------------------------------------------
+
+def cmd_server(argv):
+    p = argparse.ArgumentParser(prog="mctx server")
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    import json
+    import jax.numpy as jnp
+    from ..constants import CHAR_TO_BASE
+    from ..ops import kmer as kops
+    from ..ops import sorted as sops
+    from ..utils.text import edges_to_strings
+    h, g = _load_graph(args.ctx)
+    covg = np.asarray(g.covg)
+    edges = np.asarray(g.edges)
+    _status(f"server ready (k={g.k}, {int(g.n)} kmers); "
+            "enter kmer, 'info', or 'random'; ctrl-D to quit")
+    for line in sys.stdin:
+        q = line.strip()
+        if not q:
+            continue
+        if q == "info":
+            print(json.dumps({"kmer_size": g.k, "num_kmers": int(g.n),
+                              "ncols": h.ncols}))
+            continue
+        if q == "random":
+            import random
+            row = random.randrange(int(g.n))
+            from ..utils.text import kmers_to_strings
+            q = kmers_to_strings(np.asarray(g.keys)[row:row + 1], g.k)[0]
+        if len(q) != g.k or any(c not in "ACGTacgt" for c in q):
+            print(json.dumps({"error": f"expected {g.k}bp kmer"}))
+            continue
+        arr = CHAR_TO_BASE[np.frombuffer(q.upper().encode(), np.uint8)]
+        key, _ = kops.canonical(kops.pack_kmers(jnp.asarray(arr[None]),
+                                                g.k), g.k)
+        row, found = sops.lookup(g.keys, key)
+        if not bool(found[0]):
+            print(json.dumps({"key": q, "find": False}))
+        else:
+            r = int(row[0])
+            estr = edges_to_strings(edges[r][None, :])[0]
+            print(json.dumps({
+                "key": q, "find": True,
+                "colours": [int(c) for c in covg[r]],
+                "edges": estr}))
+        sys.stdout.flush()
+    return 0
+
+
+register("subgraph", cmd_subgraph, "extract BFS neighbourhood of seeds")
+register("join", cmd_join, "merge graphs with colour offsets")
+register("pjoin", cmd_pjoin, "merge link files")
+register("reads", cmd_reads, "filter reads by graph membership")
+register("coverage", cmd_coverage, "per-kmer coverage of query seqs")
+register("dist", cmd_dist, "colour x colour shared-kmer matrix")
+register("sort", cmd_sort, "sort a graph file's kmer records")
+register("index", cmd_index, "write a block index for a sorted graph")
+register("rmsubstr", cmd_rmsubstr, "remove duplicate/substring seqs")
+register("popbubbles", cmd_popbubbles, "pop simple bubbles")
+register("server", cmd_server, "interactive kmer query server")
+register("uniqkmers", cmd_uniqkmers, "emit unique kmers / flank seqs")
