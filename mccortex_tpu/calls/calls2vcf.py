@@ -1,0 +1,148 @@
+"""Decompose bubble/breakpoint call files into VCF.
+
+Role of ref src/commands/ctx_calls2vcf.c + basic/decomp_bubble.c,
+decomp_breakpoint.c, aligned_call.c: place each call on the reference,
+align ALT allele vs REF slice with Needleman-Wunsch, decompose into
+left-aligned VCF records.
+
+Flank placement: the reference maps bubble 5' flanks with an external
+aligner (bwa SAM input, ctx_calls2vcf.c -F).  Here flanks are placed by
+exact unique kmer match against the reference (the same information a
+perfect mapper would give for exact flanks); calls whose flanks cannot
+be placed uniquely are dropped and counted.  SAM input can be added on
+top without changing the decomposition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..align import nw
+from ..graph import kmer_occur as KO
+from ..io import vcf as vcfio
+from ..utils.dna import revcomp
+
+
+def _ref_kmer_index(ref: KO.RefGenome, k: int):
+    """kmer string (canonical) -> (chrom, pos, strand) for UNIQUE kmers,
+    None for repeated."""
+    idx = {}
+    for ci, seq in enumerate(ref.seqs):
+        for i in range(len(seq) - k + 1):
+            km = seq[i:i + k]
+            if "N" in km:
+                continue
+            rc = revcomp(km)
+            key, strand = (km, 0) if km <= rc else (rc, 1)
+            if key in idx:
+                idx[key] = None
+            else:
+                idx[key] = (ci, i, strand)
+    return idx
+
+
+def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int):
+    """Returns (records, n_dropped).  calls from callfile.read_call_file.
+
+    If the 5' flank places on the reverse strand, the whole call is
+    flipped to the forward strand first (swap + revcomp flanks and
+    branches), then decomposed with forward-strand logic."""
+    kidx = _ref_kmer_index(ref, k)
+    records = []
+    dropped = 0
+    for call in calls:
+        f5, f3 = call["flank5p"], call["flank3p"]
+        branches = [b for _, b in call["branches"]]
+        if len(f5) < k:
+            dropped += 1
+            continue
+        place = kidx.get(_canon(f5[-k:]))
+        if place is not None and _strand_of(f5[-k:], place):
+            # flip the call to the forward strand
+            f5, f3 = revcomp(f3), revcomp(f5)
+            branches = [revcomp(b) for b in branches]
+            place = kidx.get(_canon(f5[-k:])) if len(f5) >= k else None
+        if place is None or len(f5) < k:
+            dropped += 1
+            continue
+        ci, pos, _ = place
+        if _strand_of(f5[-k:], place):
+            dropped += 1  # still reverse after flip (palindromic region)
+            continue
+        cseq = ref.seqs[ci]
+        ref_start = pos + k  # ref position after the 5' flank
+        # place the 3' flank's first kmer
+        if len(f3) < k:
+            dropped += 1
+            continue
+        place3 = kidx.get(_canon(f3[:k]))
+        if place3 is None or place3[0] != ci or \
+                _strand_of(f3[:k], place3):
+            dropped += 1
+            continue
+        ref_end = place3[1]
+        if ref_end < ref_start:
+            dropped += 1
+            continue
+        ref_slice = cseq[ref_start:ref_end]
+        hit = False
+        for bi, branch in enumerate(branches):
+            recs = nw.decompose(ref_slice, branch, ref_start, cseq)
+            for (p, r, a) in recs:
+                if r != a:
+                    records.append(vcfio.VcfRecord(
+                        chrom=ref.names[ci], pos=p, vid=call["name"],
+                        ref=r, alts=[a]))
+                    hit = True
+    return _dedup(records), dropped
+
+
+def _strand_of(km: str, place) -> int:
+    """Strand of this kmer occurrence: place stores the canonical key's
+    strand; flip if km is not its own canonical form."""
+    rc = revcomp(km)
+    key_is_fwd = km <= rc
+    return place[2] ^ (0 if key_is_fwd else 1)
+
+
+def breakpoints_to_vcf(bps, ref: KO.RefGenome, k: int):
+    """Decompose Breakpoint dataclasses (calls/breakpoints.py) directly
+    using their reference runs (ref decomp_breakpoint.c)."""
+    records = []
+    dropped = 0
+    for bp in bps:
+        r5, r3 = bp.flank5p_run, bp.flank3p_run
+        if r5["chrom"] != r3["chrom"] or r5["strand"] != 0 or \
+           r3["strand"] != 0:
+            dropped += 1  # cross-chrom / inverted events: BND records TBD
+            continue
+        ci = r5["chrom"]
+        cseq = ref.seqs[ci]
+        ref_start = r5["last"] + k      # after the 5' flank's last base
+        ref_end = r3["first"] + k - 1   # before the 3' flank's 1st base
+        if ref_end < ref_start:
+            dropped += 1
+            continue
+        ref_slice = cseq[ref_start:ref_end]
+        recs = nw.decompose(ref_slice, bp.allele_seq, ref_start, cseq)
+        for (p, r, a) in recs:
+            if r != a:
+                records.append(vcfio.VcfRecord(
+                    chrom=ref.names[ci], pos=p, vid="brkpnt",
+                    ref=r, alts=[a],
+                    info={"BPCOLS": ",".join(map(str, bp.cols))}))
+    return _dedup(records), dropped
+
+
+def _canon(s):
+    rc = revcomp(s)
+    return s if s <= rc else rc
+
+
+def _dedup(records):
+    seen = {}
+    for r in records:
+        key = (r.chrom, r.pos, r.ref, tuple(r.alts))
+        if key not in seen:
+            seen[key] = r
+    return sorted(seen.values(), key=lambda r: (r.chrom, r.pos))

@@ -1,0 +1,217 @@
+"""Third batch: breakpoints, calls2vcf, vcfcov, vcfgeno.
+(ref src/commands/{ctx_breakpoints,ctx_calls2vcf,ctx_vcfcov,
+ctx_vcfgeno}.c)
+"""
+
+from __future__ import annotations
+
+import argparse
+import gzip
+import json
+import sys
+
+import numpy as np
+
+from .main import register
+from .commands import _status, _load_graph
+
+
+def cmd_breakpoints(argv):
+    p = argparse.ArgumentParser(prog="mctx breakpoints")
+    p.add_argument("--seq", required=True, help="trusted reference FASTA")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-p", "--paths", action="append", default=[])
+    p.add_argument("--minref", type=int, default=5)
+    p.add_argument("--maxref", type=int, default=1000)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..calls import breakpoints as bk
+    from ..graph import kmer_occur as KO
+    from ..io import ctp as ctpio
+    import mccortex_tpu
+    h, g = _load_graph(args.ctx)
+    ref = KO.RefGenome.from_fasta(args.seq)
+    links = ctpio.load_link_store(args.paths, g) if args.paths else None
+    calls = bk.call_breakpoints(g, ref, links, min_ref=args.minref,
+                                max_ref=args.maxref)
+    hdr = {
+        "file_format": "CtxBreakpoints",
+        "format_version": 3,
+        "ncols": h.ncols,
+        "kmer_size": g.k,
+        "generator": f"mccortex_tpu {mccortex_tpu.__version__}",
+        "commands": [{"cmd": "mctx breakpoints",
+                      "min_ref_flank_kmers": args.minref,
+                      "max_search_kmers": args.maxref}],
+    }
+    with gzip.open(args.out, "wt") as fh:
+        fh.write(json.dumps(hdr, indent=2))
+        fh.write("\n\n# generated with mccortex_tpu\n\n")
+        for i, bp in enumerate(calls):
+            r5, r3 = bp.flank5p_run, bp.flank3p_run
+            c5 = f"{ref.names[r5['chrom']]}:{r5['first'] + 1}-" \
+                 f"{r5['last'] + 1}:{'+' if r5['strand'] == 0 else '-'}"
+            c3 = f"{ref.names[r3['chrom']]}:{r3['first'] + 1}-" \
+                 f"{r3['last'] + 1}:{'+' if r3['strand'] == 0 else '-'}"
+            cols = ",".join(map(str, sorted(set(bp.cols))))
+            fh.write(f">brkpnt.call{i}.5pflank chr={c5}\n{bp.flank5p_seq}\n")
+            fh.write(f">brkpnt.call{i}.3pflank chr={c3}\n{bp.flank3p_seq}\n")
+            fh.write(f">brkpnt.call{i}.path cols={cols}\n"
+                     f"{bp.allele_seq}\n\n")
+    _status(f"found {len(calls)} breakpoints -> {args.out}")
+    return 0
+
+
+def cmd_calls2vcf(argv):
+    p = argparse.ArgumentParser(prog="mctx calls2vcf")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("calls", help="bubble or breakpoint call file")
+    p.add_argument("ref", help="reference FASTA")
+    args = p.parse_args(argv)
+    from ..calls import calls2vcf as c2v
+    from ..graph import kmer_occur as KO
+    from ..io import callfile, vcf as vcfio
+    ref = KO.RefGenome.from_fasta(args.ref)
+    hdr, calls = callfile.read_call_file(args.calls)
+    k = hdr.get("kmer_size")
+    if not k:
+        raise ValueError(f"{args.calls}: header lacks kmer_size")
+    fmt = hdr.get("file_format", "")
+    if fmt == "CtxBreakpoints":
+        records, dropped = _breakpoint_calls_to_vcf(calls, ref, k, c2v)
+    else:
+        records, dropped = c2v.bubbles_to_vcf(calls, ref, k)
+    out = vcfio.VcfFile(
+        headers=vcfio.std_headers(
+            args.ref, contigs=[(n, len(s))
+                               for n, s in zip(ref.names, ref.seqs)]),
+        sample_names=[], records=records)
+    vcfio.write_vcf(args.out, out)
+    _status(f"wrote {len(records)} variants ({dropped} calls dropped)")
+    return 0
+
+
+def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
+    """Adapt text breakpoint calls (with chr= annotations) into the
+    direct decomposition path."""
+    from ..calls.breakpoints import Breakpoint
+    from ..align import nw
+    from ..io import vcf as vcfio
+    name_idx = {n: i for i, n in enumerate(ref.names)}
+    records, dropped = [], 0
+    for call in calls:
+        try:
+            r5 = _parse_chr(call, "flank5p", name_idx)
+            r3 = _parse_chr(call, "flank3p", name_idx)
+            allele = call["branches"][0][1] if call["branches"] else ""
+        except (KeyError, ValueError):
+            dropped += 1
+            continue
+        if r5 is None or r3 is None or r5["chrom"] != r3["chrom"] or \
+           r5["strand"] != 0 or r3["strand"] != 0:
+            dropped += 1
+            continue
+        ci = r5["chrom"]
+        cseq = ref.seqs[ci]
+        ref_start = r5["last"] + k
+        ref_end = r3["first"] + k - 1
+        if ref_end < ref_start:
+            dropped += 1
+            continue
+        recs = nw.decompose(cseq[ref_start:ref_end], allele, ref_start,
+                            cseq)
+        for (p0, r, a) in recs:
+            if r != a:
+                records.append(vcfio.VcfRecord(
+                    chrom=ref.names[ci], pos=p0, vid=call["name"],
+                    ref=r, alts=[a]))
+    return c2v._dedup(records), dropped
+
+
+def _parse_chr(call, which, name_idx):
+    """Parse 'chr=name:first-last:strand' from a flank header line."""
+    hdr = call.get(which + "_hdr", "")
+    for tok in hdr.split():
+        if tok.startswith("chr="):
+            body = tok[4:]
+            name, rng, strand = body.rsplit(":", 2)
+            first, last = rng.split("-")
+            if name not in name_idx:
+                return None
+            return {"chrom": name_idx[name], "first": int(first) - 1,
+                    "last": int(last) - 1,
+                    "strand": 0 if strand == "+" else 1}
+    return None
+
+
+def cmd_vcfcov(argv):
+    p = argparse.ArgumentParser(prog="mctx vcfcov")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-r", "--ref", required=True)
+    p.add_argument("--max-nvars", type=int, default=8)
+    p.add_argument("vcf")
+    p.add_argument("ctx", nargs="+")
+    args = p.parse_args(argv)
+    from ..calls import genotyping as gt
+    from ..graph import kmer_occur as KO
+    from ..io import vcf as vcfio
+    h, g = _load_graph(args.ctx[0])
+    ref = KO.RefGenome.from_fasta(args.ref)
+    vcf = vcfio.read_vcf(args.vcf)
+    if not vcf.sample_names:
+        vcf.sample_names = [gi.sample_name for gi in h.ginfo]
+    gt.vcfcov(vcf, ref, g, max_nvars=args.max_nvars)
+    vcfio.write_vcf(args.out, vcf)
+    _status(f"annotated {len(vcf.records)} records with K{g.k}R/K{g.k}A")
+    return 0
+
+
+def cmd_vcfgeno(argv):
+    p = argparse.ArgumentParser(prog="mctx vcfgeno")
+    p.add_argument("-o", "--out", required=True)
+    p.add_argument("-k", "--kmer", type=int, required=True)
+    p.add_argument("--err", default="0.01",
+                   help="per-sample error rates (comma list or one)")
+    p.add_argument("--kcov", default=None,
+                   help="kmer coverage per sample (comma list)")
+    p.add_argument("--cov", default=None,
+                   help="read depth per sample (comma list); "
+                        "kcov = D*(R-k+1)/R")
+    p.add_argument("--ploidy", default="2",
+                   help="default ploidy (or per-sample comma list)")
+    p.add_argument("--read-len", default="100",
+                   help="mean read length per sample (comma list)")
+    p.add_argument("vcf")
+    args = p.parse_args(argv)
+    from ..calls import vcfgeno as vg
+    from ..io import vcf as vcfio
+    if (args.kcov is None) == (args.cov is None):
+        p.error("give exactly one of --kcov / --cov")
+    vcf = vcfio.read_vcf(args.vcf)
+    S = max(len(vcf.sample_names), 1)
+
+    def parse_list(s, cast=float):
+        vals = [cast(x) for x in str(s).split(",")]
+        return vals * S if len(vals) == 1 else vals
+
+    k = args.kmer
+    readlens = parse_list(args.read_len)
+    readlensk = [max(r - k + 1, 1) for r in readlens]
+    if args.kcov:
+        kcovs = parse_list(args.kcov)
+    else:
+        covs = parse_list(args.cov)
+        kcovs = [d * (r - k + 1) / r for d, r in zip(covs, readlens)]
+    errs = parse_list(args.err)
+    ploidies = parse_list(args.ploidy, int)
+    ndone, nskip = vg.genotype_vcf(vcf, k, kcovs, errs, ploidies,
+                                   readlensk)
+    vcfio.write_vcf(args.out, vcf)
+    _status(f"genotyped {ndone} records ({nskip} skipped)")
+    return 0
+
+
+register("breakpoints", cmd_breakpoints, "call breakpoints vs reference")
+register("calls2vcf", cmd_calls2vcf, "decompose calls into VCF")
+register("vcfcov", cmd_vcfcov, "annotate VCF with kmer coverage")
+register("vcfgeno", cmd_vcfgeno, "genotype VCF from kmer coverage")

@@ -102,8 +102,10 @@ def read_call_file(path: str):
                        "branches": []}
             if ".5pflank" in name:
                 cur["flank5p"] = seq
+                cur["flank5p_hdr"] = name
             elif ".3pflank" in name:
                 cur["flank3p"] = seq
+                cur["flank3p_hdr"] = name
             else:
                 cur["branches"].append((name, seq))
     if cur is not None:
