@@ -55,7 +55,7 @@ def cmd_build(argv):
     for colour, (sample, files) in enumerate(tasks):
         total_seq = 0
         nreads = 0
-        for codes, quals, _ in seqio.read_batches(files, colour=colour):
+        for codes, quals, _ in seqio.read_batches_native(files, colour=colour):
             if quals is not None and args.fq_cutoff:
                 codes = np.asarray(gbuild.mask_reads(
                     jnp.asarray(codes), jnp.asarray(quals),
@@ -412,6 +412,9 @@ def cmd_thread(argv):
     p.add_argument("-o", "--out", required=True, help="output .ctp[.gz]")
     p.add_argument("--colour", type=int, default=0,
                    help="link colour to record")
+    p.add_argument("--gap-fill", action="store_true",
+                   help="bridge read errors through the graph while "
+                        "threading (ref one-way gap filling)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     if not args.seq:
@@ -424,7 +427,10 @@ def cmd_thread(argv):
     ncols = max(h.ncols, args.colour + 1)
     batches = [(codes, args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
-    links = lthread.thread_reads(g, batches, ncols)
+    if args.gap_fill:
+        links = lthread.thread_reads_gapfill(g, batches, ncols)
+    else:
+        links = lthread.thread_reads(g, batches, ncols)
     if args.paths:
         prev = ctpio.load_link_store(args.paths, g)
         links = lstore.merge_stores(prev, links, g.capacity)

@@ -215,3 +215,96 @@ register("breakpoints", cmd_breakpoints, "call breakpoints vs reference")
 register("calls2vcf", cmd_calls2vcf, "decompose calls into VCF")
 register("vcfcov", cmd_vcfcov, "annotate VCF with kmer coverage")
 register("vcfgeno", cmd_vcfgeno, "genotype VCF from kmer coverage")
+
+
+# ---------------------------------------------------------------------------
+# correct (ref ctx_correct.c) + links (ref ctx_links.c)
+# ---------------------------------------------------------------------------
+
+def cmd_correct(argv):
+    p = argparse.ArgumentParser(prog="mctx correct")
+    p.add_argument("--seq", action="append", required=True)
+    p.add_argument("-p", "--paths", action="append", default=[])
+    p.add_argument("-o", "--out", required=True, help="output FASTA")
+    p.add_argument("--colour", type=int, default=0)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    from ..align import correct as acorrect
+    from ..io import ctp as ctpio
+    from ..io import seqio
+    h, g = _load_graph(args.ctx)
+    links = ctpio.load_link_store(args.paths, g) if args.paths else None
+    nreads = nfixed = ngaps = 0
+    with open(args.out, "w") as out:
+        for path in args.seq:
+            names, seqs = [], []
+            for rd in seqio.parse_reads(path):
+                names.append(rd.name)
+                seqs.append(rd.seq)
+            if not seqs:
+                continue
+            from ..constants import CHAR_TO_BASE
+            L = max(len(s) for s in seqs)
+            arr = np.full((len(seqs), L), 4, np.uint8)
+            for i, s in enumerate(seqs):
+                arr[i, :len(s)] = CHAR_TO_BASE[
+                    np.frombuffer(s.encode(), np.uint8)]
+            res = acorrect.correct_batch(g, links, arr,
+                                         colour=args.colour)
+            for name, cr in zip(names, res):
+                out.write(f">{name}\n{cr.display}\n")
+                nreads += 1
+                ngaps += cr.ngaps
+                nfixed += cr.nfixed
+    _status(f"corrected {nreads} reads: {nfixed}/{ngaps} gaps bridged")
+    return 0
+
+
+def cmd_links(argv):
+    p = argparse.ArgumentParser(prog="mctx links")
+    p.add_argument("--clean", type=int, default=0,
+                   help="drop links seen fewer than N times")
+    p.add_argument("--list", dest="list_csv", default=None,
+                   help="write link stats CSV")
+    p.add_argument("--covg-hist", default=None,
+                   help="write link coverage histogram CSV")
+    p.add_argument("-o", "--out", default=None)
+    p.add_argument("ctx")
+    p.add_argument("ctp")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+    from ..io import ctp as ctpio
+    from ..links import store as lstore
+    h, g = _load_graph(args.ctx)
+    links = ctpio.load_ctp(args.ctp, g)
+    nseen = np.asarray(links.nseen)
+    tot = nseen.sum(axis=1)
+    if args.covg_hist:
+        import collections
+        hist = collections.Counter(tot.tolist())
+        with open(args.covg_hist, "w") as fh:
+            fh.write("nseen,nlinks\n")
+            for v in sorted(hist):
+                fh.write(f"{v},{hist[v]}\n")
+    if args.list_csv:
+        nj = np.asarray(links.nj)
+        with open(args.list_csv, "w") as fh:
+            fh.write("link,njuncs,nseen_total\n")
+            for i in range(links.nlinks):
+                fh.write(f"{i},{nj[i]},{tot[i]}\n")
+    if args.clean > 0:
+        keep = tot >= args.clean
+        offs = np.asarray(links.offsets)
+        verts = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        links = lstore.assemble_csr(
+            verts[keep], np.asarray(links.seq)[keep],
+            np.asarray(links.nj)[keep], nseen[keep], g.capacity)
+        _status(f"link clean: kept {int(keep.sum())}/{len(keep)} links")
+    if args.out:
+        ctpio.save_ctp(args.out, g, links,
+                       sample_names=[gi.sample_name for gi in h.ginfo])
+    return 0
+
+
+register("correct", cmd_correct, "error-correct reads against the graph")
+register("links", cmd_links, "clean / inspect link files")

@@ -18,6 +18,7 @@ def main(argv=None):
     from . import commands  # noqa: F401  populates COMMANDS
     from . import commands2  # noqa: F401
     from . import commands3  # noqa: F401
+    from . import pipeline  # noqa: F401
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: mctx <command> [args]\n\ncommands:")
         for name, (_, summary) in sorted(COMMANDS.items()):

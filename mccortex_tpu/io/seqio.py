@@ -101,3 +101,40 @@ def _to_batch(reads, max_len, colour):
 
 def total_bases(paths) -> int:
     return sum(len(r.seq) for p in paths for r in parse_reads(p))
+
+
+def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
+                        colour: int = 0):
+    """Native (C++) batch reader; yields the same (codes, quals, colour)
+    tuples as read_batches.  Falls back to the python parser when the
+    native library is unavailable."""
+    import ctypes
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        yield from read_batches(paths, batch_size, max_len, colour)
+        return
+    for path in paths:
+        h = lib.mctx_seq_open(path.encode())
+        if not h:
+            raise FileNotFoundError(path)
+        try:
+            while True:
+                codes = np.full((batch_size, max_len), 4, np.uint8)
+                quals = np.zeros((batch_size, max_len), np.uint8)
+                lens = np.zeros(batch_size, np.int32)
+                n = lib.mctx_seq_read_batch(
+                    h, batch_size, max_len,
+                    codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    quals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+                if n < 0:
+                    raise ValueError(f"{path}: native parse error")
+                if n == 0:
+                    break
+                L = int(min(max(lens[:n].max(), 1), max_len))
+                has_quals = bool(quals[:n].any())
+                yield (codes[:n, :L],
+                       quals[:n, :L] if has_quals else None, colour)
+        finally:
+            lib.mctx_seq_close(h)

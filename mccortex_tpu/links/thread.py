@@ -50,10 +50,12 @@ def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,
     """Per position: (is_fw_junc, fw_base, is_rv_junc, rv_base_raw).
 
     fw junction at i: outdeg>1 and position i+1 valid; choice base =
-    read base at i+k (the last base of the next kmer).
+    last base of the oriented node at i+1.
     rv junction at i: indeg>1 and position i-1 valid; raw base = first
-    base of oriented node i-1 = read base at i-1 (complemented later).
-    (ref generate_paths.c:351-378)
+    base of the oriented node at i-1 (complemented later).
+    (ref generate_paths.c:351-378).  Bases are derived from the node
+    path itself so gap-bridged paths (whose bases differ from the read)
+    work unchanged; `bases` is unused but kept for API stability.
     """
     B, P = idx.shape
     ebyte = g.edges[idx, edge_colour]
@@ -65,11 +67,15 @@ def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,
         [jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
     is_fw = valid & nxt_valid & (outdeg > 1)
     is_rv = valid & prv_valid & (indeg > 1)
-    # read base at i+k = junction choice base
+    okm = kops.oriented(g.keys[idx], orient, k)
+    lastb = kops.last_base(okm)    # (B, P)
+    firstb = kops.first_base(okm, k)
+    # choice base for fw junc at i = last base of node i+1
     fw_base = jnp.concatenate(
-        [bases[:, k:], jnp.zeros((B, k), bases.dtype)], axis=1) & 3
+        [lastb[:, 1:], jnp.zeros((B, 1), lastb.dtype)], axis=1) & 3
+    # raw base for rv junc at i = first base of node i-1
     rv_base = jnp.concatenate(
-        [jnp.zeros((B, 1), bases.dtype), bases[:, :-1]], axis=1) & 3
+        [jnp.zeros((B, 1), firstb.dtype), firstb[:, :-1]], axis=1) & 3
     return is_fw, fw_base, is_rv, rv_base
 
 
@@ -174,6 +180,53 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
         bj = jnp.asarray(bases)
         idx, orient, valid = reads_to_node_paths(g, bj, g.k)
         recs = thread_contigs(g, idx, orient, valid, bj, colour,
+                              edge_colour)
+        if len(recs[0]):
+            all_recs.append(recs)
+    if not all_recs:
+        return lstore.empty(g.capacity, ncols)
+    Jmax = max(r[2].shape[1] for r in all_recs)
+
+    def widen(j):
+        out = np.zeros((j.shape[0], Jmax), np.uint8)
+        out[:, :j.shape[1]] = j
+        return out
+
+    rows = np.concatenate([r[0] for r in all_recs])
+    orients = np.concatenate([r[1] for r in all_recs])
+    juncs = np.concatenate([widen(r[2]) for r in all_recs])
+    njs = np.concatenate([r[3] for r in all_recs])
+    cols = np.concatenate([r[4] for r in all_recs])
+    return lstore.build_store(g.keys, rows, orients, juncs, njs, cols,
+                              ncols)
+
+
+def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
+                         links_prev=None, edge_colour: int = 0):
+    """Threading with gap filling: bridge read gaps through the graph
+    first (ref generate_paths.c uses correct_alignment), then extract
+    junctions from the bridged node paths."""
+    from ..align import correct as acorrect
+    all_recs = []
+    for bases, colour in read_batches:
+        corrected = acorrect.correct_batch(g, links_prev, bases,
+                                           colour=edge_colour)
+        # re-pack bridged paths into arrays
+        paths = [c.verts for c in corrected if len(c.verts)]
+        if not paths:
+            continue
+        P2 = max(len(p) for p in paths)
+        Bc = len(paths)
+        idx = np.zeros((Bc, P2), np.int32)
+        orient = np.zeros((Bc, P2), np.uint8)
+        valid = np.zeros((Bc, P2), bool)
+        for i, p in enumerate(paths):
+            ok = p >= 0
+            idx[i, :len(p)] = np.where(ok, p >> 1, 0)
+            orient[i, :len(p)] = np.where(ok, p & 1, 0)
+            valid[i, :len(p)] = ok
+        recs = thread_contigs(g, jnp.asarray(idx), jnp.asarray(orient),
+                              jnp.asarray(valid), None, colour,
                               edge_colour)
         if len(recs[0]):
             all_recs.append(recs)
