@@ -44,9 +44,17 @@ class CorrectedRead:
 
 def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   bases: np.ndarray, colour: int | None = 0,
-                  ctpcol: int = 0):
+                  ctpcol: int = 0, mate_col: int | None = None,
+                  frag_len_max: int = 1000):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
-    for reads with no aligned kmer)."""
+    for reads with no aligned kmer).
+
+    mate_col: if set, rows are mate pairs laid out as
+    r1 + [invalid] + revcomp(r2) with the break at this column; gaps
+    spanning it are INSERT gaps bridged with fragment-length tolerance
+    (<= frag_len_max steps, first re-acquisition wins — ref
+    correct_alignment.c one-way insert-gap traversal bounded by
+    frag_len, correct_alignment.h:37-43)."""
     k = g.k
     if links is None:
         links = lstore.empty(g.capacity, g.ncols)
@@ -74,8 +82,13 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
         seed_rows = np.array([idx[b, l] for b, l, _ in gaps], np.int32)
         seed_or = np.array([orient[b, l] for b, l, _ in gaps], np.uint8)
         gaplens = np.array([r - l - 1 for b, l, r in gaps])
-        max_steps = int(min(int(gaplens.max() + gap_tolerance(
-            int(gaplens.max()))) + 2, 4096))
+        is_ins = np.array([mate_col is not None and l < mate_col <= r
+                           for b, l, r in gaps])
+        max_err_steps = int(gaplens[~is_ins].max() + gap_tolerance(
+            int(gaplens[~is_ins].max())) + 2) if (~is_ins).any() else 2
+        max_steps = int(min(max(max_err_steps,
+                                frag_len_max if is_ins.any() else 0),
+                            4096))
         st = lwalk.linked_init(g, links, jnp.asarray(seed_rows),
                                jnp.asarray(seed_or), max_steps,
                                ctpcol=ctpcol)
@@ -88,9 +101,12 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
             target = int(idx[b, r]) * 2 + int(orient[b, r])
             L = int(wlens[gi])
             n = r - l - 1
-            tol = gap_tolerance(n)
             hit = np.nonzero(wverts[gi, :L] == target)[0]
-            ok = [h for h in hit if abs((h + 1) - (n + 1)) <= tol]
+            if is_ins[gi]:
+                ok = [h for h in hit if h + 1 <= frag_len_max]
+            else:
+                tol = gap_tolerance(n)
+                ok = [h for h in hit if abs((h + 1) - (n + 1)) <= tol]
             if ok:
                 d = ok[0]  # shortest acceptable fill
                 fills[(b, l)] = (wverts[gi, :d], wbases[gi, :d])

@@ -96,6 +96,11 @@ def _parse_build_tasks(p, argv):
         elif a in ("--seq", "--seq1"):
             cur_files.append(argv[i + 1])
             i += 2
+        elif a == "--seq2":
+            # mate pair: two files, both added as reads for building
+            cur_files.append(argv[i + 1])
+            cur_files.append(argv[i + 2])
+            i += 3
         else:
             rest.append(a)
             i += 1
@@ -415,10 +420,15 @@ def cmd_thread(argv):
     p.add_argument("--gap-fill", action="store_true",
                    help="bridge read errors through the graph while "
                         "threading (ref one-way gap filling)")
+    p.add_argument("--seq2", action="append", nargs=2, default=[],
+                   metavar=("R1", "R2"),
+                   help="paired-end read files (links span fragments)")
+    p.add_argument("--frag-len", type=int, default=1000,
+                   help="max fragment length for insert-gap bridging")
     p.add_argument("ctx")
     args = p.parse_args(argv)
-    if not args.seq:
-        p.error("at least one --seq required")
+    if not args.seq and not args.seq2:
+        p.error("at least one --seq/--seq2 required")
     from ..links import thread as lthread
     from ..links import store as lstore
     from ..io import ctp as ctpio
@@ -429,13 +439,29 @@ def cmd_thread(argv):
                for codes, quals, _ in seqio.read_batches(args.seq)]
     if args.gap_fill:
         links = lthread.thread_reads_gapfill(g, batches, ncols)
-    else:
+    elif batches:
         links = lthread.thread_reads(g, batches, ncols)
+    else:
+        links = None
+    if args.seq2:
+        from ..links import store as lstore2
+        pair_batches = []
+        for r1, r2 in args.seq2:
+            for c1, c2, _ in seqio.read_batches_pe(r1, r2,
+                                                   colour=args.colour):
+                pair_batches.append((c1, c2, args.colour))
+        pe_links = lthread.thread_reads_pe(
+            g, pair_batches, ncols, frag_len_max=args.frag_len)
+        links = pe_links if links is None else lstore2.merge_stores(
+            links, pe_links, g.capacity)
     if args.paths:
         prev = ctpio.load_link_store(args.paths, g)
         links = lstore.merge_stores(prev, links, g.capacity)
-    _status(f"threaded {sum(b.shape[0] for b, _ in batches)} reads -> "
-            f"{links.nlinks} links")
+    npe = sum(c1.shape[0] for r1, r2 in args.seq2
+              for c1, _, _ in seqio.read_batches_pe(r1, r2)) \
+        if args.seq2 else 0
+    _status(f"threaded {sum(b.shape[0] for b, _ in batches)} reads + "
+            f"{npe} pairs -> {links.nlinks} links")
     ctpio.save_ctp(args.out, g, links,
                    sample_names=[gi.sample_name for gi in h.ginfo])
     return 0

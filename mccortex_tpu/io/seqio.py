@@ -138,3 +138,14 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
                        quals[:n, :L] if has_quals else None, colour)
         finally:
             lib.mctx_seq_close(h)
+
+
+def read_batches_pe(path1, path2, batch_size: int = 512,
+                    max_len: int = 1024, colour: int = 0):
+    """Yield mate-pair batches (codes1, codes2, colour); files must have
+    reads in the same order (standard _1/_2 convention)."""
+    it1 = read_batches_native([path1], batch_size, max_len, colour)
+    it2 = read_batches_native([path2], batch_size, max_len, colour)
+    for (c1, q1, _), (c2, q2, _) in zip(it1, it2):
+        n = min(c1.shape[0], c2.shape[0])
+        yield c1[:n], c2[:n], colour

@@ -246,3 +246,64 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
     cols = np.concatenate([r[4] for r in all_recs])
     return lstore.build_store(g.keys, rows, orients, juncs, njs, cols,
                               ncols)
+
+
+def pair_to_rows(codes1: np.ndarray, codes2: np.ndarray):
+    """Lay out mate pairs as r1 + [invalid] + revcomp(r2) rows.
+    Returns (rows (B, L1+1+L2) uint8, mate_col)."""
+    B, L1 = codes1.shape
+    _, L2 = codes2.shape
+    rc2 = np.where(codes2 < 4, 3 - codes2, 4)[:, ::-1]
+    rows = np.full((B, L1 + 1 + L2), 4, np.uint8)
+    rows[:, :L1] = codes1
+    rows[:, L1 + 1:] = rc2
+    return rows, L1
+
+
+def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
+                    links_prev=None, edge_colour: int = 0,
+                    frag_len_max: int = 1000):
+    """Paired-end threading: mates joined through the graph across the
+    insert gap (ref generate_paths PE mode), then junction extraction
+    over the combined paths — links span whole fragments."""
+    from ..align import correct as acorrect
+    all_recs = []
+    for codes1, codes2, colour in pair_batches:
+        rows, mate_col = pair_to_rows(codes1, codes2)
+        corrected = acorrect.correct_batch(
+            g, links_prev, rows, colour=edge_colour,
+            mate_col=mate_col, frag_len_max=frag_len_max)
+        paths = [c.verts for c in corrected if len(c.verts)]
+        if not paths:
+            continue
+        P2 = max(len(p) for p in paths)
+        Bc = len(paths)
+        idx = np.zeros((Bc, P2), np.int32)
+        orient = np.zeros((Bc, P2), np.uint8)
+        valid = np.zeros((Bc, P2), bool)
+        for i, p in enumerate(paths):
+            ok = p >= 0
+            idx[i, :len(p)] = np.where(ok, p >> 1, 0)
+            orient[i, :len(p)] = np.where(ok, p & 1, 0)
+            valid[i, :len(p)] = ok
+        recs = thread_contigs(g, jnp.asarray(idx), jnp.asarray(orient),
+                              jnp.asarray(valid), None, colour,
+                              edge_colour)
+        if len(recs[0]):
+            all_recs.append(recs)
+    if not all_recs:
+        return lstore.empty(g.capacity, ncols)
+    Jmax = max(r[2].shape[1] for r in all_recs)
+
+    def widen(j):
+        out = np.zeros((j.shape[0], Jmax), np.uint8)
+        out[:, :j.shape[1]] = j
+        return out
+
+    rows_ = np.concatenate([r[0] for r in all_recs])
+    orients = np.concatenate([r[1] for r in all_recs])
+    juncs = np.concatenate([widen(r[2]) for r in all_recs])
+    njs = np.concatenate([r[3] for r in all_recs])
+    cols = np.concatenate([r[4] for r in all_recs])
+    return lstore.build_store(g.keys, rows_, orients, juncs, njs, cols,
+                              ncols)
