@@ -1,0 +1,110 @@
+"""At-scale smoke+perf run (BASELINE config 1 analog): E.coli-sized
+synthetic genome -> build -> clean -> contigs, timed on the current
+device.  Usage: python scripts/scale_test.py [genome_mb] [coverage]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    gsize = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 4_600_000
+    cov = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    err = 0.003
+    rlen = 150
+    k = 31
+
+    import jax
+    import jax.numpy as jnp
+    import mccortex_tpu
+    from mccortex_tpu.graph import build as gbuild
+    from mccortex_tpu.graph import store as gstore
+    from mccortex_tpu.graph import clean as gclean
+    from mccortex_tpu.graph import traverse as T
+    from mccortex_tpu.utils.stats import contig_stats
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    rng = np.random.default_rng(0)
+    genome = rng.integers(0, 4, gsize, dtype=np.uint8)
+    nreads = int(gsize * cov / rlen)
+    starts = rng.integers(0, gsize - rlen, nreads)
+    reads = np.lib.stride_tricks.sliding_window_view(
+        genome, rlen)[starts].copy()
+    nerr = int(err * reads.size)
+    ei = rng.integers(0, nreads, nerr)
+    ej = rng.integers(0, rlen, nerr)
+    reads[ei, ej] = rng.integers(0, 4, nerr, dtype=np.uint8)
+    print(f"genome {gsize/1e6:.1f}Mb, {nreads} reads x {rlen}bp "
+          f"({cov:.0f}x, {err*100}% err)", file=sys.stderr)
+
+    B = 2048
+    t0 = time.perf_counter()
+    batches = [(reads[i:i + B], 0) for i in range(0, nreads - B + 1, B)]
+    g = gbuild.build(batches, k, ncols=1)
+    g.keys.block_until_ready()
+    t_build = time.perf_counter() - t0
+    total_kmers = len(batches) * B * (rlen - k + 1)
+    print(f"build: {t_build:.1f}s  {int(g.n)} kmers  "
+          f"({total_kmers/t_build/1e6:.1f}M kmer-obs/s)", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    hist = gclean.covg_histogram(g)
+    cutoff, a, b_, fp, fn = gclean.pick_kmer_threshold(hist)
+    thr = cutoff if cutoff > 0 else 2
+    g2 = gclean.clean_graph(g, covg_threshold=thr, min_keep_tip=2 * k)
+    g2.keys.block_until_ready()
+    t_clean = time.perf_counter() - t0
+    print(f"clean: {t_clean:.1f}s threshold<{thr} "
+          f"{int(g.n)} -> {int(g2.n)} kmers", file=sys.stderr)
+
+    # batched lookup throughput on the full-size store
+    Q = 1 << 20
+    qk = g2.keys[jnp.asarray(
+        rng.integers(0, max(int(g2.n), 1), Q))]
+    idx, found = gstore.lookup(g2, qk)
+    idx.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        idx, found = gstore.lookup(g2, qk)
+    idx.block_until_ready()
+    t_lookup = (time.perf_counter() - t0) / 5
+    print(f"lookup: {Q/t_lookup/1e6:.1f}M kmers/s "
+          f"(batch {Q>>20}Mi, store {int(g2.n)})", file=sys.stderr)
+
+    # contigs from a seed sample
+    t0 = time.perf_counter()
+    seeds = rng.integers(0, int(g2.n), 256)
+    contigs, stats = T.assemble_linkless_contigs(
+        g2, seeds, colour=0, max_len=200_000)
+    t_contig = time.perf_counter() - t0
+    st = contig_stats([len(c) for c in contigs], genome_size=gsize)
+    print(f"contigs(256 seeds): {t_contig:.1f}s N50={st['n50']} "
+          f"max={st['max']}", file=sys.stderr)
+
+    # identity: the longest contig must be a perfect genome substring
+    best = max(contigs, key=len)
+    gstr = "".join("ACGT"[c] for c in genome)
+    from mccortex_tpu.utils.dna import revcomp
+    exact = best in gstr or revcomp(best) in gstr
+    print(f"longest contig {len(best)}bp exact-match: {exact}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "genome_mb": gsize / 1e6, "coverage": cov,
+        "build_s": round(t_build, 1),
+        "build_kmer_obs_per_s": round(total_kmers / t_build),
+        "clean_s": round(t_clean, 1),
+        "lookup_mkmers_per_s": round(Q / t_lookup / 1e6, 1),
+        "contigs_s": round(t_contig, 1),
+        "n50": st["n50"], "longest_exact": bool(exact),
+        "kmers_raw": int(g.n), "kmers_clean": int(g2.n),
+    }))
+
+
+if __name__ == "__main__":
+    main()
