@@ -32,6 +32,9 @@ def cmd_build(argv):
                    help="sequence file(s) for the current sample")
     p.add_argument("--fq-cutoff", type=int, default=0)
     p.add_argument("--cut-hp", type=int, default=0)
+    p.add_argument("--remove-pcr", action="store_true",
+                   help="drop reads whose start kmers were already seen "
+                        "as read starts (PCR duplicate removal)")
     p.add_argument("-o", "--out", dest="out_explicit", default=None)
     p.add_argument("out", nargs="?", default=None)
     # pair --sample/--seq by order on the command line
@@ -52,10 +55,19 @@ def cmd_build(argv):
     ncols = len(tasks)
     ginfo = []
     batches = []
+    pcr = gbuild.PcrDupFilter(k) if args.remove_pcr else None
+    ndup = 0
     for colour, (sample, files) in enumerate(tasks):
         total_seq = 0
         nreads = 0
         for codes, quals, _ in seqio.read_batches_native(files, colour=colour):
+            if pcr is not None:
+                keepm = pcr.filter_batch(codes)
+                ndup += int((~keepm).sum())
+                codes = codes[keepm]
+                quals = quals[keepm] if quals is not None else None
+                if codes.shape[0] == 0:
+                    continue
             if quals is not None and args.fq_cutoff:
                 codes = np.asarray(gbuild.mask_reads(
                     jnp.asarray(codes), jnp.asarray(quals),
@@ -72,6 +84,8 @@ def cmd_build(argv):
         _status(f"colour {colour} '{sample}': {nreads} reads, "
                 f"{total_seq} bases")
 
+    if args.remove_pcr:
+        _status(f"removed {ndup} PCR duplicate reads")
     g = gbuild.build(batches, k, ncols=ncols)
     keys, covg, edges = gstore.to_host(g)
     hdr = ctxio.CtxHeader(kmer_size=k, ginfo=ginfo)

@@ -141,3 +141,53 @@ def build(reads_batches, k: int, ncols: int = 1,
 
 def _pad_len(n: int, align: int = 1024) -> int:
     return max(align, (n + align - 1) // align * align)
+
+
+class PcrDupFilter:
+    """PCR duplicate removal (ref build_graph.c:35-96): a read (or pair)
+    is dropped iff ALL its start kmers were previously seen as read
+    starts in the same orientation (2 bits per kmer, `readstrt`).
+
+    Host-side state: dict canonical-start-key -> 2-bit seen mask.
+    Batched: start kmers for a whole batch are computed on device; the
+    tiny per-read check/update runs on host in arrival order (matching
+    the reference's sequential semantics within a stream).
+    """
+
+    def __init__(self, k: int):
+        from ..constants import nwords
+        self.k = k
+        self.W = nwords(k)
+        self.seen = {}
+
+    def _start_info(self, bases: np.ndarray):
+        bj = jnp.asarray(bases[:, :self.k])
+        valid = (bases[:, :self.k] < 4).all(axis=1) & \
+            (bases.shape[1] >= self.k)
+        keys, orient = kops.canonical(kops.pack_kmers(bj, self.k), self.k)
+        return np.asarray(keys), np.asarray(orient), valid
+
+    def filter_batch(self, bases: np.ndarray,
+                     bases2: np.ndarray | None = None) -> np.ndarray:
+        """Returns keep mask.  For pairs, a pair is dropped only if BOTH
+        mates' start kmers were seen (ref: all start kmers seen)."""
+        k1, o1, v1 = self._start_info(bases)
+        if bases2 is not None:
+            k2, o2, v2 = self._start_info(bases2)
+        keep = np.ones(len(bases), bool)
+        for i in range(len(bases)):
+            infos = []
+            if v1[i]:
+                infos.append((tuple(k1[i].tolist()), int(o1[i])))
+            if bases2 is not None and v2[i]:
+                infos.append((tuple(k2[i].tolist()), int(o2[i])))
+            if not infos:
+                continue
+            all_seen = all(
+                (self.seen.get(key, 0) >> o) & 1 for key, o in infos)
+            if all_seen:
+                keep[i] = False
+            else:
+                for key, o in infos:
+                    self.seen[key] = self.seen.get(key, 0) | (1 << o)
+        return keep

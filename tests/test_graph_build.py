@@ -136,3 +136,44 @@ def test_homopolymer_masking():
     s = "".join("ACGTN"[min(b, 4)] for b in got)
     assert "AAAAAA" not in s
     assert s.startswith("ACGTC")
+
+
+def test_pcr_dup_filter():
+    from mccortex_tpu.graph.build import PcrDupFilter
+    k = 11
+    s1 = random_dna(60, seed=960)
+    s2 = random_dna(60, seed=961)
+    f = PcrDupFilter(k)
+    b1 = np.stack([seq_to_codes(s1), seq_to_codes(s2)])
+    keep = f.filter_batch(b1)
+    assert keep.all()
+    # exact duplicate start -> dropped; new read kept
+    s3 = random_dna(60, seed=962)
+    b2 = np.stack([seq_to_codes(s1), seq_to_codes(s3)])
+    keep2 = f.filter_batch(b2)
+    assert not keep2[0] and keep2[1]
+    # same start kmer in the OTHER orientation is not a duplicate
+    from util import revcomp_str
+    rc = revcomp_str(s1[:k]) + random_dna(40, seed=963)
+    keep3 = f.filter_batch(np.stack([seq_to_codes(rc)]))
+    assert keep3[0]
+
+
+def test_pcr_pair_filter():
+    from mccortex_tpu.graph.build import PcrDupFilter
+    k = 9
+    r1 = random_dna(40, seed=970)
+    r2 = random_dna(40, seed=971)
+    other = random_dna(40, seed=972)
+    f = PcrDupFilter(k)
+    keep = f.filter_batch(np.stack([seq_to_codes(r1)]),
+                          np.stack([seq_to_codes(r2)]))
+    assert keep.all()
+    # both starts seen -> dropped
+    keep2 = f.filter_batch(np.stack([seq_to_codes(r1)]),
+                           np.stack([seq_to_codes(r2)]))
+    assert not keep2[0]
+    # only one start seen -> kept (ref: ALL start kmers must be seen)
+    keep3 = f.filter_batch(np.stack([seq_to_codes(r1)]),
+                           np.stack([seq_to_codes(other)]))
+    assert keep3[0]
