@@ -230,14 +230,14 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
             continue
         bub = _group_bubble(g, fi, fork_verts[fi], paths, succ,
                             covg_np, haploid_cols, max_allele, max_flank,
-                            keys_np)
+                            keys_np, remove_serial)
         if bub is not None:
             bubbles.append(bub)
     return bubbles
 
 
 def _group_bubble(g, fi, fork_vertex, paths, succ, covg_np, haploid_cols,
-                  max_allele, max_flank, keys_np):
+                  max_allele, max_flank, keys_np, remove_serial=False):
     basechars = "ACGT"
     # earliest convergence: vertex shared by paths from >= 2 branches
     pos_of = [dict() for _ in paths]
@@ -290,6 +290,22 @@ def _group_bubble(g, fi, fork_vertex, paths, succ, covg_np, haploid_cols,
         return None
     if len({br for (br, _), _ in kept}) < 2:
         return None
+
+    # serial-bubble filter (ref paths_all_share_unitig,
+    # bubble_caller.c:317-345): drop the bubble if every kept branch
+    # passes through a common vertex BEFORE the convergence point —
+    # i.e. this is the second half of a chained (serial) bubble
+    if remove_serial:
+        common = None
+        for (br, seq), cols in kept:
+            for p, i in cut.items():
+                if paths[p][0] == br and \
+                   "".join("ACGT"[x] for x in paths[p][3][:i]) == seq:
+                    vs = set(paths[p][2][:i].tolist())
+                    common = vs if common is None else (common & vs)
+                    break
+        if common:
+            return None
 
     # 3p flank: the unitig starting at the convergence vertex
     chain = unitig_chain(g, conv_v, succ, max_allele)

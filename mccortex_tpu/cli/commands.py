@@ -373,7 +373,7 @@ def cmd_contigs(argv):
             continue
         if links is not None:
             from ..links import walk as lwalk
-            contigs, stats = lwalk.assemble_contigs_linked(
+            contigs, stats = lwalk.assemble_contigs_primed(
                 g, links, seeds, colour=args.colour, max_len=args.max_len)
         else:
             contigs, stats = T.assemble_linkless_contigs(
@@ -509,6 +509,8 @@ def cmd_bubbles(argv):
     p.add_argument("--max-flank", type=int, default=1000)
     p.add_argument("--haploid", default="",
                    help="comma-separated haploid colour list")
+    p.add_argument("--serial", action="store_true",
+                   help="remove serial (chained) bubbles")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..calls import bubbles as bub
@@ -520,7 +522,8 @@ def cmd_bubbles(argv):
         links = ctpio.load_link_store(args.paths, g)
     haploid = [int(x) for x in args.haploid.split(",") if x != ""]
     bl = bub.call_bubbles(g, links, max_allele=args.max_allele,
-                          max_flank=args.max_flank, haploid_cols=haploid)
+                          max_flank=args.max_flank, haploid_cols=haploid,
+                          remove_serial=args.serial)
     callfile.write_bubble_file(
         args.out, bl, g.k, h.ncols, args.max_allele, args.max_flank,
         sample_names=[gi.sample_name for gi in h.ginfo])

@@ -58,12 +58,24 @@ def cmd_join(argv):
 
     inputs = []
     for spec in args.ctx:
+        off, cols = None, None
+        path = spec
         if ":" in spec and spec.split(":")[0].isdigit():
             off, path = spec.split(":", 1)
             off = int(off)
-        else:
-            off, path = None, spec
+        if ":" in path and not path.split(":")[-1].endswith(".ctx"):
+            # colour selection suffix: "in.ctx:0,2-3,*"
+            path, colspec = path.rsplit(":", 1)
+            cols = _parse_colour_range(colspec)
         h, keys, covg, edges = ctxio.read_ctx(path)
+        if cols is not None:
+            sel = [c for c in cols if c < h.ncols] if cols != "*" \
+                else list(range(h.ncols))
+            covg = covg[:, sel]
+            edges = edges[:, sel]
+            h.ginfo = [h.ginfo[c] for c in sel]
+            keep = covg.sum(axis=1) > 0
+            keys, covg, edges = keys[keep], covg[keep], edges[keep]
         inputs.append((off, h, keys, covg, edges))
 
     k = inputs[0][1].kmer_size
@@ -117,6 +129,20 @@ def cmd_join(argv):
     _status(f"joined {len(inputs)} graphs -> {int(g.n)} kmers x "
             f"{ncols_out} colours")
     return 0
+
+
+def _parse_colour_range(spec):
+    """Parse "1,3-5" colour selections (ref basic/range.h)."""
+    if spec == "*":
+        return "*"
+    out = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out.extend(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
 
 
 # ---------------------------------------------------------------------------

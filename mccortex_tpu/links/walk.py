@@ -283,3 +283,135 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         left = "".join(comp[c] for c in reversed(left_rc))
         contigs.append(left + seed_strs[i] + right)
     return contigs, np.stack([stats[0], stats[1]], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("ctpcol", "edge_colour"))
+def walk_along(g: gstore.DBGraph, links: lstore.LinkStore,
+               st: LinkedWalkState, path_verts: jnp.ndarray,
+               path_len: jnp.ndarray, ctpcol: int = 0,
+               edge_colour: int = 0) -> LinkedWalkState:
+    """Force-traverse each walker along its prescribed vertex path,
+    picking up links and updating cursors (role of ref
+    graph_walker_traverse / graph_walker_prime, graph_walker.c:709-726).
+
+    path_verts: (B, C) vertices; st must already sit at path_verts[:,0]
+    (with pickup done).  Walkers advance to path_verts[:, i] for
+    i = 1..path_len-1; nothing is written to the output buffers.
+    """
+    B, C = path_verts.shape
+    pop4 = jnp.asarray(T._POP4)
+
+    def body(i, st):
+        b = st.base
+        on_path = (i < path_len) & b.active
+        # is_fork: out-degree in the edge colour at the CURRENT node
+        ebyte = g.edges[b.idx, edge_colour]
+        nib = E.with_orientation(ebyte, b.orient)
+        is_fork = pop4[nib.astype(jnp.int32)] > 1
+        nxt_v = jnp.take_along_axis(
+            path_verts, jnp.full((B, 1), i, jnp.int32), axis=1)[:, 0]
+        j = jnp.maximum(nxt_v, 0) >> 1  # padded (-1) rows are masked off
+        o2 = (jnp.maximum(nxt_v, 0) & 1).astype(jnp.uint8)
+        okm2 = kops.oriented(g.keys[j], o2, g.k)
+        nuc = kops.last_base(okm2)
+        lost_nuc = kops.first_base(b.okm, g.k)
+        adv = on_path & (nxt_v >= 0)
+        nb = b.replace(
+            okm=jnp.where(adv[:, None], okm2, b.okm),
+            idx=jnp.where(adv, j.astype(jnp.int32), b.idx),
+            orient=jnp.where(adv, o2, b.orient).astype(jnp.uint8))
+        # cursor advancement at forks
+        move_fork = adv & is_fork
+        bases = _cursor_bases(links, st)
+        live = st.cur_link >= 0
+        match = bases == nuc[:, None]
+        exhausted = st.cur_pos + 1 >= _nj_of(links, st)
+        keep = live & jnp.where(move_fork[:, None], match & ~exhausted,
+                                jnp.ones_like(match))
+        cur_pos = jnp.where(move_fork[:, None] & keep, st.cur_pos + 1,
+                            st.cur_pos)
+        cur_link = jnp.where(keep, st.cur_link, -1)
+        rv_fork = _other_prev_exists(g, nb, lost_nuc, edge_colour) & adv
+        bump = move_fork | rv_fork
+        cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
+                            st.cur_age + 1, st.cur_age)
+        st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
+                         cur_age=cur_age)
+        # pickup at the new node (only for advancing walkers)
+        saved_active = st2.base.active
+        st2 = st2.replace(base=st2.base.replace(active=adv))
+        st2 = _pickup(g, links, st2, ctpcol)
+        st2 = st2.replace(base=st2.base.replace(active=saved_active))
+        return st2
+
+    st = jax.lax.fori_loop(1, C, body, st)
+    return st.replace(base=st.base.replace(
+        brent_hash=_linked_hash(st),
+        brent_steps=jnp.zeros_like(st.base.brent_steps),
+        brent_limit=jnp.ones_like(st.base.brent_limit)))
+
+
+def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
+                            seed_rows: np.ndarray, colour: int | None = 0,
+                            max_len: int = 4096, ctpcol: int = 0,
+                            max_context: int = 200):
+    """Contig assembly with direction-1 priming (ref assemble_contigs.c:
+    88-90: after walking direction 0, the second direction's walker is
+    primed along the reversed direction-0 path, so links picked up on
+    the way resolve forks behind the seed)."""
+    from ..utils.text import kmers_to_strings
+    B = len(seed_rows)
+    if B == 0:
+        return [], np.zeros((0, 2), np.int32)
+    seeds = jnp.asarray(seed_rows, jnp.int32)
+
+    # direction 0: cold start at (seed, FORWARD)
+    st0 = linked_init(g, links, seeds, jnp.zeros((B,), jnp.uint8),
+                      max_len, ctpcol)
+    st0 = walk_linked(g, links, st0, colour, max_steps=max_len + 1,
+                      ctpcol=ctpcol)
+    fw_b = np.asarray(st0.base.out_bases)
+    fw_v = np.asarray(st0.base.out_vert)
+    fw_l = np.asarray(st0.base.out_len)
+    stat0 = np.asarray(st0.base.status)
+
+    # direction 1 context: reversed direction-0 path (vertices flipped),
+    # truncated to the last max_context nodes, ending AT the seed
+    C = int(min(max_context, max(int(fw_l.max()), 0) + 1))
+    ctx_verts = np.full((B, max(C, 1)), -1, np.int32)
+    ctx_len = np.zeros(B, np.int32)
+    seed_v1 = (np.asarray(seed_rows) * 2 + 1).astype(np.int32)
+    for b in range(B):
+        L = int(fw_l[b])
+        take = min(L, C - 1)
+        # walk dir0 went seed -> v1 -> ... -> vL; reversed-with-flip:
+        # flip(v_take) ... flip(v1), then the seed reversed
+        chain = [int(v) ^ 1 for v in fw_v[b, :take][::-1].tolist()]
+        path = chain + [int(seed_v1[b])]
+        ctx_verts[b, :len(path)] = path
+        ctx_len[b] = len(path)
+    start_rows = jnp.asarray((ctx_verts[:, 0] >> 1).astype(np.int32))
+    start_or = jnp.asarray((ctx_verts[:, 0] & 1).astype(np.uint8))
+    st1 = linked_init(g, links, jnp.where(jnp.asarray(ctx_len) > 0,
+                                          start_rows, seeds),
+                      jnp.where(jnp.asarray(ctx_len) > 0, start_or,
+                                jnp.ones((B,), jnp.uint8)),
+                      max_len, ctpcol)
+    st1 = walk_along(g, links, st1, jnp.asarray(ctx_verts),
+                     jnp.asarray(ctx_len), ctpcol=ctpcol)
+    st1 = walk_linked(g, links, st1, colour, max_steps=max_len + 1,
+                      ctpcol=ctpcol)
+    rv_b = np.asarray(st1.base.out_bases)
+    rv_l = np.asarray(st1.base.out_len)
+    stat1 = np.asarray(st1.base.status)
+
+    seed_strs = kmers_to_strings(np.asarray(g.keys)[seed_rows], g.k)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    basechars = "ACGT"
+    contigs = []
+    for i in range(B):
+        right = "".join(basechars[c] for c in fw_b[i, :fw_l[i]])
+        left_rc = "".join(basechars[c] for c in rv_b[i, :rv_l[i]])
+        left = "".join(comp[c] for c in reversed(left_rc))
+        contigs.append(left + seed_strs[i] + right)
+    return contigs, np.stack([stat0, stat1], axis=1)

@@ -55,6 +55,11 @@ def searchsorted_mw(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     binary search is ~log2(M) gathers, fully vectorised on the VPU.
     """
     M, W = sorted_keys.shape
+    if W == 1:
+        # XLA's native searchsorted lowering beats the hand-rolled loop
+        return jnp.searchsorted(
+            sorted_keys[:, 0], queries[..., 0], side="left").astype(
+                jnp.int32)
     qshape = queries.shape[:-1]
     lo = jnp.zeros(qshape, dtype=jnp.int32)
     hi = jnp.full(qshape, M, dtype=jnp.int32)

@@ -185,3 +185,28 @@ def test_cli_thread_contigs_lossless(tmp_path):
     seqs = [l.strip() for l in open(outfa) if not l.startswith(">")]
     best = max(seqs, key=len)
     assert canon(best) == canon(full)
+
+
+def test_primed_contigs_from_middle_seed():
+    """Priming direction 1 with direction 0's walk lets a mid-sequence
+    seed reconstruct more than a cold two-direction walk (ref
+    graph_walker_prime)."""
+    k = 9
+    seq = random_dna(600, seed=351)
+    full = flanked(seq, k, seed=7)
+    g = build_g([(full, 0)], k)
+    links = thread_all(g, [(full, 0)])
+    n = int(g.n)
+    rows = np.arange(0, n, 5)
+    cold, _ = lwalk.assemble_contigs_linked(
+        g, links, rows, colour=0, max_len=len(full) + 100)
+    primed, _ = lwalk.assemble_contigs_primed(
+        g, links, rows, colour=0, max_len=len(full) + 100)
+    assert sum(map(len, primed)) >= sum(map(len, cold))
+    # primed contigs are still exact substrings of the truth
+    rc = revcomp_str(full)
+    for c in primed:
+        assert c in full or c in rc or revcomp_str(c) in full
+    # and at least one primed mid-seed contig reaches full length
+    best = max(primed, key=len)
+    assert canon(best) == canon(full)
