@@ -431,9 +431,12 @@ def cmd_thread(argv):
     p.add_argument("-o", "--out", required=True, help="output .ctp[.gz]")
     p.add_argument("--colour", type=int, default=0,
                    help="link colour to record")
-    p.add_argument("--gap-fill", action="store_true",
+    p.add_argument("--gap-fill", dest="gap_fill", action="store_true",
+                   default=True,
                    help="bridge read errors through the graph while "
-                        "threading (ref one-way gap filling)")
+                        "threading (default, ref one-way gap filling)")
+    p.add_argument("--no-gap-fill", dest="gap_fill",
+                   action="store_false")
     p.add_argument("--seq2", action="append", nargs=2, default=[],
                    metavar=("R1", "R2"),
                    help="paired-end read files (links span fragments)")

@@ -112,35 +112,56 @@ def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
     return sops.unique_reduce(skeys, scovg, sedges, M)
 
 
+@jax.jit
+def _merge2(ak, ac, ae, bk, bc, be):
+    """Merge two sorted sentinel-padded record arrays (fixed shapes —
+    compiles once per size level)."""
+    allk = jnp.concatenate([ak, bk])
+    allc = jnp.concatenate([ac, bc])
+    alle = jnp.concatenate([ae, be])
+    sk, sc, se = sops.sort_by_key(allk, allc, alle)
+    ok, oc, oe, n = sops.unique_reduce(sk, sc, se, allk.shape[0])
+    return ok, oc, oe
+
+
 def build(reads_batches, k: int, ncols: int = 1,
           capacity: int | None = None) -> gstore.DBGraph:
     """Build a graph from an iterable of (bases (B,L) np.uint8, colour).
 
     Host-side driver (role of ref build_graph.c:257 build_graph): each
-    batch is aggregated on device, batches are merged pairwise into the
-    running store.
+    batch is aggregated on device, then folded into the store with
+    binary-counter (LSM-style) merges.  Every device op has a FIXED
+    shape per size level, so the whole build compiles O(log n_batches)
+    programs regardless of input size — critical when each compile is
+    expensive (remote-compile TPU backends).
     """
-    g = None
-    parts = []
-    total = 0
+    stack = []  # [(level, keys, covg, edges)] — at most one per level
     for bases, colour in reads_batches:
         keys, covg, edges, nu = count_batch(
             jnp.asarray(bases), k, ncols, colour)
-        nu = int(nu)
-        parts.append((keys[:_pad_len(nu)], covg[:_pad_len(nu)],
-                      edges[:_pad_len(nu)]))
-        total += _pad_len(nu)
-    if not parts:
+        item = (keys.shape[0], keys, covg, edges)
+        while stack and stack[-1][0] == item[0]:
+            _, bk2, bc2, be2 = stack.pop()
+            mk, mc, me = _merge2(item[1], item[2], item[3], bk2, bc2, be2)
+            item = (mk.shape[0], mk, mc, me)
+        stack.append(item)
+    if not stack:
         return gstore.empty(k, capacity or 1024, ncols)
-    allk = jnp.concatenate([p[0] for p in parts])
-    allc = jnp.concatenate([p[1] for p in parts])
-    alle = jnp.concatenate([p[2] for p in parts])
-    cap = capacity or total
-    return gstore.from_records(k, allk, allc, alle, capacity=cap)
-
-
-def _pad_len(n: int, align: int = 1024) -> int:
-    return max(align, (n + align - 1) // align * align)
+    # fold remaining levels (few, ascending sizes)
+    item = stack.pop()
+    while stack:
+        _, bk2, bc2, be2 = stack.pop()
+        mk, mc, me = _merge2(item[1], item[2], item[3], bk2, bc2, be2)
+        item = (mk.shape[0], mk, mc, me)
+    _, keys, covg, edges = item
+    is_start, _ = sops.segment_bounds(keys)
+    n = jnp.sum(is_start & ~sops.is_sentinel(keys))
+    g = gstore.DBGraph(keys=keys, covg=covg, edges=edges,
+                       n=n.astype(jnp.int64), k=k)
+    if capacity and capacity != g.capacity:
+        g = gstore.merge_records(gstore.empty(k, capacity, ncols),
+                                 keys, covg, edges)
+    return g
 
 
 class PcrDupFilter:

@@ -210,3 +210,21 @@ def test_primed_contigs_from_middle_seed():
     # and at least one primed mid-seed contig reaches full length
     best = max(primed, key=len)
     assert canon(best) == canon(full)
+
+
+def test_large_k_multiword_end_to_end():
+    """k=63 (W=2 words): build, lookup, thread, linked walk — the
+    multiword code paths (ref largeK test dir)."""
+    k = 63
+    seq = random_dna(900, seed=361)
+    full = flanked(seq, k, seed=11)
+    g = build_g([(full, 0)], k)
+    assert g.W == 2
+    assert int(g.n) == len({canon(full[i:i + k])
+                            for i in range(len(full) - k + 1)})
+    links = thread_all(g, [(full, 0)])
+    seed_row = row_of(g, full[:k])
+    contigs, stats = lwalk.assemble_contigs_linked(
+        g, links, np.array([seed_row]), colour=0,
+        max_len=len(full) + 100)
+    assert canon(contigs[0]) == canon(full)
