@@ -114,14 +114,41 @@ def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
 
 @jax.jit
 def _merge2(ak, ac, ae, bk, bc, be):
-    """Merge two sorted sentinel-padded record arrays (fixed shapes —
-    compiles once per size level)."""
-    allk = jnp.concatenate([ak, bk])
-    allc = jnp.concatenate([ac, bc])
-    alle = jnp.concatenate([ae, be])
-    sk, sc, se = sops.sort_by_key(allk, allc, alle)
-    ok, oc, oe, n = sops.unique_reduce(sk, sc, se, allk.shape[0])
+    """Merge two SORTED sentinel-padded record arrays by rank
+    (searchsorted + scatter): O(n+m) memory and O(n log m) work — no
+    sort scratch, unlike concat+sort (XLA's TPU sort allocates multiples
+    of the input and OOMs at ~100M records).  Fixed shapes — compiles
+    once per size level."""
+    n, m = ak.shape[0], bk.shape[0]
+    # output rank of each record; equal keys: a's records first (stable)
+    ra = jnp.arange(n, dtype=jnp.int32) + sops.searchsorted_mw(bk, ak)
+    rb = jnp.arange(m, dtype=jnp.int32) + _searchsorted_right(ak, bk)
+    W, C = ak.shape[1], ac.shape[1]
+    keys = sops.sentinel((n + m,), W)
+    keys = keys.at[ra].set(ak).at[rb].set(bk)
+    covg = jnp.zeros((n + m, C), ac.dtype).at[ra].set(ac).at[rb].set(bc)
+    edges = jnp.zeros((n + m, C), ae.dtype).at[ra].set(ae).at[rb].set(be)
+    ok, oc, oe, _ = sops.unique_reduce(keys, covg, edges, n + m)
     return ok, oc, oe
+
+
+def _searchsorted_right(sorted_keys, queries):
+    from ..ops.kmer import mw_lt
+    M, W = sorted_keys.shape
+    if W == 1:
+        return jnp.searchsorted(sorted_keys[:, 0], queries[..., 0],
+                                side="right").astype(jnp.int32)
+    qshape = queries.shape[:-1]
+    lo = jnp.zeros(qshape, dtype=jnp.int32)
+    hi = jnp.full(qshape, M, dtype=jnp.int32)
+    steps = max(1, int(np.ceil(np.log2(max(M, 2)))) + 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        kmid = sorted_keys[jnp.clip(mid, 0, M - 1)]
+        le = ~mw_lt(queries, kmid)  # kmid <= q
+        lo = jnp.where(le, mid + 1, lo)
+        hi = jnp.where(le, hi, mid)
+    return lo
 
 
 def build(reads_batches, k: int, ncols: int = 1,

@@ -49,8 +49,15 @@ def main():
     g.keys.block_until_ready()
     t_build = time.perf_counter() - t0
     total_kmers = len(batches) * B * (rlen - k + 1)
-    print(f"build: {t_build:.1f}s  {int(g.n)} kmers  "
-          f"({total_kmers/t_build/1e6:.1f}M kmer-obs/s)", file=sys.stderr)
+    print(f"build(cold): {t_build:.1f}s  {int(g.n)} kmers  "
+          f"({total_kmers/t_build/1e6:.2f}M kmer-obs/s)", file=sys.stderr)
+    # warm pass: same shapes, compiled executables reused -> steady state
+    t0 = time.perf_counter()
+    g = gbuild.build(batches, k, ncols=1)
+    g.keys.block_until_ready()
+    t_build = time.perf_counter() - t0
+    print(f"build(warm): {t_build:.1f}s  "
+          f"({total_kmers/t_build/1e6:.2f}M kmer-obs/s)", file=sys.stderr)
 
     t0 = time.perf_counter()
     hist = gclean.covg_histogram(g)
@@ -96,7 +103,7 @@ def main():
 
     print(json.dumps({
         "genome_mb": gsize / 1e6, "coverage": cov,
-        "build_s": round(t_build, 1),
+        "build_warm_s": round(t_build, 1),
         "build_kmer_obs_per_s": round(total_kmers / t_build),
         "clean_s": round(t_clean, 1),
         "lookup_mkmers_per_s": round(Q / t_lookup / 1e6, 1),
