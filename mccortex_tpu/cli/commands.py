@@ -345,6 +345,10 @@ def cmd_contigs(argv):
                    help="genome size for NG50")
     p.add_argument("-p", "--paths", action="append", default=[],
                    help=".ctp link files (link-guided assembly)")
+    p.add_argument("--no-missing-check", dest="missing_check",
+                   action="store_false", default=True,
+                   help="disable the missing-link-information halt "
+                        "(ref contigs default: check enabled)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     import numpy as np
@@ -374,7 +378,8 @@ def cmd_contigs(argv):
         if links is not None:
             from ..links import walk as lwalk
             contigs, stats = lwalk.assemble_contigs_primed(
-                g, links, seeds, colour=args.colour, max_len=args.max_len)
+                g, links, seeds, colour=args.colour, max_len=args.max_len,
+                missing_check=args.missing_check)
         else:
             contigs, stats = T.assemble_linkless_contigs(
                 g, seeds, colour=args.colour, max_len=args.max_len)

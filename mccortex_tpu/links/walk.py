@@ -38,7 +38,8 @@ from ..graph import store as gstore
 from ..graph import traverse as T
 from . import store as lstore
 
-CMAX = 64  # cursor slots per walker
+CMAX = 64   # cursor slots per walker
+CMAX2 = 32  # counter-path slots per walker (missing-info check)
 
 
 @struct.dataclass
@@ -47,6 +48,9 @@ class LinkedWalkState:
     cur_link: jnp.ndarray  # (B, CMAX) int32, -1 = empty
     cur_pos: jnp.ndarray   # (B, CMAX) int32
     cur_age: jnp.ndarray   # (B, CMAX) int32
+    cntr_link: jnp.ndarray  # (B, CMAX2) int32 counter paths
+    cntr_pos: jnp.ndarray   # (B, CMAX2) int32
+    cntr_age: jnp.ndarray   # (B, CMAX2) int32
 
 
 def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
@@ -58,7 +62,10 @@ def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
         base=base,
         cur_link=jnp.full((B, CMAX), -1, jnp.int32),
         cur_pos=jnp.zeros((B, CMAX), jnp.int32),
-        cur_age=jnp.zeros((B, CMAX), jnp.int32))
+        cur_age=jnp.zeros((B, CMAX), jnp.int32),
+        cntr_link=jnp.full((B, CMAX2), -1, jnp.int32),
+        cntr_pos=jnp.zeros((B, CMAX2), jnp.int32),
+        cntr_age=jnp.zeros((B, CMAX2), jnp.int32))
     # pick up links on the seed node itself (ref graph_walker_start ->
     # pickup via _graph_walker_force_jump on first move; the reference
     # picks up at start too via graph_walker_start's caller prime)
@@ -79,16 +86,19 @@ def _cursor_bases(links: lstore.LinkStore, st: LinkedWalkState):
 
 
 def _linked_hash(st: LinkedWalkState) -> jnp.ndarray:
-    """Order-independent hash of (node, cursors)."""
+    """Order-independent hash of (node, cursors, counter cursors)."""
     h = kops.kmer_hash(st.base.okm)
-    live = st.cur_link >= 0
-    ch = kops.splitmix64(
-        st.cur_link.astype(jnp.uint64)
-        ^ (st.cur_pos.astype(jnp.uint64) << jnp.uint64(24))
-        ^ (st.cur_age.astype(jnp.uint64) << jnp.uint64(48)))
-    ch = jnp.where(live, ch, jnp.uint64(0))
-    return h ^ jax.lax.reduce(ch, jnp.uint64(0),
-                              jax.lax.bitwise_xor, dimensions=(1,))
+    for lk, ps, ag in ((st.cur_link, st.cur_pos, st.cur_age),
+                       (st.cntr_link, st.cntr_pos, st.cntr_age)):
+        live = lk >= 0
+        ch = kops.splitmix64(
+            lk.astype(jnp.uint64)
+            ^ (ps.astype(jnp.uint64) << jnp.uint64(24))
+            ^ (ag.astype(jnp.uint64) << jnp.uint64(48)))
+        ch = jnp.where(live, ch, jnp.uint64(0))
+        h = h ^ jax.lax.reduce(ch, jnp.uint64(0),
+                               jax.lax.bitwise_xor, dimensions=(1,))
+    return h
 
 
 def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
@@ -125,7 +135,79 @@ def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
     return st.replace(cur_link=cur_link, cur_pos=cur_pos, cur_age=cur_age)
 
 
-def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib):
+def _cntr_bases(links: lstore.LinkStore, st: LinkedWalkState):
+    B = st.cntr_link.shape[0]
+    if links.nlinks == 0:
+        return jnp.zeros((B, CMAX2), jnp.uint8)
+    lid = jnp.clip(st.cntr_link, 0, max(links.nlinks - 1, 0))
+    return lstore.unpack_junc(links.seq[lid.reshape(-1)],
+                              st.cntr_pos.reshape(-1)).reshape(B, CMAX2)
+
+
+def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
+                    ctpcol: int, edge_colour: int):
+    """Pick up counter paths at the new node's OTHER predecessors
+    (ref graph_walker_add_counter_paths + pickup_paths counter mode)."""
+    if links.nlinks == 0:
+        return st
+    b = st.base
+    B = b.idx.shape[0]
+    next_base = kops.last_base(b.okm)
+    rev_o = jnp.uint8(1) - b.orient
+    rev_okm = kops.oriented(g.keys[b.idx], rev_o, g.k)
+    in_nib = E.with_orientation(g.edges[b.idx, edge_colour], rev_o)
+    back_bit = (jnp.uint8(3) - lost_nuc) & 3
+    pop4 = jnp.asarray(T._POP4)
+    cl, cp, ca = st.cntr_link, st.cntr_pos, st.cntr_age
+    rows = jnp.arange(B)
+    for n in range(4):
+        has = ((in_nib >> n) & 1).astype(bool) & (back_bit != n) & adv
+        if True:
+            pk = kops.shift_append(rev_okm, jnp.full((B,), n, jnp.uint8),
+                                   g.k)
+            qkey, qo = kops.canonical(pk, g.k)
+            qrow, qfound = sops.lookup(g.keys, qkey)
+            # prev node oriented TOWARD the current node
+            pv = qrow * 2 + (1 - qo.astype(jnp.int32))
+            # filter-nuc0 applies when the prev node forks toward us
+            pnib = E.with_orientation(
+                g.edges[qrow, edge_colour],
+                (jnp.uint8(1) - qo.astype(jnp.uint8)))
+            filter0 = pop4[pnib.astype(jnp.int32)] > 1
+            start = links.offsets[pv]
+            navail = links.offsets[pv + 1] - start
+            ok_node = has & qfound
+            free = cl < 0
+            free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+            for s_ in range(8):
+                lid = jnp.clip(start + s_, 0, links.nlinks - 1)
+                base0 = lstore.unpack_junc(links.seq[lid],
+                                           jnp.zeros((B,), jnp.int32))
+                nj = links.nj[lid]
+                want = ok_node & (s_ < navail) & \
+                    (links.nseen[lid, ctpcol] > 0)
+                pos0 = jnp.where(filter0, 1, 0)
+                want = want & jnp.where(
+                    filter0, (base0 == next_base) & (nj > 1),
+                    jnp.ones_like(filter0))
+                slot_match = free & (free_rank == s_)
+                has_slot = slot_match.any(axis=1)
+                slot = jnp.argmax(slot_match, axis=1)
+                want = want & has_slot
+                cl = cl.at[rows, slot].set(
+                    jnp.where(want, lid.astype(jnp.int32),
+                              cl[rows, slot]))
+                cp = cp.at[rows, slot].set(
+                    jnp.where(want, pos0, cp[rows, slot]))
+                ca = ca.at[rows, slot].set(
+                    jnp.where(want, 0, ca[rows, slot]))
+            free = cl < 0
+            free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+    return st.replace(cntr_link=cl, cntr_pos=cp, cntr_age=ca)
+
+
+def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib,
+                   missing_check: bool = False):
     """Full 9-state decision (graph_walker_choose)."""
     nuc0, go0, status0 = T.choose_linkless(pop_nib, col_nib)
     fork = status0 == T.NOLINKS  # in-colour fork: link logic engages
@@ -142,13 +224,33 @@ def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib):
     split = (is_oldest & (bases != rep[:, None])).any(axis=1)
     # the chosen base must be one of the in-colour candidates
     cand_ok = ((col_nib >> rep) & 1).astype(bool)
-    use = fork & has_curs & (max_age >= 1) & ~split & cand_ok
+    # missing-information check (ref graph_walker_choose:497-504): every
+    # in-colour candidate must be covered by some path or counter path
+    if missing_check:
+        taken = jnp.zeros_like(col_nib)
+        pb = jnp.where(live, jnp.uint8(1) << bases, 0)
+        for c in range(pb.shape[1]):
+            taken = taken | pb[:, c]
+        cb = _cntr_bases(links, st)
+        clive = st.cntr_link >= 0
+        cbb = jnp.where(clive, jnp.uint8(1) << cb, 0)
+        for c in range(cbb.shape[1]):
+            taken = taken | cbb[:, c]
+        pop4 = jnp.asarray(T._POP4)
+        missing = pop4[(taken & col_nib).astype(jnp.int32)] < \
+            pop4[col_nib.astype(jnp.int32)]
+    else:
+        missing = jnp.zeros(col_nib.shape, bool)
+    use = fork & has_curs & (max_age >= 1) & ~split & cand_ok & ~missing
     status = jnp.where(
         fork,
         jnp.where(~has_curs | (max_age < 1), jnp.int32(T.NOLINKS),
                   jnp.where(split, jnp.int32(T.SPLIT_LINKS),
-                            jnp.where(cand_ok, jnp.int32(T.USELINKS),
-                                      jnp.int32(T.SPLIT_LINKS)))),
+                            jnp.where(missing,
+                                      jnp.int32(T.MISSING_LINKS),
+                                      jnp.where(cand_ok,
+                                                jnp.int32(T.USELINKS),
+                                                jnp.int32(T.SPLIT_LINKS))))),
         status0)
     nuc = jnp.where(use, rep, nuc0)
     go = jnp.where(fork, use, go0)
@@ -157,11 +259,12 @@ def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib):
 
 @functools.partial(jax.jit,
                    static_argnames=("colour", "ctpcol", "edge_colour",
-                                    "max_steps"))
+                                    "max_steps", "missing_check"))
 def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 st: LinkedWalkState, colour: int | None,
                 max_steps: int, ctpcol: int = 0,
-                edge_colour: int = 0) -> LinkedWalkState:
+                edge_colour: int = 0,
+                missing_check: bool = False) -> LinkedWalkState:
 
     def cond(st):
         return (st.base.active & (st.base.nsteps < max_steps)).any()
@@ -169,7 +272,8 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
     def body(st):
         b = st.base
         pop_nib, col_nib = T._candidates(g, b, colour)
-        nuc, go, status = _choose_linked(g, links, st, pop_nib, col_nib)
+        nuc, go, status = _choose_linked(g, links, st, pop_nib, col_nib,
+                                         missing_check)
         is_fork = status == T.USELINKS
         adv = b.active & go
         lost_nuc = kops.first_base(b.okm, g.k)
@@ -193,13 +297,40 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                             st.cur_pos + 1, st.cur_pos)
         cur_link = jnp.where(keep, st.cur_link, -1)
 
+        # 1b) counter cursors advance on forks too; die on mismatch or
+        # when the NEXT position would be the last (force_jump :586-597)
+        if missing_check:
+            cbases = _cntr_bases(links, st)
+            clive = st.cntr_link >= 0
+            cmatch = (cbases == nuc[:, None]) & \
+                (st.cntr_pos + 1 < _cnj_of(links, st))
+            ckeep = clive & jnp.where(move_fork[:, None], cmatch,
+                                      jnp.ones_like(cmatch))
+            cntr_pos = jnp.where(move_fork[:, None] & ckeep,
+                                 st.cntr_pos + 1, st.cntr_pos)
+            cntr_link = jnp.where(ckeep, st.cntr_link, -1)
+        else:
+            cntr_pos, cntr_link = st.cntr_pos, st.cntr_link
+
         # 2) segment boundary: out-fork taken or in-merge at the new node
         rv_fork = _other_prev_exists(g, nb, lost_nuc, edge_colour) & adv
         bump = (move_fork | rv_fork)
         cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
                             st.cur_age + 1, st.cur_age)
         st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
-                         cur_age=cur_age)
+                         cur_age=cur_age, cntr_link=cntr_link,
+                         cntr_pos=cntr_pos)
+
+        # 2b) counter pickup at the new node's other predecessors happens
+        # BEFORE the age bump lands on them... the reference bumps all
+        # ages (incl. just-added counters) when rv_fork fires
+        # (_gw_gseg_update after add_counter_paths)
+        if missing_check:
+            st2 = _pickup_counter(g, links, st2, adv, lost_nuc, ctpcol,
+                                  edge_colour)
+        cntr_age = jnp.where(bump[:, None] & (st2.cntr_link >= 0),
+                             st2.cntr_age + 1, st2.cntr_age)
+        st2 = st2.replace(cntr_age=cntr_age)
 
         # 3) pick up links at the new node (only advancing walkers)
         st2 = st2.replace(base=st2.base.replace(active=adv))
@@ -242,6 +373,13 @@ def _nj_of(links: lstore.LinkStore, st: LinkedWalkState):
     return links.nj[lid]
 
 
+def _cnj_of(links: lstore.LinkStore, st: LinkedWalkState):
+    if links.nlinks == 0:
+        return jnp.ones_like(st.cntr_pos)
+    lid = jnp.clip(st.cntr_link, 0, links.nlinks - 1)
+    return links.nj[lid]
+
+
 def _other_prev_exists(g, b, lost_nuc, edge_colour):
     """True where the (new) current node has in-colour predecessors other
     than the node we came from (ref db_graph_prev_nodes_with_mask)."""
@@ -254,7 +392,8 @@ def _other_prev_exists(g, b, lost_nuc, edge_colour):
 
 def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                             seed_rows: np.ndarray, colour: int | None = 0,
-                            max_len: int = 4096, ctpcol: int = 0):
+                            max_len: int = 4096, ctpcol: int = 0,
+                            missing_check: bool = False):
     """Linked contig assembly (role of ref assemble_contigs.c with paths;
     no confidence model yet)."""
     from ..utils.text import kmers_to_strings
@@ -267,7 +406,7 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         st = linked_init(g, links, seeds, jnp.full((B,), o, jnp.uint8),
                          max_len, ctpcol)
         st = walk_linked(g, links, st, colour, max_steps=max_len + 1,
-                         ctpcol=ctpcol)
+                         ctpcol=ctpcol, missing_check=missing_check)
         halves.append((np.asarray(st.base.out_bases),
                        np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
@@ -354,7 +493,8 @@ def walk_along(g: gstore.DBGraph, links: lstore.LinkStore,
 def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                             seed_rows: np.ndarray, colour: int | None = 0,
                             max_len: int = 4096, ctpcol: int = 0,
-                            max_context: int = 200):
+                            max_context: int = 200,
+                            missing_check: bool = False):
     """Contig assembly with direction-1 priming (ref assemble_contigs.c:
     88-90: after walking direction 0, the second direction's walker is
     primed along the reversed direction-0 path, so links picked up on
@@ -369,7 +509,7 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
     st0 = linked_init(g, links, seeds, jnp.zeros((B,), jnp.uint8),
                       max_len, ctpcol)
     st0 = walk_linked(g, links, st0, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol)
+                      ctpcol=ctpcol, missing_check=missing_check)
     fw_b = np.asarray(st0.base.out_bases)
     fw_v = np.asarray(st0.base.out_vert)
     fw_l = np.asarray(st0.base.out_len)
@@ -400,7 +540,7 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
     st1 = walk_along(g, links, st1, jnp.asarray(ctx_verts),
                      jnp.asarray(ctx_len), ctpcol=ctpcol)
     st1 = walk_linked(g, links, st1, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol)
+                      ctpcol=ctpcol, missing_check=missing_check)
     rv_b = np.asarray(st1.base.out_bases)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)

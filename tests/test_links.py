@@ -181,7 +181,8 @@ def test_cli_thread_contigs_lossless(tmp_path):
     outfa = str(tmp_path / "contigs.fa")
     assert mctx(["build", "-k", str(k), "--sample", "s", "--seq", fa, ctx]) == 0
     assert mctx(["thread", "--seq", fa, "-o", ctp, ctx]) == 0
-    assert mctx(["contigs", "--no-reseed", "-p", ctp, "-o", outfa, ctx]) == 0
+    assert mctx(["contigs", "--no-reseed", "--no-missing-check",
+                 "-p", ctp, "-o", outfa, ctx]) == 0
     seqs = [l.strip() for l in open(outfa) if not l.startswith(">")]
     best = max(seqs, key=len)
     assert canon(best) == canon(full)
@@ -228,3 +229,30 @@ def test_large_k_multiword_end_to_end():
         g, links, np.array([seed_row]), colour=0,
         max_len=len(full) + 100)
     assert canon(contigs[0]) == canon(full)
+
+
+def test_missing_info_check_halts():
+    """At a fork where one branch has no link support, the missing-info
+    check halts the walk (MISSING_LINKS); without the check the links
+    resolve it (ref graph_walker.h:89-99 / --no-missing-check)."""
+    k = 9
+    pre = random_dna(40, seed=370)
+    alt_in = random_dna(40, seed=374)  # second path INTO the stem
+    stem = random_dna(30, seed=371)
+    brA = "A" + random_dna(30, seed=372)
+    brB = "C" + random_dna(30, seed=373)
+    r1 = pre + stem + brA          # threaded: links through the fork
+    r2 = alt_in + stem + brB       # builds branch B + a merge at stem
+    g = build_g([(r1, 0), (r2, 0)], k)
+    links = thread_all(g, [(r1, 0)])  # thread ONLY r1
+    assert links.nlinks > 0
+    seed = row_of(g, pre[:k])
+    relaxed, s0 = lwalk.assemble_contigs_linked(
+        g, links, np.array([seed]), colour=0, missing_check=False)
+    strict, s1 = lwalk.assemble_contigs_linked(
+        g, links, np.array([seed]), colour=0, missing_check=True)
+    assert canon(relaxed[0]) == canon(r1)
+    # strict walk must stop at (or before) the unexplained fork
+    assert len(strict[0]) < len(relaxed[0])
+    from mccortex_tpu.graph.traverse import MISSING_LINKS
+    assert MISSING_LINKS in s1[0]
