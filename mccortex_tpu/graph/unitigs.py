@@ -130,8 +130,9 @@ def unitig_stats(g: gstore.DBGraph, k: int | None = None):
     live = ~sops.is_sentinel(g.keys)
 
     # median: sort (uid, covg) then index the middle of each segment
+    # (32-bit operands: TPU-native sort)
     order = jax.lax.sort(
-        (uv.uid, sumcovg.astype(jnp.int64),
+        (uv.uid, sumcovg.astype(jnp.uint32),
          jnp.arange(N, dtype=jnp.int32)), num_keys=2)
     s_uid, s_covg, _ = order
     # segment starts in the sorted-by-uid order
@@ -147,7 +148,8 @@ def unitig_stats(g: gstore.DBGraph, k: int | None = None):
     mid_lo = start + (ln - 1) // 2
     mid_hi = jnp.clip(mid_hi, 0, N - 1)
     mid_lo = jnp.clip(mid_lo, 0, N - 1)
-    median = ((s_covg[mid_lo] + s_covg[mid_hi]) // 2).astype(jnp.uint32)
+    median = ((s_covg[mid_lo].astype(jnp.uint64)
+               + s_covg[mid_hi]) // 2).astype(jnp.uint32)
 
     # external degree at the unitig's two ends
     pop4 = jnp.asarray(E.POPCOUNT4)

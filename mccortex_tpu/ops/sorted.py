@@ -36,11 +36,17 @@ def sort_by_key(keys: jnp.ndarray, *vals):
 
     keys: (N, W); vals: arrays with leading dim N (any trailing shape).
     Values ride along via an argsort permutation so dtypes/shapes are free.
+    Each uint64 word is decomposed into (hi, lo) uint32 sort keys: TPU
+    has no native 64-bit compare, so a 2W-key 32-bit lexicographic sort
+    is much faster than an emulated W-key 64-bit one.
     """
     N, W = keys.shape
     iota = jnp.arange(N, dtype=jnp.int32)
-    ops = tuple(keys[:, w] for w in range(W)) + (iota,)
-    perm = jax.lax.sort(ops, num_keys=W)[-1]
+    ops = ()
+    for w in range(W):
+        ops += ((keys[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
+                keys[:, w].astype(jnp.uint32))
+    perm = jax.lax.sort(ops + (iota,), num_keys=2 * W)[-1]
     out_vals = tuple(v[perm] for v in vals)
     return (keys[perm],) + out_vals
 
