@@ -145,3 +145,12 @@ def test_cli_contigs(tmp_path, capsys):
     assert min(seqs[0], revcomp_str(seqs[0])) == min(seq, revcomp_str(seq))
     # --no-reseed: one contig covers everything
     assert len(seqs) == 1
+
+
+def test_confidence_table():
+    from mccortex_tpu.graph.contig_confidence import conf_table
+    t = conf_table(10000, {100: 1000})  # 10x coverage of 100bp reads
+    # short gaps are confidently spanned; gaps near read length are not
+    assert t[1] > 0.99
+    assert t[99] < t[10]
+    assert (np.diff(t[1:]) <= 1e-12).all()  # monotone nonincreasing
