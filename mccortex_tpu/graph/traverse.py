@@ -113,17 +113,34 @@ def brent_update(st: WalkState, h: jnp.ndarray, moved: jnp.ndarray):
                       brent_limit=new_limit), cyc
 
 
-def _candidates(g: gstore.DBGraph, st: WalkState, colour: int | None):
+def _candidates(g: gstore.DBGraph, st: WalkState, colour: int | None,
+                adj: jnp.ndarray | None = None):
     """Next-node candidates for each walker.
 
     Returns (pop_nib, col_nib): 4-bit masks of next bases with any-colour
     edges and with the walk colour's presence on the next node
-    (ref graph_walker_choose's in-colour reduction; 'pop' = union)."""
+    (ref graph_walker_choose's in-colour reduction; 'pop' = union).
+
+    With a precomputed adjacency (graph/adjacency.py) each candidate is
+    one gather; otherwise a batched binary search per base."""
     N = g.capacity
     uedges = gstore.union_edges(g)
     pop_nib = E.with_orientation(uedges[st.idx], st.orient)
-    # which of the 4 next nodes exist in the walk colour
     col_bits = jnp.zeros_like(pop_nib)
+    if adj is not None:
+        v = st.idx * 2 + st.orient.astype(jnp.int32)
+        nbrs = adj[v]  # (B, 4)
+        for n in range(4):
+            nv = nbrs[:, n]
+            found = nv >= 0
+            j = jnp.maximum(nv, 0) >> 1
+            if colour is None:
+                incol = found
+            else:
+                incol = found & (g.covg[j, colour] > 0)
+            col_bits = col_bits | (incol.astype(jnp.uint8) << n)
+        col_nib = pop_nib & col_bits
+        return pop_nib, col_nib
     for n in range(4):
         nxt = kops.shift_append(st.okm, jnp.full(st.idx.shape, n, jnp.uint8),
                                 g.k)
@@ -170,20 +187,26 @@ def choose_linkless(pop_nib: jnp.ndarray, col_nib: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("colour", "max_steps"))
 def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
-         max_steps: int) -> WalkState:
+         max_steps: int, adj: jnp.ndarray | None = None) -> WalkState:
     """Advance all walkers until halt or max_steps."""
 
     def cond(st):
         return (st.active & (st.nsteps < max_steps)).any()
 
     def body(st):
-        pop_nib, col_nib = _candidates(g, st, colour)
+        pop_nib, col_nib = _candidates(g, st, colour, adj)
         nuc, go, status = choose_linkless(pop_nib, col_nib)
         # advance where active & go
         adv = st.active & go
         nxt_okm = kops.shift_append(st.okm, nuc, g.k)
-        key2, o2 = kops.canonical(nxt_okm, g.k)
-        j, found = sops.lookup(g.keys, key2)
+        if adj is not None:
+            v = st.idx * 2 + st.orient.astype(jnp.int32)
+            nv = adj[v, nuc.astype(jnp.int32)]
+            j = jnp.maximum(nv, 0) >> 1
+            o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
+        else:
+            key2, o2 = kops.canonical(nxt_okm, g.k)
+            j, found = sops.lookup(g.keys, key2)
         okm = jnp.where(adv[:, None], nxt_okm, st.okm)
         idx = jnp.where(adv, j, st.idx)
         orient = jnp.where(adv, o2, st.orient)
@@ -229,11 +252,13 @@ def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
     if B == 0:
         return [], np.zeros((0, 2), np.int32)
     seeds = jnp.asarray(seed_rows, jnp.int32)
+    from . import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
     halves = []
     stats = []
     for o in (0, 1):
         st = walk_init(g, seeds, jnp.full((B,), o, jnp.uint8), max_len)
-        st = walk(g, st, colour, max_steps=max_len + 1)
+        st = walk(g, st, colour, max_steps=max_len + 1, adj=adj)
         halves.append((np.asarray(st.out_bases), np.asarray(st.out_len)))
         stats.append(np.asarray(st.status))
     seed_keys = np.asarray(g.keys)[seed_rows]

@@ -264,22 +264,29 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 st: LinkedWalkState, colour: int | None,
                 max_steps: int, ctpcol: int = 0,
                 edge_colour: int = 0,
-                missing_check: bool = False) -> LinkedWalkState:
+                missing_check: bool = False,
+                adj: jnp.ndarray | None = None) -> LinkedWalkState:
 
     def cond(st):
         return (st.base.active & (st.base.nsteps < max_steps)).any()
 
     def body(st):
         b = st.base
-        pop_nib, col_nib = T._candidates(g, b, colour)
+        pop_nib, col_nib = T._candidates(g, b, colour, adj)
         nuc, go, status = _choose_linked(g, links, st, pop_nib, col_nib,
                                          missing_check)
         is_fork = status == T.USELINKS
         adv = b.active & go
         lost_nuc = kops.first_base(b.okm, g.k)
         nxt_okm = kops.shift_append(b.okm, nuc, g.k)
-        key2, o2 = kops.canonical(nxt_okm, g.k)
-        j, found = sops.lookup(g.keys, key2)
+        if adj is not None:
+            v = b.idx * 2 + b.orient.astype(jnp.int32)
+            nv = adj[v, nuc.astype(jnp.int32)]
+            j = jnp.maximum(nv, 0) >> 1
+            o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
+        else:
+            key2, o2 = kops.canonical(nxt_okm, g.k)
+            j, found = sops.lookup(g.keys, key2)
         okm = jnp.where(adv[:, None], nxt_okm, b.okm)
         idx = jnp.where(adv, j, b.idx)
         orient = jnp.where(adv, o2, b.orient).astype(jnp.uint8)
@@ -401,12 +408,15 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
     if B == 0:
         return [], np.zeros((0, 2), np.int32)
     seeds = jnp.asarray(seed_rows, jnp.int32)
+    from ..graph import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
     halves, stats = [], []
     for o in (0, 1):
         st = linked_init(g, links, seeds, jnp.full((B,), o, jnp.uint8),
                          max_len, ctpcol)
         st = walk_linked(g, links, st, colour, max_steps=max_len + 1,
-                         ctpcol=ctpcol, missing_check=missing_check)
+                         ctpcol=ctpcol, missing_check=missing_check,
+                         adj=adj)
         halves.append((np.asarray(st.base.out_bases),
                        np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
@@ -505,11 +515,13 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
         return [], np.zeros((0, 2), np.int32)
     seeds = jnp.asarray(seed_rows, jnp.int32)
 
+    from ..graph import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
     # direction 0: cold start at (seed, FORWARD)
     st0 = linked_init(g, links, seeds, jnp.zeros((B,), jnp.uint8),
                       max_len, ctpcol)
     st0 = walk_linked(g, links, st0, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol, missing_check=missing_check)
+                      ctpcol=ctpcol, missing_check=missing_check, adj=adj)
     fw_b = np.asarray(st0.base.out_bases)
     fw_v = np.asarray(st0.base.out_vert)
     fw_l = np.asarray(st0.base.out_len)
@@ -540,7 +552,7 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
     st1 = walk_along(g, links, st1, jnp.asarray(ctx_verts),
                      jnp.asarray(ctx_len), ctpcol=ctpcol)
     st1 = walk_linked(g, links, st1, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol, missing_check=missing_check)
+                      ctpcol=ctpcol, missing_check=missing_check, adj=adj)
     rv_b = np.asarray(st1.base.out_bases)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)
