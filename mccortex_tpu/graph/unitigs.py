@@ -86,10 +86,18 @@ def pointer_doubling(succ: jnp.ndarray):
     d = jnp.where(succ < 0, 0, 1).astype(jnp.int32)
     m = jnp.minimum(iota, p)
     steps = max(1, int(np.ceil(np.log2(max(V, 2)))) + 1)
-    for _ in range(steps):
-        m = jnp.minimum(m, m[p])
-        d = d + d[p]
-        p = p[p]
+
+    def body(_, carry):
+        p, d, m = carry
+        # jnp.take with explicit clip keeps the gather in-bounds for the
+        # TPU lowering (the unrolled fancy-index version kernel-faulted
+        # at ~4M vertices on v5e)
+        m = jnp.minimum(m, jnp.take(m, p, mode="clip"))
+        d = d + jnp.take(d, p, mode="clip")
+        p = jnp.take(p, p, mode="clip")
+        return p, d, m
+
+    p, d, m = jax.lax.fori_loop(0, steps, body, (p, d, m))
     return p, d, m
 
 
