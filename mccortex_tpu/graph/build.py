@@ -121,13 +121,18 @@ def _merge2(ak, ac, ae, bk, bc, be):
     once per size level."""
     n, m = ak.shape[0], bk.shape[0]
     # output rank of each record; equal keys: a's records first (stable)
-    ra = jnp.arange(n, dtype=jnp.int32) + sops.searchsorted_mw(bk, ak)
-    rb = jnp.arange(m, dtype=jnp.int32) + _searchsorted_right(ak, bk)
+    ra = jnp.arange(n, dtype=jnp.int32) + sops.searchsorted_chunked(bk, ak)
+    rb = jnp.arange(m, dtype=jnp.int32) + sops.searchsorted_chunked(
+        ak, bk, side="right")
     W, C = ak.shape[1], ac.shape[1]
-    keys = sops.sentinel((n + m,), W)
-    keys = keys.at[ra].set(ak).at[rb].set(bk)
-    covg = jnp.zeros((n + m, C), ac.dtype).at[ra].set(ac).at[rb].set(bc)
-    edges = jnp.zeros((n + m, C), ae.dtype).at[ra].set(ae).at[rb].set(be)
+    keys = sops.scatter_chunked(
+        sops.scatter_chunked(sops.sentinel((n + m,), W), ra, ak), rb, bk)
+    covg = sops.scatter_chunked(
+        sops.scatter_chunked(jnp.zeros((n + m, C), ac.dtype), ra, ac),
+        rb, bc)
+    edges = sops.scatter_chunked(
+        sops.scatter_chunked(jnp.zeros((n + m, C), ae.dtype), ra, ae),
+        rb, be)
     ok, oc, oe, _ = sops.unique_reduce(keys, covg, edges, n + m)
     return ok, oc, oe
 

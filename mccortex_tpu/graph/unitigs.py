@@ -72,13 +72,17 @@ def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> jnp.ndarray:
     return succ
 
 
-@jax.jit
 def pointer_doubling(succ: jnp.ndarray):
     """Resolve (end, dist, minvertex) for every vertex in O(log V) passes.
 
     For chain vertices `end` is the terminal vertex and `dist` the exact
     number of steps to it.  For cycle vertices (detected via
     succ[end] != -1) `minv` is the minimum vertex id on the whole cycle.
+
+    The doubling loop runs on HOST with one jitted dispatch per pass:
+    a single long-running device program trips the execution watchdog on
+    relayed TPU backends ("kernel fault" at ~4M vertices), and per-pass
+    dispatch also keeps each program small.
     """
     V = succ.shape[0]
     iota = jnp.arange(V, dtype=jnp.int32)
@@ -86,26 +90,31 @@ def pointer_doubling(succ: jnp.ndarray):
     d = jnp.where(succ < 0, 0, 1).astype(jnp.int32)
     m = jnp.minimum(iota, p)
     steps = max(1, int(np.ceil(np.log2(max(V, 2)))) + 1)
-
-    def body(_, carry):
-        p, d, m = carry
-        # jnp.take with explicit clip keeps the gather in-bounds for the
-        # TPU lowering (the unrolled fancy-index version kernel-faulted
-        # at ~4M vertices on v5e)
-        m = jnp.minimum(m, jnp.take(m, p, mode="clip"))
-        d = d + jnp.take(d, p, mode="clip")
-        p = jnp.take(p, p, mode="clip")
-        return p, d, m
-
-    p, d, m = jax.lax.fori_loop(0, steps, body, (p, d, m))
+    for _ in range(steps):
+        p, d, m = _pd_step(p, d, m)
     return p, d, m
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@jax.jit
+def _pd_step(p, d, m):
+    m = jnp.minimum(m, jnp.take(m, p, mode="clip"))
+    d = d + jnp.take(d, p, mode="clip")
+    p = jnp.take(p, p, mode="clip")
+    return p, d, m
+
+
 def unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> UnitigView:
-    N = keys.shape[0]
+    """Host orchestrator: jitted successor build + per-pass pointer
+    doubling + a jitted tail.  NOT one jit — a single fused program runs
+    long enough to trip relayed-TPU execution watchdogs at scale."""
     succ = successors(keys, uedges, k)
     end, dist, minv = pointer_doubling(succ)
+    return _view_finish(keys, succ, end, dist, minv)
+
+
+@jax.jit
+def _view_finish(keys, succ, end, dist, minv) -> UnitigView:
+    N = keys.shape[0]
     e0, e1 = end[0::2], end[1::2]
     d0, d1 = dist[0::2], dist[1::2]
     cyc = succ[e0] >= 0  # chains terminate at a vertex with no successor
@@ -121,7 +130,6 @@ def unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> UnitigView:
                       is_cycle=cyc, length=length)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def unitig_stats(g: gstore.DBGraph, k: int | None = None):
     """(uid, length, median_sum_covg, is_tip, extdeg_sum) per kmer.
 
@@ -131,11 +139,16 @@ def unitig_stats(g: gstore.DBGraph, k: int | None = None):
     ends sums to <= 1 (ref clean_graph.c:289 nodes_are_tip).
     """
     k = k or g.k
-    N = g.capacity
     uedges = gstore.union_edges(g)
     uv = unitig_view(g.keys, uedges, k)
-    sumcovg = jnp.sum(g.covg, axis=1).astype(jnp.uint32)
-    live = ~sops.is_sentinel(g.keys)
+    return _stats_finish(g.keys, g.covg, uedges, uv)
+
+
+@jax.jit
+def _stats_finish(keys, covg, uedges, uv):
+    N = keys.shape[0]
+    sumcovg = jnp.sum(covg, axis=1).astype(jnp.uint32)
+    live = ~sops.is_sentinel(keys)
 
     # median: sort (uid, covg) then index the middle of each segment
     # (32-bit operands: TPU-native sort)

@@ -143,3 +143,40 @@ def unique_reduce(sorted_keys: jnp.ndarray, covg: jnp.ndarray,
     n_unique = jnp.sum(is_start & valid)
     return keys_out, covg_out.astype(covg.dtype), \
         edges_out.astype(edges.dtype), n_unique
+
+
+CHUNK = 1 << 21  # single-op gather/scatter cap (larger faults v5e/axon)
+
+
+def searchsorted_chunked(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                         side: str = "left") -> jnp.ndarray:
+    """searchsorted with the query side processed in <=CHUNK pieces
+    (device-op size cap; see pointer_doubling note in graph/unitigs.py)."""
+    N = queries.shape[0]
+    if N <= CHUNK:
+        return _ss(sorted_keys, queries, side)
+    outs = []
+    for s in range(0, N, CHUNK):
+        outs.append(_ss(sorted_keys, queries[s:s + CHUNK], side))
+    return jnp.concatenate(outs)
+
+
+def _ss(sorted_keys, queries, side):
+    if side == "left":
+        return searchsorted_mw(sorted_keys, queries)
+    if sorted_keys.shape[1] == 1:
+        return jnp.searchsorted(sorted_keys[:, 0], queries[..., 0],
+                                side="right").astype(jnp.int32)
+    from ..graph.build import _searchsorted_right
+    return _searchsorted_right(sorted_keys, queries)
+
+
+def scatter_chunked(dst: jnp.ndarray, idx: jnp.ndarray,
+                    src: jnp.ndarray) -> jnp.ndarray:
+    """dst.at[idx].set(src) applied in <=CHUNK pieces."""
+    N = idx.shape[0]
+    if N <= CHUNK:
+        return dst.at[idx].set(src, mode="drop")
+    for s in range(0, N, CHUNK):
+        dst = dst.at[idx[s:s + CHUNK]].set(src[s:s + CHUNK], mode="drop")
+    return dst
