@@ -16,6 +16,8 @@ from __future__ import annotations
 import functools
 import weakref
 
+from ..ops import sorted as sops  # noqa: F811 (re-export)
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,21 +27,50 @@ from ..ops import sorted as sops
 from . import store as gstore
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "o", "n"))
+def _probe(keys: jnp.ndarray, k: int, o: int, n: int):
+    """Canonical key + orientation of the (o, n) neighbour of every kmer."""
+    N = keys.shape[0]
+    okm = kops.oriented(keys, jnp.full((N,), o, jnp.uint8), k)
+    nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
+    return kops.canonical(nxt, k)
+
+
+@jax.jit
+def _vertex_of(idx, found, o2):
+    return jnp.where(found, idx * 2 + o2.astype(jnp.int32), jnp.int32(-1))
+
+
+def lookup_chunked(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+    """Batched lookup dispatched in <=CHUNK query pieces (each its own
+    device execution — long fused programs trip relay watchdogs)."""
+    N = queries.shape[0]
+    C = sops.CHUNK
+    if N <= C:
+        return sops.lookup(sorted_keys, queries)
+    idxs, founds = [], []
+    for s in range(0, N, C):
+        i, f = _lookup_jit(sorted_keys, queries[s:s + C])
+        idxs.append(i)
+        founds.append(f)
+    return jnp.concatenate(idxs), jnp.concatenate(founds)
+
+
+_lookup_jit = jax.jit(sops.lookup)
+
+
 def build_adjacency(keys: jnp.ndarray, k: int) -> jnp.ndarray:
-    """adj (2N, 4) int32: next vertex per (vertex, appended base)."""
+    """adj (2N, 4) int32: next vertex per (vertex, appended base).
+
+    Host-orchestrated: one small dispatch per probe/chunk."""
     N = keys.shape[0]
     cols = []
     for o in (0, 1):
-        okm = kops.oriented(keys, jnp.full((N,), o, jnp.uint8), k)
         percol = []
         for n in range(4):
-            nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
-            key2, o2 = kops.canonical(nxt, k)
-            j, found = sops.lookup(keys, key2)
-            v = jnp.where(found, j * 2 + o2.astype(jnp.int32),
-                          jnp.int32(-1))
-            percol.append(v)
+            key2, o2 = _probe(keys, k, o, n)
+            j, found = lookup_chunked(keys, key2)
+            percol.append(_vertex_of(j, found, o2))
         cols.append(jnp.stack(percol, axis=1))  # (N, 4)
     # interleave rows: vertex 2i+o
     return jnp.stack(cols, axis=1).reshape(2 * N, 4)
@@ -49,14 +80,18 @@ _cache: "weakref.WeakValueDictionary" = {}
 _cache_store = {}
 
 
-def get_adjacency(g: gstore.DBGraph) -> jnp.ndarray:
-    """Per-store cached adjacency (keyed by the keys buffer identity)."""
-    key = (id(g.keys), g.capacity, g.k)
-    hit = _cache_store.get(key)
+def get_adjacency_for(keys: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Cached adjacency keyed by the keys buffer identity."""
+    ck = (id(keys), keys.shape[0], k)
+    hit = _cache_store.get(ck)
     if hit is not None:
         return hit
-    adj = build_adjacency(g.keys, g.k)
+    adj = build_adjacency(keys, k)
     if len(_cache_store) > 8:
         _cache_store.clear()
-    _cache_store[key] = adj
+    _cache_store[ck] = adj
     return adj
+
+
+def get_adjacency(g: gstore.DBGraph) -> jnp.ndarray:
+    return get_adjacency_for(g.keys, g.k)

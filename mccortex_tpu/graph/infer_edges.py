@@ -22,10 +22,15 @@ from ..ops import sorted as sops
 from . import store as gstore
 
 
-@functools.partial(jax.jit, static_argnames=("k", "pop_only"))
 def infer_edges(g: gstore.DBGraph, pop_only: bool = True,
                 k: int | None = None) -> gstore.DBGraph:
-    k = k or g.k
+    from . import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
+    return _infer_adj(g, adj, pop_only)
+
+
+@functools.partial(jax.jit, static_argnames=("pop_only",))
+def _infer_adj(g: gstore.DBGraph, adj, pop_only: bool = True):
     N = g.capacity
     keys, covg, edges = g.keys, g.covg, g.edges
     uedges = gstore.union_edges(g)
@@ -34,16 +39,15 @@ def infer_edges(g: gstore.DBGraph, pop_only: bool = True,
         iedges = iedges & edges[:, c]
     cand = (uedges & ~iedges) if pop_only else (~iedges)
     present = covg > 0  # (N, C)
+    idx = jnp.arange(N, dtype=jnp.int32)
     new_edges = edges
     for o in (0, 1):
-        oarr = jnp.full((N,), o, jnp.uint8)
-        okm = kops.oriented(keys, oarr, k)
         for n in range(4):
             bit = np.uint8(1 << (n + 4 * o))
             rows = (cand & bit) > 0
-            nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
-            key2, _ = kops.canonical(nxt, k)
-            j, found = sops.lookup(keys, key2)
+            nv = adj[idx * 2 + o, n]
+            found = nv >= 0
+            j = jnp.maximum(nv, 0) >> 1
             addc = rows[:, None] & found[:, None] & present & present[j]
             new_edges = jnp.where(addc, new_edges | bit, new_edges)
     return g.replace(edges=new_edges)

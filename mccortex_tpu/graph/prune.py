@@ -17,28 +17,32 @@ from ..ops import sorted as sops
 from . import store as gstore
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def clear_dangling_edges(keys: jnp.ndarray, edges: jnp.ndarray,
-                         keep: jnp.ndarray, k: int) -> jnp.ndarray:
+                         keep: jnp.ndarray, k: int,
+                         adj: jnp.ndarray | None = None) -> jnp.ndarray:
     """Clear, per colour, any edge bit whose neighbour kmer is not kept."""
-    N = keys.shape[0]
+    from . import adjacency as adjmod
+    if adj is None:
+        adj = adjmod.get_adjacency_for(keys, k)
+    return _clear_dangling_adj(edges, keep, adj)
+
+
+@jax.jit
+def _clear_dangling_adj(edges, keep, adj):
+    N = edges.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
     new_edges = edges
     for o in (0, 1):
-        oarr = jnp.full((N,), o, jnp.uint8)
-        okm = kops.oriented(keys, oarr, k)
         for n in range(4):
             bit = np.uint8(1 << (n + 4 * o))
-            nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
-            key2, _ = kops.canonical(nxt, k)
-            j, found = sops.lookup(keys, key2)
-            neighbour_kept = found & keep[j]
+            nv = adj[idx * 2 + o, n]
+            neighbour_kept = (nv >= 0) & keep[jnp.maximum(nv, 0) >> 1]
             clear = (~neighbour_kept)[:, None]
             new_edges = jnp.where(clear, new_edges & np.uint8(0xFF ^ bit),
                                   new_edges)
     return new_edges
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def prune_to_mask(g: gstore.DBGraph, keep: jnp.ndarray,
                   k: int | None = None) -> gstore.DBGraph:
     """Return a new store containing only kmers where keep is True, with

@@ -21,31 +21,32 @@ from . import store as gstore
 from . import edges as E
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dist"))
 def bfs_mark(g: gstore.DBGraph, seed_mask: jnp.ndarray, dist: int, k: int):
-    """Expand seed_mask by `dist` BFS steps over graph edges."""
+    """Expand seed_mask by `dist` BFS steps over graph edges (one
+    dispatch per step; adjacency gathers)."""
+    from . import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
     uedges = gstore.union_edges(g)
-    N = g.capacity
-
-    def neighbours(mask):
-        out = mask
-        for o in (0, 1):
-            oarr = jnp.full((N,), o, jnp.uint8)
-            okm = kops.oriented(g.keys, oarr, k)
-            nib = E.with_orientation(uedges, oarr)
-            for n in range(4):
-                has = ((nib >> n) & 1).astype(bool) & mask
-                nxt = kops.shift_append(okm, jnp.full((N,), n, jnp.uint8), k)
-                key2, _ = kops.canonical(nxt, k)
-                j, found = sops.lookup(g.keys, key2)
-                add = has & found
-                out = out | jnp.zeros_like(mask).at[j].max(add)
-        return out
-
     mask = seed_mask
     for _ in range(dist):
-        mask = neighbours(mask)
+        mask = _bfs_step(mask, uedges, adj)
     return mask & ~sops.is_sentinel(g.keys)
+
+
+@jax.jit
+def _bfs_step(mask, uedges, adj):
+    N = mask.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    out = mask
+    for o in (0, 1):
+        nib = E.with_orientation(uedges, jnp.full((N,), o, jnp.uint8))
+        for n in range(4):
+            has = ((nib >> n) & 1).astype(bool) & mask
+            nv = adj[idx * 2 + o, n]
+            j = jnp.maximum(nv, 0) >> 1
+            add = has & (nv >= 0)
+            out = out | jnp.zeros_like(mask).at[j].max(add)
+    return out
 
 
 def seed_mask_from_seqs(g: gstore.DBGraph, seq_batches) -> jnp.ndarray:

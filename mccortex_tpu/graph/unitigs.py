@@ -42,13 +42,21 @@ class UnitigView:
     length: jnp.ndarray    # (N,) int32 unitig length in kmers
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> jnp.ndarray:
+def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int,
+               adj: jnp.ndarray | None = None) -> jnp.ndarray:
     """succ[(2N,)] for all kmer-orientation vertices.
 
-    uedges: union (across colours) edge byte per kmer.
-    """
-    N = keys.shape[0]
+    uedges: union (across colours) edge byte per kmer.  Built from the
+    cached adjacency (one gather per vertex) when available."""
+    from . import adjacency as adjmod
+    if adj is None:
+        adj = adjmod.get_adjacency_for(keys, k)
+    return _successors_from_adj(uedges, adj)
+
+
+@jax.jit
+def _successors_from_adj(uedges: jnp.ndarray, adj: jnp.ndarray):
+    N = uedges.shape[0]
     nib2nuc = jnp.asarray(_NIB2NUC)
     pop4 = jnp.asarray(E.POPCOUNT4)
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -58,18 +66,16 @@ def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> jnp.ndarray:
         nib = E.with_orientation(uedges, oarr)
         single = pop4[nib.astype(jnp.int32)] == 1
         nuc = nib2nuc[nib.astype(jnp.int32)]
-        okm = kops.oriented(keys, oarr, k)
-        nxt = kops.shift_append(okm, nuc, k)
-        key2, o2 = kops.canonical(nxt, k)
-        j, found = sops.lookup(keys, key2)
+        nv = adj[idx * 2 + o, nuc.astype(jnp.int32)]
+        found = nv >= 0
+        j = jnp.maximum(nv, 0) >> 1
+        o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
         nib_in = E.with_orientation(uedges[j], (jnp.uint8(1) - o2))
         indeg1 = pop4[nib_in.astype(jnp.int32)] == 1
         ok = single & found & indeg1 & (j != idx)
         out.append(jnp.where(ok, j * 2 + o2.astype(jnp.int32),
                              jnp.int32(-1)))
-    # interleave: v = 2*i + o
-    succ = jnp.stack([out[0], out[1]], axis=1).reshape(-1)
-    return succ
+    return jnp.stack([out[0], out[1]], axis=1).reshape(-1)
 
 
 def pointer_doubling(succ: jnp.ndarray):
