@@ -60,8 +60,11 @@ _lookup_jit = jax.jit(sops.lookup)
 
 
 def build_adjacency(keys: jnp.ndarray, k: int) -> jnp.ndarray:
-    """adj (2N, 4) int32: next vertex per (vertex, appended base).
+    """adj FLAT (8N,) int32: adj[4*v + n] = next vertex from vertex v
+    appending base n (v = 2*row + orient), -1 if absent.
 
+    Flat 1-D on purpose: TPU tiled layouts pad a trailing dim of 4 up to
+    the 128-lane width (32x memory); 1-D arrays have no such padding.
     Host-orchestrated: one small dispatch per probe/chunk."""
     N = keys.shape[0]
     cols = []
@@ -72,8 +75,15 @@ def build_adjacency(keys: jnp.ndarray, k: int) -> jnp.ndarray:
             j, found = lookup_chunked(keys, key2)
             percol.append(_vertex_of(j, found, o2))
         cols.append(jnp.stack(percol, axis=1))  # (N, 4)
-    # interleave rows: vertex 2i+o
-    return jnp.stack(cols, axis=1).reshape(2 * N, 4)
+    # interleave rows: vertex 2i+o; then flatten
+    return jnp.stack(cols, axis=1).reshape(2 * N * 4)
+
+
+def adj_at(adj: jnp.ndarray, v: jnp.ndarray, n) -> jnp.ndarray:
+    """adj[4*v + n] with traced v (and traced or static n)."""
+    if isinstance(n, int):
+        return adj[v * 4 + n]
+    return adj[v * 4 + n.astype(jnp.int32)]
 
 
 _cache: "weakref.WeakValueDictionary" = {}

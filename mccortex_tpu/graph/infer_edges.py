@@ -45,7 +45,8 @@ def _infer_adj(g: gstore.DBGraph, adj, pop_only: bool = True):
         for n in range(4):
             bit = np.uint8(1 << (n + 4 * o))
             rows = (cand & bit) > 0
-            nv = adj[idx * 2 + o, n]
+            from . import adjacency as adjmod
+            nv = adjmod.adj_at(adj, idx * 2 + o, n)
             found = nv >= 0
             j = jnp.maximum(nv, 0) >> 1
             addc = rows[:, None] & found[:, None] & present & present[j]

@@ -35,7 +35,8 @@ def _clear_dangling_adj(edges, keep, adj):
     for o in (0, 1):
         for n in range(4):
             bit = np.uint8(1 << (n + 4 * o))
-            nv = adj[idx * 2 + o, n]
+            from . import adjacency as adjmod
+            nv = adjmod.adj_at(adj, idx * 2 + o, n)
             neighbour_kept = (nv >= 0) & keep[jnp.maximum(nv, 0) >> 1]
             clear = (~neighbour_kept)[:, None]
             new_edges = jnp.where(clear, new_edges & np.uint8(0xFF ^ bit),

@@ -42,7 +42,8 @@ def _bfs_step(mask, uedges, adj):
         nib = E.with_orientation(uedges, jnp.full((N,), o, jnp.uint8))
         for n in range(4):
             has = ((nib >> n) & 1).astype(bool) & mask
-            nv = adj[idx * 2 + o, n]
+            from . import adjacency as adjmod
+            nv = adjmod.adj_at(adj, idx * 2 + o, n)
             j = jnp.maximum(nv, 0) >> 1
             add = has & (nv >= 0)
             out = out | jnp.zeros_like(mask).at[j].max(add)

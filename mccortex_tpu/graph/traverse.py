@@ -128,10 +128,10 @@ def _candidates(g: gstore.DBGraph, st: WalkState, colour: int | None,
     pop_nib = E.with_orientation(uedges[st.idx], st.orient)
     col_bits = jnp.zeros_like(pop_nib)
     if adj is not None:
+        from . import adjacency as adjmod
         v = st.idx * 2 + st.orient.astype(jnp.int32)
-        nbrs = adj[v]  # (B, 4)
         for n in range(4):
-            nv = nbrs[:, n]
+            nv = adjmod.adj_at(adj, v, n)
             found = nv >= 0
             j = jnp.maximum(nv, 0) >> 1
             if colour is None:
@@ -200,8 +200,9 @@ def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
         adv = st.active & go
         nxt_okm = kops.shift_append(st.okm, nuc, g.k)
         if adj is not None:
+            from . import adjacency as adjmod
             v = st.idx * 2 + st.orient.astype(jnp.int32)
-            nv = adj[v, nuc.astype(jnp.int32)]
+            nv = adjmod.adj_at(adj, v, nuc)
             j = jnp.maximum(nv, 0) >> 1
             o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
         else:

@@ -66,7 +66,8 @@ def _successors_from_adj(uedges: jnp.ndarray, adj: jnp.ndarray):
         nib = E.with_orientation(uedges, oarr)
         single = pop4[nib.astype(jnp.int32)] == 1
         nuc = nib2nuc[nib.astype(jnp.int32)]
-        nv = adj[idx * 2 + o, nuc.astype(jnp.int32)]
+        from . import adjacency as adjmod
+        nv = adjmod.adj_at(adj, idx * 2 + o, nuc)
         found = nv >= 0
         j = jnp.maximum(nv, 0) >> 1
         o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)

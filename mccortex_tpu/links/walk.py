@@ -280,8 +280,9 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         lost_nuc = kops.first_base(b.okm, g.k)
         nxt_okm = kops.shift_append(b.okm, nuc, g.k)
         if adj is not None:
+            from ..graph import adjacency as adjmod
             v = b.idx * 2 + b.orient.astype(jnp.int32)
-            nv = adj[v, nuc.astype(jnp.int32)]
+            nv = adjmod.adj_at(adj, v, nuc)
             j = jnp.maximum(nv, 0) >> 1
             o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
         else:
