@@ -188,10 +188,12 @@ def choose_linkless(pop_nib: jnp.ndarray, col_nib: jnp.ndarray):
 @functools.partial(jax.jit, static_argnames=("colour", "max_steps"))
 def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
          max_steps: int, adj: jnp.ndarray | None = None) -> WalkState:
-    """Advance all walkers until halt or max_steps."""
+    """Advance all walkers until halt or max_steps additional steps
+    (relative to entry, so chunked callers reuse one compilation)."""
+    start = st.nsteps
 
     def cond(st):
-        return (st.active & (st.nsteps < max_steps)).any()
+        return (st.active & (st.nsteps - start < max_steps)).any()
 
     def body(st):
         pop_nib, col_nib = _candidates(g, st, colour, adj)
@@ -241,6 +243,19 @@ def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
     return jax.lax.while_loop(cond, body, st)
 
 
+def walk_chunked(g, st, colour, max_steps, adj=None, chunk=512):
+    """Resumable walking: repeated bounded walk() dispatches so no single
+    device execution runs long (relay watchdog; see ROUND1.md)."""
+    done = 0
+    while done < max_steps:
+        take = min(chunk, max_steps - done)
+        st = walk(g, st, colour, max_steps=take, adj=adj)
+        done += take
+        if not bool(st.active.any()):
+            break
+    return st
+
+
 def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
                               colour: int | None = 0,
                               max_len: int = 4096):
@@ -259,7 +274,7 @@ def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
     stats = []
     for o in (0, 1):
         st = walk_init(g, seeds, jnp.full((B,), o, jnp.uint8), max_len)
-        st = walk(g, st, colour, max_steps=max_len + 1, adj=adj)
+        st = walk_chunked(g, st, colour, max_len + 1, adj=adj)
         halves.append((np.asarray(st.out_bases), np.asarray(st.out_len)))
         stats.append(np.asarray(st.status))
     seed_keys = np.asarray(g.keys)[seed_rows]

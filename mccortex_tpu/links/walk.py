@@ -266,9 +266,11 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 edge_colour: int = 0,
                 missing_check: bool = False,
                 adj: jnp.ndarray | None = None) -> LinkedWalkState:
+    start = st.base.nsteps
 
     def cond(st):
-        return (st.base.active & (st.base.nsteps < max_steps)).any()
+        return (st.base.active
+                & (st.base.nsteps - start < max_steps)).any()
 
     def body(st):
         b = st.base
@@ -398,6 +400,21 @@ def _other_prev_exists(g, b, lost_nuc, edge_colour):
     return rem > 0
 
 
+def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
+                        missing_check=False, adj=None, chunk=512):
+    """Resumable linked walking (bounded per-dispatch execution)."""
+    done = 0
+    while done < max_steps:
+        take = min(chunk, max_steps - done)
+        st = walk_linked(g, links, st, colour, max_steps=take,
+                         ctpcol=ctpcol, missing_check=missing_check,
+                         adj=adj)
+        done += take
+        if not bool(st.base.active.any()):
+            break
+    return st
+
+
 def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                             seed_rows: np.ndarray, colour: int | None = 0,
                             max_len: int = 4096, ctpcol: int = 0,
@@ -415,9 +432,9 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
     for o in (0, 1):
         st = linked_init(g, links, seeds, jnp.full((B,), o, jnp.uint8),
                          max_len, ctpcol)
-        st = walk_linked(g, links, st, colour, max_steps=max_len + 1,
-                         ctpcol=ctpcol, missing_check=missing_check,
-                         adj=adj)
+        st = walk_linked_chunked(g, links, st, colour, max_len + 1,
+                                 ctpcol=ctpcol,
+                                 missing_check=missing_check, adj=adj)
         halves.append((np.asarray(st.base.out_bases),
                        np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
@@ -521,8 +538,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
     # direction 0: cold start at (seed, FORWARD)
     st0 = linked_init(g, links, seeds, jnp.zeros((B,), jnp.uint8),
                       max_len, ctpcol)
-    st0 = walk_linked(g, links, st0, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol, missing_check=missing_check, adj=adj)
+    st0 = walk_linked_chunked(g, links, st0, colour, max_len + 1,
+                              ctpcol=ctpcol, missing_check=missing_check,
+                              adj=adj)
     fw_b = np.asarray(st0.base.out_bases)
     fw_v = np.asarray(st0.base.out_vert)
     fw_l = np.asarray(st0.base.out_len)
@@ -552,8 +570,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                       max_len, ctpcol)
     st1 = walk_along(g, links, st1, jnp.asarray(ctx_verts),
                      jnp.asarray(ctx_len), ctpcol=ctpcol)
-    st1 = walk_linked(g, links, st1, colour, max_steps=max_len + 1,
-                      ctpcol=ctpcol, missing_check=missing_check, adj=adj)
+    st1 = walk_linked_chunked(g, links, st1, colour, max_len + 1,
+                              ctpcol=ctpcol, missing_check=missing_check,
+                              adj=adj)
     rv_b = np.asarray(st1.base.out_bases)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)
