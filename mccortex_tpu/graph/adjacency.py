@@ -67,16 +67,23 @@ def build_adjacency(keys: jnp.ndarray, k: int) -> jnp.ndarray:
     the 128-lane width (32x memory); 1-D arrays have no such padding.
     Host-orchestrated: one small dispatch per probe/chunk."""
     N = keys.shape[0]
-    cols = []
+    # strided 1-D scatters only: any (N, small) intermediate would be
+    # lane-padded on TPU (e.g. (N,2,4) tiles to 128 lanes = 32x memory)
+    flat = jnp.full((8 * N,), -1, jnp.int32)
     for o in (0, 1):
-        percol = []
         for n in range(4):
             key2, o2 = _probe(keys, k, o, n)
             j, found = lookup_chunked(keys, key2)
-            percol.append(_vertex_of(j, found, o2))
-        cols.append(jnp.stack(percol, axis=1))  # (N, 4)
-    # interleave rows: vertex 2i+o; then flatten
-    return jnp.stack(cols, axis=1).reshape(2 * N * 4)
+            v = _vertex_of(j, found, o2)
+            flat = _strided_set(flat, v, o * 4 + n)
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("off",))
+def _strided_set(flat, vals, off: int):
+    N = vals.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32) * 8 + off
+    return flat.at[idx].set(vals)
 
 
 def adj_at(adj: jnp.ndarray, v: jnp.ndarray, n) -> jnp.ndarray:
@@ -91,15 +98,17 @@ _cache_store = {}
 
 
 def get_adjacency_for(keys: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Cached adjacency keyed by the keys buffer identity."""
+    """Cached adjacency keyed by the keys buffer identity.  The cache
+    stores the keys array itself and verifies `is` — a bare id() key
+    can collide when a freed array's address is reused."""
     ck = (id(keys), keys.shape[0], k)
     hit = _cache_store.get(ck)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is keys:
+        return hit[1]
     adj = build_adjacency(keys, k)
     if len(_cache_store) > 8:
         _cache_store.clear()
-    _cache_store[ck] = adj
+    _cache_store[ck] = (keys, adj)
     return adj
 
 
