@@ -112,18 +112,15 @@ def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
     return sops.unique_reduce(skeys, scovg, sedges, M)
 
 
-@jax.jit
 def _merge2(ak, ac, ae, bk, bc, be):
     """Merge two SORTED sentinel-padded record arrays by rank
     (searchsorted + scatter): O(n+m) memory and O(n log m) work — no
-    sort scratch, unlike concat+sort (XLA's TPU sort allocates multiples
-    of the input and OOMs at ~100M records).  Fixed shapes — compiles
-    once per size level."""
+    sort scratch (XLA's TPU sort OOMs ~100M records).  HOST-orchestrated:
+    each chunk/pass is its own device execution so no single program
+    runs long enough to trip relay watchdogs."""
     n, m = ak.shape[0], bk.shape[0]
-    # output rank of each record; equal keys: a's records first (stable)
-    ra = jnp.arange(n, dtype=jnp.int32) + sops.searchsorted_chunked(bk, ak)
-    rb = jnp.arange(m, dtype=jnp.int32) + sops.searchsorted_chunked(
-        ak, bk, side="right")
+    ra = _add_iota(sops.searchsorted_chunked(bk, ak))
+    rb = _add_iota(sops.searchsorted_chunked(ak, bk, side="right"))
     W, C = ak.shape[1], ac.shape[1]
     keys = sops.scatter_chunked(
         sops.scatter_chunked(sops.sentinel((n + m,), W), ra, ak), rb, bk)
@@ -133,8 +130,13 @@ def _merge2(ak, ac, ae, bk, bc, be):
     edges = sops.scatter_chunked(
         sops.scatter_chunked(jnp.zeros((n + m, C), ae.dtype), ra, ae),
         rb, be)
-    ok, oc, oe, _ = sops.unique_reduce(keys, covg, edges, n + m)
+    ok, oc, oe, _ = sops.unique_reduce_host(keys, covg, edges, n + m)
     return ok, oc, oe
+
+
+@jax.jit
+def _add_iota(r):
+    return jnp.arange(r.shape[0], dtype=jnp.int32) + r
 
 
 def _searchsorted_right(sorted_keys, queries):

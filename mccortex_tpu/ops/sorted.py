@@ -105,18 +105,65 @@ def segmented_or(vals: jnp.ndarray, seg_id: jnp.ndarray, num_segments: int):
     OR is monotone nondecreasing per element, so segment_max of the
     inclusive scan equals the segment OR)."""
     N = vals.shape[0]
-    extra = vals.ndim - 1
-    sid = seg_id.reshape((N,) + (1,) * extra)
     scan = vals
     d = 1
     while d < N:
-        shifted = jnp.concatenate(
-            [jnp.zeros_like(scan[:d]), scan[:-d]], axis=0)
-        sseg = jnp.concatenate(
-            [jnp.full_like(sid[:d], -1), sid[:-d]], axis=0)
-        scan = scan | jnp.where(sseg == sid, shifted, jnp.zeros_like(shifted))
+        scan = _seg_or_pass(scan, seg_id, d)
         d *= 2
     return jax.ops.segment_max(scan, seg_id, num_segments=num_segments)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _seg_or_pass(scan, seg_id, d: int):
+    N = scan.shape[0]
+    extra = scan.ndim - 1
+    sid = seg_id.reshape((N,) + (1,) * extra)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(scan[:d]), scan[:-d]], axis=0)
+    sseg = jnp.concatenate(
+        [jnp.full_like(sid[:d], -1), sid[:-d]], axis=0)
+    return scan | jnp.where(sseg == sid, shifted, jnp.zeros_like(shifted))
+
+
+def unique_reduce_host(sorted_keys, covg, edges, num_out: int):
+    """unique_reduce split into separate device executions (for inputs
+    large enough that one fused program would trip relay watchdogs):
+    bounds -> segment sums -> per-pass segmented OR -> compaction."""
+    is_start, seg_id = _seg_bounds_jit(sorted_keys)
+    valid_covg, valid_edges, valid = _mask_jit(sorted_keys, covg, edges)
+    covg_out = _segsum_jit(valid_covg, seg_id, num_out)
+    edges_out = segmented_or(valid_edges, seg_id, num_out)
+    return _compact_jit(sorted_keys, covg, covg_out, edges_out, is_start,
+                        seg_id, valid)
+
+
+@jax.jit
+def _seg_bounds_jit(sorted_keys):
+    return segment_bounds(sorted_keys)
+
+
+@jax.jit
+def _mask_jit(sorted_keys, covg, edges):
+    valid = ~is_sentinel(sorted_keys)
+    return (covg * valid[:, None].astype(covg.dtype),
+            edges * valid[:, None].astype(edges.dtype), valid)
+
+
+@functools.partial(jax.jit, static_argnames=("num_out",))
+def _segsum_jit(vals, seg_id, num_out: int):
+    return jax.ops.segment_sum(vals, seg_id, num_segments=num_out)
+
+
+@jax.jit
+def _compact_jit(sorted_keys, covg, covg_out, edges_out, is_start, seg_id,
+                 valid):
+    num_out, W = covg_out.shape[0], sorted_keys.shape[1]
+    keys_out = sentinel((num_out,), W)
+    keys_out = keys_out.at[seg_id].set(
+        jnp.where(valid[:, None], sorted_keys, keys_out[0]))
+    n_unique = jnp.sum(is_start & valid)
+    return (keys_out, covg_out.astype(covg.dtype),
+            edges_out.astype(jnp.uint8), n_unique)
 
 
 def unique_reduce(sorted_keys: jnp.ndarray, covg: jnp.ndarray,
