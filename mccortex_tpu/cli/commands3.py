@@ -308,3 +308,41 @@ def cmd_links(argv):
 
 register("correct", cmd_correct, "error-correct reads against the graph")
 register("links", cmd_links, "clean / inspect link files")
+
+
+def cmd_hashtest(argv):
+    """Hidden micro-benchmark (role of ref ctx_exp_hashtest.c /
+    mccortex.c:166-170): kmer-store insert + lookup throughput."""
+    p = argparse.ArgumentParser(prog="mctx hashtest")
+    p.add_argument("-n", "--num", type=int, default=1 << 20,
+                   help="number of kmers")
+    p.add_argument("-k", "--kmer", type=int, default=31)
+    args = p.parse_args(argv)
+    import time
+    import jax.numpy as jnp
+    from ..graph import build as gbuild
+    from ..graph import store as gstore
+    from ..ops import sorted as sops
+    rng = np.random.default_rng(0)
+    L = 256
+    B = max(args.num // (L - args.kmer + 1), 1)
+    bases = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    t0 = time.perf_counter()
+    keys, covg, edges, nu = gbuild.count_batch(
+        jnp.asarray(bases), args.kmer, 1, 0)
+    keys.block_until_ready()
+    t_ins = time.perf_counter() - t0
+    nk = B * (L - args.kmer + 1)
+    q = keys[jnp.asarray(rng.integers(0, max(int(nu), 1), args.num))]
+    t0 = time.perf_counter()
+    idx, found = sops.lookup(keys, q)
+    idx.block_until_ready()
+    t_lk = time.perf_counter() - t0
+    _status(f"insert: {nk} kmers in {t_ins:.3f}s "
+            f"({nk / t_ins / 1e6:.1f}M/s)")
+    _status(f"lookup: {args.num} queries in {t_lk:.3f}s "
+            f"({args.num / t_lk / 1e6:.1f}M/s)")
+    return 0
+
+
+register("hashtest", cmd_hashtest, "kmer store micro-benchmark")
