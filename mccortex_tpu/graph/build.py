@@ -158,6 +158,60 @@ def _searchsorted_right(sorted_keys, queries):
     return lo
 
 
+# Device merge levels above this spill to host numpy: 64-bit compares
+# are native on the host but emulated on TPU, and very large device
+# merges risk the relay execution watchdog.
+SPILL_LEVEL = 1 << 23
+
+
+def _to_np(item):
+    lvl, kk, cc, ee = item
+    return (lvl, np.asarray(kk), np.asarray(cc), np.asarray(ee))
+
+
+def _merge2_np(ak, ac, ae, bk, bc, be):
+    """Host merge of two sorted sentinel-padded record arrays (numpy)."""
+    n, m = len(ak), len(bk)
+    W, C = ak.shape[1], ac.shape[1]
+    if W == 1:
+        ra = np.arange(n) + np.searchsorted(bk[:, 0], ak[:, 0], "left")
+        rb = np.arange(m) + np.searchsorted(ak[:, 0], bk[:, 0], "right")
+    else:
+        av = _np_keyview(ak)
+        bv = _np_keyview(bk)
+        ra = np.arange(n) + np.searchsorted(bv, av, "left")
+        rb = np.arange(m) + np.searchsorted(av, bv, "right")
+    keys = np.full((n + m, W), sops.SENTINEL64, np.uint64)
+    covg = np.zeros((n + m, C), ac.dtype)
+    edges = np.zeros((n + m, C), ae.dtype)
+    keys[ra], keys[rb] = ak, bk
+    covg[ra], covg[rb] = ac, bc
+    edges[ra], edges[rb] = ae, be
+    # combine duplicate adjacent keys
+    same = (keys[1:] == keys[:-1]).all(axis=1)
+    first = np.concatenate([[True], ~same])
+    seg = np.cumsum(first) - 1
+    U = int(seg[-1]) + 1
+    cov_out = np.zeros((U, C), np.uint64)
+    np.add.at(cov_out, seg, covg)
+    edg_out = np.zeros((U, C), np.uint8)
+    np.bitwise_or.at(edg_out, seg, edges)
+    keys_out = np.full_like(keys, sops.SENTINEL64)
+    keys_out[:U] = keys[first]
+    covg2 = np.zeros_like(covg)
+    covg2[:U] = np.minimum(cov_out, np.iinfo(np.uint32).max)
+    edges2 = np.zeros_like(edges)
+    edges2[:U] = edg_out
+    return keys_out, covg2.astype(ac.dtype), edges2
+
+
+def _np_keyview(a):
+    """Structured view for lexicographic multiword searchsorted."""
+    W = a.shape[1]
+    dt = np.dtype([(f"w{i}", ">u8") for i in range(W)])
+    return np.ascontiguousarray(a.byteswap()).view(dt).reshape(-1)
+
+
 def build(reads_batches, k: int, ncols: int = 1,
           capacity: int | None = None) -> gstore.DBGraph:
     """Build a graph from an iterable of (bases (B,L) np.uint8, colour).
@@ -166,8 +220,8 @@ def build(reads_batches, k: int, ncols: int = 1,
     batch is aggregated on device, then folded into the store with
     binary-counter (LSM-style) merges.  Every device op has a FIXED
     shape per size level, so the whole build compiles O(log n_batches)
-    programs regardless of input size — critical when each compile is
-    expensive (remote-compile TPU backends).
+    programs; levels above SPILL_LEVEL merge on host (native u64
+    compares, no device watchdog exposure).
     """
     stack = []  # [(level, keys, covg, edges)] — at most one per level
     for bases, colour in reads_batches:
@@ -175,27 +229,44 @@ def build(reads_batches, k: int, ncols: int = 1,
             jnp.asarray(bases), k, ncols, colour)
         item = (keys.shape[0], keys, covg, edges)
         while stack and stack[-1][0] == item[0]:
-            _, bk2, bc2, be2 = stack.pop()
-            mk, mc, me = _merge2(item[1], item[2], item[3], bk2, bc2, be2)
-            item = (mk.shape[0], mk, mc, me)
+            prev = stack.pop()
+            item = _merge_items(item, prev)
         stack.append(item)
     if not stack:
         return gstore.empty(k, capacity or 1024, ncols)
-    # fold remaining levels (few, ascending sizes)
     item = stack.pop()
     while stack:
-        _, bk2, bc2, be2 = stack.pop()
-        mk, mc, me = _merge2(item[1], item[2], item[3], bk2, bc2, be2)
-        item = (mk.shape[0], mk, mc, me)
+        item = _merge_items(item, stack.pop())
     _, keys, covg, edges = item
-    is_start, _ = sops.segment_bounds(keys)
-    n = jnp.sum(is_start & ~sops.is_sentinel(keys))
-    g = gstore.DBGraph(keys=keys, covg=covg, edges=edges,
-                       n=n.astype(jnp.int64), k=k)
+    if isinstance(keys, np.ndarray):
+        live = ~(keys == sops.SENTINEL64).all(axis=1)
+        n = int(live.sum())
+        g = gstore.DBGraph(keys=jnp.asarray(keys),
+                           covg=jnp.asarray(covg),
+                           edges=jnp.asarray(edges),
+                           n=jnp.asarray(n, jnp.int64), k=k)
+    else:
+        is_start, _ = sops.segment_bounds(keys)
+        n = jnp.sum(is_start & ~sops.is_sentinel(keys))
+        g = gstore.DBGraph(keys=keys, covg=covg, edges=edges,
+                           n=n.astype(jnp.int64), k=k)
     if capacity and capacity != g.capacity:
         g = gstore.merge_records(gstore.empty(k, capacity, ncols),
-                                 keys, covg, edges)
+                                 g.keys, g.covg, g.edges)
     return g
+
+
+def _merge_items(a, b):
+    lvl = a[0]
+    host = lvl >= SPILL_LEVEL or isinstance(a[1], np.ndarray) \
+        or isinstance(b[1], np.ndarray)
+    if host:
+        a = _to_np(a)
+        b = _to_np(b)
+        mk, mc, me = _merge2_np(a[1], a[2], a[3], b[1], b[2], b[3])
+        return (mk.shape[0], mk, mc, me)
+    mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
+    return (mk.shape[0], mk, mc, me)
 
 
 class PcrDupFilter:
