@@ -253,7 +253,7 @@ def build(reads_batches, k: int, ncols: int = 1,
     if capacity and capacity != g.capacity:
         g = gstore.merge_records(gstore.empty(k, capacity, ncols),
                                  g.keys, g.covg, g.edges)
-    return g
+    return gstore.compacted(g)
 
 
 def _merge_items(a, b):

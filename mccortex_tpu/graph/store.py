@@ -109,3 +109,15 @@ def to_host(g: DBGraph):
     n = int(g.n)
     return (np.asarray(g.keys[:n]), np.asarray(g.covg[:n]),
             np.asarray(g.edges[:n]))
+
+
+def compacted(g: DBGraph, align: int = 1 << 16) -> DBGraph:
+    """Slice the store down to its live prefix (records are always
+    compacted at the front, sentinel-padded after).  Keeps capacity a
+    multiple of `align` to bound recompilation across similar sizes."""
+    n = int(g.n)
+    cap = max(align, (n + align - 1) // align * align)
+    if cap >= g.capacity:
+        return g
+    return DBGraph(keys=g.keys[:cap], covg=g.covg[:cap],
+                   edges=g.edges[:cap], n=g.n, k=g.k)

@@ -76,7 +76,12 @@ def _successors_from_adj(uedges: jnp.ndarray, adj: jnp.ndarray):
         ok = single & found & indeg1 & (j != idx)
         out.append(jnp.where(ok, j * 2 + o2.astype(jnp.int32),
                              jnp.int32(-1)))
-    return jnp.stack([out[0], out[1]], axis=1).reshape(-1)
+    # interleave via strided 1-D scatters: an (N, 2) stack intermediate
+    # would be lane-padded 2->128 on TPU (64x memory)
+    succ = jnp.full((2 * N,), -1, jnp.int32)
+    succ = succ.at[idx * 2].set(out[0])
+    succ = succ.at[idx * 2 + 1].set(out[1])
+    return succ
 
 
 def pointer_doubling(succ: jnp.ndarray):
