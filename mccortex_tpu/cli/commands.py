@@ -336,13 +336,33 @@ def cmd_contigs(argv):
     p = argparse.ArgumentParser(prog="mctx contigs")
     p.add_argument("-o", "--out", default="-")
     p.add_argument("--colour", type=int, default=0)
-    p.add_argument("--no-reseed", action="store_true",
-                   help="do not seed from kmers already in a contig")
+    g1 = p.add_mutually_exclusive_group()
+    g1.add_argument("-r", "--reseed", dest="reseed", action="store_true",
+                    help="sample seed kmers with replacement")
+    g1.add_argument("-R", "--no-reseed", dest="reseed",
+                    action="store_false",
+                    help="do not reuse seed kmers already in a contig "
+                         "[default, ref ctx_contigs.c:29]")
+    p.set_defaults(reseed=False)
+    p.add_argument("-s", "--seed", action="append", default=[],
+                   help="seed kmers from a FASTA (reads must be kmer "
+                        "length, ref ctx_contigs.c:27)")
+    p.add_argument("-P", "--use-seed-paths", action="store_true",
+                   help="seed contigs from unused links "
+                        "(ref ctx_contigs.c:30)")
     p.add_argument("--max-len", type=int, default=65536,
                    help="max contig extension per direction (kmers)")
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("-G", "--genome", type=int, default=0,
-                   help="genome size for NG50")
+                   help="genome size (bases) for NG50 + confidence table")
+    p.add_argument("-C", "--confid-cumul", type=float, default=-1.0,
+                   help="halt when cumulative confidence < C "
+                        "(ref ctx_contigs.c:32)")
+    p.add_argument("-T", "--confid-step", type=float, default=-1.0,
+                   help="halt when single-step confidence < C "
+                        "(ref ctx_contigs.c:33)")
+    p.add_argument("-S", "--confid-csv", default=None,
+                   help="save the confidence table as CSV")
     p.add_argument("-p", "--paths", action="append", default=[],
                    help=".ctp link files (link-guided assembly)")
     p.add_argument("--no-missing-check", dest="missing_check",
@@ -352,6 +372,7 @@ def cmd_contigs(argv):
     p.add_argument("ctx")
     args = p.parse_args(argv)
     import numpy as np
+    import jax.numpy as jnp
     from ..graph import traverse as T
     from ..utils.stats import contig_stats
     h, g = _load_graph(args.ctx)
@@ -359,42 +380,126 @@ def cmd_contigs(argv):
 
     links = None
     if args.paths:
-        from ..links import store as lstore
         from ..io import ctp as ctpio
         links = ctpio.load_link_store(args.paths, g)
+
+    # confidence table from the .ctp contig-length histograms + genome
+    # size (ref ctx_contigs.c:225-239 conf_table_update_hist)
+    want_conf = (args.confid_cumul >= 0 or args.confid_step >= 0 or
+                 args.confid_csv)
+    conf_arr = None
+    if want_conf:
+        if not args.genome:
+            p.error("--confid-* / --confid-csv require --genome")
+        from ..graph import contig_confidence as cc
+        from ..io import ctp as ctpio
+        hist = {}
+        for pth in args.paths:
+            ph = ctpio.load_ctp_header(pth)
+            for lng, cnt in ctpio.contig_hist_from_header(
+                    ph, args.colour).items():
+                hist[lng] = hist.get(lng, 0) + cnt
+        table = cc.conf_table(args.genome, hist)
+        if args.confid_csv:
+            with open(args.confid_csv, "w") as fh:
+                cc.print_table(table, fh)
+            _status(f"saved confidence table -> {args.confid_csv}")
+        if links is None and (args.confid_cumul >= 0 or
+                              args.confid_step >= 0):
+            p.error("--confid-* need -p link files")
+        conf_arr = jnp.asarray(table.astype(np.float32))
+
+    seed_rows = None
+    if args.seed:
+        from ..io import seqio
+        from ..ops import kmer as kops
+        from ..ops import sorted as sops
+        from ..constants import CHAR_TO_BASE
+        found_rows = []
+        nmiss = 0
+        for codes, _, _ in seqio.read_batches(args.seed):
+            if codes.shape[1] != g.k:
+                raise SystemExit(
+                    f"--seed reads must be kmer length ({g.k}): "
+                    f"got {codes.shape[1]}")
+            kk = kops.pack_kmers(jnp.asarray(codes), g.k)
+            keys, _ = kops.canonical(kk, g.k)
+            idx, fnd = sops.lookup(g.keys, keys)
+            fnd = np.asarray(fnd)
+            found_rows.append(np.asarray(idx)[fnd])
+            nmiss += int((~fnd).sum())
+        seed_rows = (np.concatenate(found_rows) if found_rows
+                     else np.zeros(0, np.int64))
+        if nmiss:
+            _status(f"contigs: {nmiss} seed kmers not found in graph")
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     visited = np.zeros(n, dtype=bool)
     lengths = []
     ncontig = 0
     batch = args.batch
-    order = np.arange(n)
-    for s0 in range(0, n, batch):
+    order = seed_rows if seed_rows is not None else np.arange(n)
+    used_links = (np.zeros(links.nlinks, bool)
+                  if links is not None else None)
+    conf_kw = dict(conf_table=conf_arr, min_step=args.confid_step,
+                   min_cumul=args.confid_cumul)
+    for s0 in range(0, len(order), batch):
         seeds = order[s0:s0 + batch]
-        if args.no_reseed:
+        if not args.reseed:
             seeds = seeds[~visited[seeds]]
         if len(seeds) == 0:
             continue
+        extra = None
         if links is not None:
             from ..links import walk as lwalk
-            contigs, stats = lwalk.assemble_contigs_primed(
+            contigs, stats, extra = lwalk.assemble_contigs_primed(
                 g, links, seeds, colour=args.colour, max_len=args.max_len,
-                missing_check=args.missing_check)
+                missing_check=args.missing_check,
+                track_used=args.use_seed_paths, return_extra=True,
+                **conf_kw)
+            if args.use_seed_paths:
+                used_links |= extra["used"]
         else:
             contigs, stats = T.assemble_linkless_contigs(
                 g, seeds, colour=args.colour, max_len=args.max_len)
         for i, c in enumerate(contigs):
-            if args.no_reseed:
+            if not args.reseed:
                 # a later seed in this batch may already be covered by an
                 # earlier contig (the reference checks seed-by-seed,
                 # assemble_contigs.c:223)
                 if visited[int(seeds[i])]:
                     continue
                 _mark_contig_kmers(g, c, visited)
-            out.write(f">contig{ncontig} length={len(c)} "
-                      f"seed={int(seeds[i])}\n{c}\n")
+            hdr = (f">contig{ncontig} length={len(c)} "
+                   f"seed={int(seeds[i])}")
+            if extra is not None and conf_arr is not None:
+                hdr += (f" lf.conf={extra['cum_conf'][i, 1]:.5f}"
+                        f" lf.max_gap={int(extra['max_gap'][i, 1])}"
+                        f" rt.conf={extra['cum_conf'][i, 0]:.5f}"
+                        f" rt.max_gap={int(extra['max_gap'][i, 0])}")
+            out.write(f"{hdr}\n{c}\n")
             lengths.append(len(c))
             ncontig += 1
+
+    # second pass: seed from links never fully used in a contig
+    # (ref assemble_contigs.c _assemble_from_paths)
+    if args.use_seed_paths and links is not None:
+        from ..links import walk as lwalk
+        has_col = np.asarray(links.nseen)[:, args.colour] > 0
+        unused = np.nonzero(has_col & ~used_links)[0]
+        _status(f"contigs: seeding from {len(unused)} unused links")
+        for s0 in range(0, len(unused), batch):
+            lids = unused[s0:s0 + batch]
+            contigs, stats = lwalk.assemble_contigs_from_paths(
+                g, links, lids, colour=args.colour,
+                max_len=args.max_len,
+                missing_check=args.missing_check, **conf_kw)
+            for i, c in enumerate(contigs):
+                out.write(f">contig{ncontig} length={len(c)} "
+                          f"seedpath={int(lids[i])}\n{c}\n")
+                lengths.append(len(c))
+                ncontig += 1
+
     if out is not sys.stdout:
         out.close()
     st = contig_stats(lengths, genome_size=args.genome or None)
@@ -457,12 +562,14 @@ def cmd_thread(argv):
     from ..io import seqio
     h, g = _load_graph(args.ctx)
     ncols = max(h.ncols, args.colour + 1)
+    stats = lthread.ThreadStats(ncols)
     batches = [(codes, args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
     if args.gap_fill:
-        links = lthread.thread_reads_gapfill(g, batches, ncols)
+        links = lthread.thread_reads_gapfill(g, batches, ncols,
+                                             stats=stats)
     elif batches:
-        links = lthread.thread_reads(g, batches, ncols)
+        links = lthread.thread_reads(g, batches, ncols, stats=stats)
     else:
         links = None
     if args.seq2:
@@ -473,19 +580,33 @@ def cmd_thread(argv):
                                                    colour=args.colour):
                 pair_batches.append((c1, c2, args.colour))
         pe_links = lthread.thread_reads_pe(
-            g, pair_batches, ncols, frag_len_max=args.frag_len)
+            g, pair_batches, ncols, frag_len_max=args.frag_len,
+            stats=stats)
         links = pe_links if links is None else lstore2.merge_stores(
             links, pe_links, g.capacity)
+    prev_commands = []
     if args.paths:
         prev = ctpio.load_link_store(args.paths, g)
         links = lstore.merge_stores(prev, links, g.capacity)
+        # accumulate contig hists + provenance from the input link files
+        # (ref ctx_thread.c:208 gpath_reader_load_contig_hist)
+        for pth in args.paths:
+            phdr = ctpio.load_ctp_header(pth)
+            prev_commands.extend(phdr.get("commands", []))
+            for c in range(ncols):
+                for lng, cnt in ctpio.contig_hist_from_header(
+                        phdr, c).items():
+                    stats.add_contig(c, lng, cnt)
     npe = sum(c1.shape[0] for r1, r2 in args.seq2
               for c1, _, _ in seqio.read_batches_pe(r1, r2)) \
         if args.seq2 else 0
     _status(f"threaded {sum(b.shape[0] for b, _ in batches)} reads + "
             f"{npe} pairs -> {links.nlinks} links")
     ctpio.save_ctp(args.out, g, links,
-                   sample_names=[gi.sample_name for gi in h.ginfo])
+                   sample_names=[gi.sample_name for gi in h.ginfo],
+                   command="mctx thread " + " ".join(argv),
+                   contig_hists=stats.contig_hists,
+                   prev_commands=prev_commands)
     return 0
 
 

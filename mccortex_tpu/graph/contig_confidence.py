@@ -40,6 +40,7 @@ def conf_table(genome_size: int, read_hist: dict) -> np.ndarray:
 
 
 def print_table(table: np.ndarray, out) -> None:
-    out.write("gap_dist,confidence\n")
+    """Reference CSV format (ref contig_confidence.c conf_table_print)."""
+    out.write("gap_dist\tconfidence_0\n")
     for i in range(1, len(table)):
-        out.write(f"{i},{table[i]:.6f}\n")
+        out.write(f"{i}\t{table[i]:.5f}\n")

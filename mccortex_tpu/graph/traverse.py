@@ -48,11 +48,14 @@ USELINKS = 8
 # extra halt reasons (assemble_contigs.c graphstep2assem)
 HALT_CYCLE = 9
 HALT_MAXLEN = 10
+LOW_STEP_CONF = 11   # ref assemble_contigs.c low_step_confid
+LOW_CUMUL_CONF = 12  # ref assemble_contigs.c low_cumul_confid
 
 STATUS_STR = ["GoPopForward", "GoColForward", "GoPopForkColForward",
               "FailNoCovg", "FailNoColCovg", "FailNoLinks",
               "FailSplitLinks", "FailMissingLinks", "GoUseLinks",
-              "HitCycle", "HitMaxLen"]
+              "HitCycle", "HitMaxLen", "LowStepConfidence",
+              "LowCumulConfidence"]
 
 @struct.dataclass
 class WalkState:

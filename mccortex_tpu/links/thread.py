@@ -32,6 +32,38 @@ from ..graph import store as gstore
 from . import store as lstore
 
 
+class ThreadStats:
+    """Per-colour corrected-contig length histogram collected while
+    threading (role of ref correct_aln_stats.c:81 cap_contig); saved
+    into the .ctp header and consumed by the contigs confidence model."""
+
+    def __init__(self, ncols: int):
+        self.contig_hists = [dict() for _ in range(ncols)]
+
+    def add_contig(self, colour: int, len_bp: int, n: int = 1):
+        h = self.contig_hists[colour]
+        h[len_bp] = h.get(len_bp, 0) + n
+
+    def add_run_lengths(self, colour: int, lens_bp):
+        for x in lens_bp:
+            self.add_contig(colour, int(x))
+
+
+def _record_valid_runs(stats, colour, valid: np.ndarray, k: int):
+    """Record the length (bp) of each contiguous valid run per read."""
+    if stats is None:
+        return
+    v = np.asarray(valid)
+    B = v.shape[0]
+    pad = np.zeros((B, 1), bool)
+    d = np.diff(np.concatenate([pad, v, pad], axis=1).astype(np.int8),
+                axis=1)
+    starts = np.nonzero(d == 1)
+    ends = np.nonzero(d == -1)
+    lens = ends[1] - starts[1]
+    stats.add_run_lengths(colour, lens + k - 1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def reads_to_node_paths(g: gstore.DBGraph, bases: jnp.ndarray, k: int):
     """Map reads (B, P) to node paths: (idx, orient, valid) per position.
@@ -170,7 +202,7 @@ def _thread_one(idx, orient, is_fw, fw_base, is_rv, rv_base, s, e,
 
 
 def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
-                 edge_colour: int = 0) -> lstore.LinkStore:
+                 edge_colour: int = 0, stats=None) -> lstore.LinkStore:
     """Thread read batches [(bases (B,P) np.uint8, colour)] through the
     graph and build the deduplicated link store (role of ref
     generate_paths.c:499 generate_paths, without gap filling — reads
@@ -179,6 +211,7 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
     for bases, colour in read_batches:
         bj = jnp.asarray(bases)
         idx, orient, valid = reads_to_node_paths(g, bj, g.k)
+        _record_valid_runs(stats, colour, valid, g.k)
         recs = thread_contigs(g, idx, orient, valid, bj, colour,
                               edge_colour)
         if len(recs[0]):
@@ -202,7 +235,8 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
 
 
 def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
-                         links_prev=None, edge_colour: int = 0):
+                         links_prev=None, edge_colour: int = 0,
+                         stats=None):
     """Threading with gap filling: bridge read gaps through the graph
     first (ref generate_paths.c uses correct_alignment), then extract
     junctions from the bridged node paths."""
@@ -215,6 +249,9 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
         paths = [c.verts for c in corrected if len(c.verts)]
         if not paths:
             continue
+        if stats is not None:
+            stats.add_run_lengths(colour,
+                                  [len(p) + g.k - 1 for p in paths])
         P2 = max(len(p) for p in paths)
         Bc = len(paths)
         idx = np.zeros((Bc, P2), np.int32)
@@ -262,7 +299,7 @@ def pair_to_rows(codes1: np.ndarray, codes2: np.ndarray):
 
 def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
                     links_prev=None, edge_colour: int = 0,
-                    frag_len_max: int = 1000):
+                    frag_len_max: int = 1000, stats=None):
     """Paired-end threading: mates joined through the graph across the
     insert gap (ref generate_paths PE mode), then junction extraction
     over the combined paths — links span whole fragments."""
@@ -276,6 +313,9 @@ def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
         paths = [c.verts for c in corrected if len(c.verts)]
         if not paths:
             continue
+        if stats is not None:
+            stats.add_run_lengths(colour,
+                                  [len(p) + g.k - 1 for p in paths])
         P2 = max(len(p) for p in paths)
         Bc = len(paths)
         idx = np.zeros((Bc, P2), np.int32)

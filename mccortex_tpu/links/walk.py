@@ -40,6 +40,7 @@ from . import store as lstore
 
 CMAX = 64   # cursor slots per walker
 CMAX2 = 32  # counter-path slots per walker (missing-info check)
+SMAX = 32   # graph-segment window per walker (ref gsegs; age window)
 
 
 @struct.dataclass
@@ -51,6 +52,15 @@ class LinkedWalkState:
     cntr_link: jnp.ndarray  # (B, CMAX2) int32 counter paths
     cntr_pos: jnp.ndarray   # (B, CMAX2) int32
     cntr_age: jnp.ndarray   # (B, CMAX2) int32
+    # graph segments, index 0 = most recent (ref graph_walker.c gsegs;
+    # a cursor of age a was picked up in segment a)
+    seg_nodes: jnp.ndarray  # (B, SMAX) int32 nodes per segment
+    seg_infork: jnp.ndarray  # (B, SMAX) bool segment began at an in-merge
+    # confidence-model accumulators (ref assemble_contigs.c:100-117)
+    cum_conf: jnp.ndarray   # (B,) float32 product of step confidences
+    max_gap: jnp.ndarray    # (B,) int32 largest USELINKS gap (bp)
+    # link-usage marking (ref graph_walker.c:576-579 used_paths)
+    used: jnp.ndarray       # (nlinks,) bool
 
 
 def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
@@ -58,6 +68,7 @@ def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
                 ctpcol: int = 0) -> LinkedWalkState:
     base = T.walk_init(g, seed_idx, seed_orient, max_len)
     B = seed_idx.shape[0]
+    seg_nodes = jnp.zeros((B, SMAX), jnp.int32).at[:, 0].set(1)
     st = LinkedWalkState(
         base=base,
         cur_link=jnp.full((B, CMAX), -1, jnp.int32),
@@ -65,7 +76,12 @@ def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
         cur_age=jnp.zeros((B, CMAX), jnp.int32),
         cntr_link=jnp.full((B, CMAX2), -1, jnp.int32),
         cntr_pos=jnp.zeros((B, CMAX2), jnp.int32),
-        cntr_age=jnp.zeros((B, CMAX2), jnp.int32))
+        cntr_age=jnp.zeros((B, CMAX2), jnp.int32),
+        seg_nodes=seg_nodes,
+        seg_infork=jnp.zeros((B, SMAX), bool),
+        cum_conf=jnp.ones((B,), jnp.float32),
+        max_gap=jnp.zeros((B,), jnp.int32),
+        used=jnp.zeros((max(links.nlinks, 1),), bool))
     # pick up links on the seed node itself (ref graph_walker_start ->
     # pickup via _graph_walker_force_jump on first move; the reference
     # picks up at start too via graph_walker_start's caller prime)
@@ -206,6 +222,24 @@ def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
     return st.replace(cntr_link=cl, cntr_pos=cp, cntr_age=ca)
 
 
+def _path_gap(st: LinkedWalkState, live, bases, rep):
+    """Distance between deciding junctions (ref graph_walker.c:491-496).
+
+    choice_age = age of the oldest cursor disagreeing with the oldest
+    cohort's base (0 if unanimous); the gap is the node count from the
+    current position back through the first in-merge segment at age >=
+    choice_age (gsegs index == age; our window is SMAX segments)."""
+    B = bases.shape[0]
+    disagree = live & (bases != rep[:, None])
+    choice_age = jnp.max(jnp.where(disagree, st.cur_age, 0), axis=1)
+    sidx = jnp.arange(SMAX)
+    infork_ge = st.seg_infork & (sidx[None, :] >= choice_age[:, None])
+    has_fk = infork_ge.any(axis=1)
+    astar = jnp.where(has_fk, jnp.argmax(infork_ge, axis=1), SMAX - 1)
+    cum = jnp.cumsum(st.seg_nodes, axis=1)
+    return cum[jnp.arange(B), astar]
+
+
 def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib,
                    missing_check: bool = False):
     """Full 9-state decision (graph_walker_choose)."""
@@ -254,18 +288,24 @@ def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib,
         status0)
     nuc = jnp.where(use, rep, nuc0)
     go = jnp.where(fork, use, go0)
-    return nuc, go, status
+    path_gap = _path_gap(st, live, bases, rep)
+    return nuc, go, status, path_gap
 
 
 @functools.partial(jax.jit,
                    static_argnames=("colour", "ctpcol", "edge_colour",
-                                    "max_steps", "missing_check"))
+                                    "max_steps", "missing_check",
+                                    "min_step", "min_cumul",
+                                    "track_used"))
 def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 st: LinkedWalkState, colour: int | None,
                 max_steps: int, ctpcol: int = 0,
                 edge_colour: int = 0,
                 missing_check: bool = False,
-                adj: jnp.ndarray | None = None) -> LinkedWalkState:
+                adj: jnp.ndarray | None = None,
+                conf_table: jnp.ndarray | None = None,
+                min_step: float = -1.0, min_cumul: float = -1.0,
+                track_used: bool = False) -> LinkedWalkState:
     start = st.base.nsteps
 
     def cond(st):
@@ -275,8 +315,8 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
     def body(st):
         b = st.base
         pop_nib, col_nib = T._candidates(g, b, colour, adj)
-        nuc, go, status = _choose_linked(g, links, st, pop_nib, col_nib,
-                                         missing_check)
+        nuc, go, status, path_gap = _choose_linked(
+            g, links, st, pop_nib, col_nib, missing_check)
         is_fork = status == T.USELINKS
         adv = b.active & go
         lost_nuc = kops.first_base(b.okm, g.k)
@@ -322,14 +362,64 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         else:
             cntr_pos, cntr_link = st.cntr_pos, st.cntr_link
 
+        # 1c) a cursor that matched its LAST junction at a resolved fork
+        # was followed start-to-end: mark its link used (ref
+        # graph_walker.c:576-579)
+        if track_used:
+            done = live & move_fork[:, None] & match & exhausted
+            lid = jnp.where(done, st.cur_link, st.used.shape[0])
+            used = st.used.at[lid.reshape(-1)].set(True, mode="drop")
+        else:
+            used = st.used
+
         # 2) segment boundary: out-fork taken or in-merge at the new node
         rv_fork = _other_prev_exists(g, nb, lost_nuc, edge_colour) & adv
         bump = (move_fork | rv_fork)
         cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
                             st.cur_age + 1, st.cur_age)
+        # graph-segment window update (ref _gw_gseg_update): on a
+        # boundary push a fresh segment (in_fork = rv_fork), then count
+        # the node just stepped onto in the newest segment
+        B_ = bump.shape[0]
+        shift_nodes = jnp.concatenate(
+            [jnp.zeros((B_, 1), jnp.int32), st.seg_nodes[:, :-1]], axis=1)
+        shift_infork = jnp.concatenate(
+            [rv_fork[:, None], st.seg_infork[:, :-1]], axis=1)
+        seg_nodes = jnp.where(bump[:, None], shift_nodes, st.seg_nodes)
+        seg_infork = jnp.where(bump[:, None], shift_infork,
+                               st.seg_infork)
+        seg_nodes = seg_nodes.at[:, 0].add(adv.astype(jnp.int32))
+
+        # confidence model (ref assemble_contigs.c:100-117): on a
+        # USELINKS step, gap = path_gap + k-1 + 2 bp; cumulative product
+        if conf_table is not None:
+            gap_bp = path_gap + (g.k - 1) + 2
+            tlen = conf_table.shape[0]
+            confid = jnp.where(
+                gap_bp < tlen,
+                conf_table[jnp.clip(gap_bp, 0, tlen - 1)].astype(
+                    jnp.float32),
+                jnp.float32(0.0))
+            is_use = (status == T.USELINKS) & adv
+            cum_conf = jnp.where(is_use, st.cum_conf * confid,
+                                 st.cum_conf)
+            max_gap = jnp.where(is_use,
+                                jnp.maximum(st.max_gap, gap_bp),
+                                st.max_gap)
+            low_step = is_use & (confid < jnp.float32(min_step)) \
+                if min_step >= 0 else jnp.zeros_like(is_use)
+            low_cum = is_use & (cum_conf < jnp.float32(min_cumul)) \
+                if min_cumul >= 0 else jnp.zeros_like(is_use)
+        else:
+            cum_conf, max_gap = st.cum_conf, st.max_gap
+            low_step = jnp.zeros(adv.shape, bool)
+            low_cum = jnp.zeros(adv.shape, bool)
+
         st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
                          cur_age=cur_age, cntr_link=cntr_link,
-                         cntr_pos=cntr_pos)
+                         cntr_pos=cntr_pos, seg_nodes=seg_nodes,
+                         seg_infork=seg_infork, cum_conf=cum_conf,
+                         max_gap=max_gap, used=used)
 
         # 2b) counter pickup at the new node's other predecessors happens
         # BEFORE the age bump lands on them... the reference bumps all
@@ -367,6 +457,12 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                            jnp.where(hit_max, T.HALT_MAXLEN, status)),
             jnp.where(b.active, status, b.status))
         active = b.active & go & ~cyc & ~hit_max
+        # confidence halts land AFTER the step is written (the reference
+        # breaks after db_node_buf_add, assemble_contigs.c:100-117)
+        new_status = jnp.where(
+            low_step, jnp.int32(T.LOW_STEP_CONF),
+            jnp.where(low_cum, jnp.int32(T.LOW_CUMUL_CONF), new_status))
+        active = active & ~low_step & ~low_cum
         nb2 = nb2.replace(
             out_bases=out_bases, out_vert=out_vert, out_len=out_len,
             status=new_status.astype(jnp.int32), active=active,
@@ -401,14 +497,18 @@ def _other_prev_exists(g, b, lost_nuc, edge_colour):
 
 
 def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
-                        missing_check=False, adj=None, chunk=512):
+                        missing_check=False, adj=None, chunk=512,
+                        conf_table=None, min_step=-1.0, min_cumul=-1.0,
+                        track_used=False):
     """Resumable linked walking (bounded per-dispatch execution)."""
     done = 0
     while done < max_steps:
         take = min(chunk, max_steps - done)
         st = walk_linked(g, links, st, colour, max_steps=take,
                          ctpcol=ctpcol, missing_check=missing_check,
-                         adj=adj)
+                         adj=adj, conf_table=conf_table,
+                         min_step=min_step, min_cumul=min_cumul,
+                         track_used=track_used)
         done += take
         if not bool(st.base.active.any()):
             break
@@ -502,8 +602,20 @@ def walk_along(g: gstore.DBGraph, links: lstore.LinkStore,
         bump = move_fork | rv_fork
         cur_age = jnp.where(bump[:, None] & (cur_link >= 0),
                             st.cur_age + 1, st.cur_age)
+        # keep the segment window in sync with ages during priming
+        # (ref graph_walker_prime -> force_jump -> _gw_gseg_update)
+        B_ = bump.shape[0]
+        shift_nodes = jnp.concatenate(
+            [jnp.zeros((B_, 1), jnp.int32), st.seg_nodes[:, :-1]], axis=1)
+        shift_infork = jnp.concatenate(
+            [rv_fork[:, None], st.seg_infork[:, :-1]], axis=1)
+        seg_nodes = jnp.where(bump[:, None], shift_nodes, st.seg_nodes)
+        seg_infork = jnp.where(bump[:, None], shift_infork,
+                               st.seg_infork)
+        seg_nodes = seg_nodes.at[:, 0].add(adv.astype(jnp.int32))
         st2 = st.replace(base=nb, cur_link=cur_link, cur_pos=cur_pos,
-                         cur_age=cur_age)
+                         cur_age=cur_age, seg_nodes=seg_nodes,
+                         seg_infork=seg_infork)
         # pickup at the new node (only for advancing walkers)
         saved_active = st2.base.active
         st2 = st2.replace(base=st2.base.replace(active=adv))
@@ -522,7 +634,11 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                             seed_rows: np.ndarray, colour: int | None = 0,
                             max_len: int = 4096, ctpcol: int = 0,
                             max_context: int = 200,
-                            missing_check: bool = False):
+                            missing_check: bool = False,
+                            conf_table=None, min_step: float = -1.0,
+                            min_cumul: float = -1.0,
+                            track_used: bool = False,
+                            return_extra: bool = False):
     """Contig assembly with direction-1 priming (ref assemble_contigs.c:
     88-90: after walking direction 0, the second direction's walker is
     primed along the reversed direction-0 path, so links picked up on
@@ -540,7 +656,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                       max_len, ctpcol)
     st0 = walk_linked_chunked(g, links, st0, colour, max_len + 1,
                               ctpcol=ctpcol, missing_check=missing_check,
-                              adj=adj)
+                              adj=adj, conf_table=conf_table,
+                              min_step=min_step, min_cumul=min_cumul,
+                              track_used=track_used)
     fw_b = np.asarray(st0.base.out_bases)
     fw_v = np.asarray(st0.base.out_vert)
     fw_l = np.asarray(st0.base.out_len)
@@ -572,7 +690,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                      jnp.asarray(ctx_len), ctpcol=ctpcol)
     st1 = walk_linked_chunked(g, links, st1, colour, max_len + 1,
                               ctpcol=ctpcol, missing_check=missing_check,
-                              adj=adj)
+                              adj=adj, conf_table=conf_table,
+                              min_step=min_step, min_cumul=min_cumul,
+                              track_used=track_used)
     rv_b = np.asarray(st1.base.out_bases)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)
@@ -586,4 +706,196 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
         left_rc = "".join(basechars[c] for c in rv_b[i, :rv_l[i]])
         left = "".join(comp[c] for c in reversed(left_rc))
         contigs.append(left + seed_strs[i] + right)
+    stats = np.stack([stat0, stat1], axis=1)
+    if return_extra:
+        extra = {
+            "cum_conf": np.stack([np.asarray(st0.cum_conf),
+                                  np.asarray(st1.cum_conf)], axis=1),
+            "max_gap": np.stack([np.asarray(st0.max_gap),
+                                 np.asarray(st1.max_gap)], axis=1),
+            "used": (np.asarray(st0.used) | np.asarray(st1.used)),
+        }
+        return contigs, stats, extra
+    return contigs, stats
+
+
+# ---------------------------------------------------------------------------
+# link fetch: follow a link's junction choices through the graph
+# (role of ref gpath_fetch, gpath_checks.c:199-234; also the machinery
+# behind link-walkability health checks, gpath_checks_path_col :243)
+# ---------------------------------------------------------------------------
+
+def link_vertices(links: lstore.LinkStore, N: int) -> np.ndarray:
+    """Vertex (2*row+orient) of every link id (host, from CSR offsets)."""
+    offs = np.asarray(links.offsets)
+    return np.repeat(np.arange(2 * N), np.diff(offs))
+
+
+@functools.partial(jax.jit, static_argnames=("edge_colour", "max_steps"))
+def _fetch_links_jit(g: gstore.DBGraph, links: lstore.LinkStore,
+                     start_vert: jnp.ndarray, link_ids: jnp.ndarray,
+                     edge_colour: int, max_steps: int,
+                     adj: jnp.ndarray | None = None):
+    B = start_vert.shape[0]
+    pop4 = jnp.asarray(T._POP4)
+    idx0 = start_vert >> 1
+    or0 = (start_vert & 1).astype(jnp.uint8)
+    nj = links.nj[link_ids] if links.nlinks else jnp.zeros((B,), jnp.int32)
+
+    out_vert = jnp.full((B, max_steps + 1), -1, jnp.int32)
+    out_vert = out_vert.at[:, 0].set(start_vert)
+
+    def cond(s):
+        return s["active"].any()
+
+    def body(s):
+        okm, idx, orient = s["okm"], s["idx"], s["orient"]
+        nib = E.with_orientation(g.edges[idx, edge_colour], orient)
+        outdeg = pop4[nib.astype(jnp.int32)]
+        at_fork = outdeg > 1
+        # junction base at the cursor for forks
+        jb = lstore.unpack_junc(
+            links.seq[jnp.clip(link_ids, 0, max(links.nlinks - 1, 0))],
+            s["pos"]) if links.nlinks else jnp.zeros((B,), jnp.uint8)
+        # single-edge base: lowest set bit of the nibble
+        single = jnp.argmax(
+            jnp.stack([(nib >> n) & 1 for n in range(4)], axis=1), axis=1
+        ).astype(jnp.uint8)
+        nuc = jnp.where(at_fork, jb, single)
+        # the chosen base must exist as an edge (walkability condition)
+        has_edge = ((nib >> nuc) & 1).astype(bool)
+        adv = s["active"] & (outdeg > 0) & has_edge & \
+            jnp.where(at_fork, s["pos"] < nj, True)
+        nxt_okm = kops.shift_append(okm, nuc, g.k)
+        if adj is not None:
+            from ..graph import adjacency as adjmod
+            v = idx * 2 + orient.astype(jnp.int32)
+            nv = adjmod.adj_at(adj, v, nuc)
+            j = jnp.maximum(nv, 0) >> 1
+            o2 = (jnp.maximum(nv, 0) & 1).astype(jnp.uint8)
+        else:
+            key2, o2 = kops.canonical(nxt_okm, g.k)
+            j, _found = sops.lookup(g.keys, key2)
+        pos2 = jnp.where(adv & at_fork, s["pos"] + 1, s["pos"])
+        ln2 = jnp.where(adv, s["len"] + 1, s["len"])
+        ov = s["out_vert"].at[jnp.arange(B),
+                              jnp.where(adv, ln2, max_steps + 1)].set(
+            j * 2 + o2.astype(jnp.int32), mode="drop")
+        # done once every junction is consumed (last junction node added)
+        done = pos2 >= nj
+        fail = s["active"] & ~adv
+        return {
+            "okm": jnp.where(adv[:, None], nxt_okm, okm),
+            "idx": jnp.where(adv, j, idx),
+            "orient": jnp.where(adv, o2, orient).astype(jnp.uint8),
+            "pos": pos2, "len": ln2, "out_vert": ov,
+            "active": adv & ~done & (ln2 < max_steps),
+            "ok": s["ok"] & ~fail,
+            "done": s["done"] | (adv & done),
+        }
+
+    okm0 = kops.oriented(g.keys[idx0], or0, g.k)
+    init = {
+        "okm": okm0, "idx": idx0.astype(jnp.int32), "orient": or0,
+        "pos": jnp.zeros((B,), nj.dtype), "len": jnp.zeros((B,), jnp.int32),
+        "out_vert": out_vert,
+        "active": nj > 0, "ok": jnp.ones((B,), bool),
+        "done": nj <= 0,
+    }
+    s = jax.lax.while_loop(cond, body, init)
+    return s["out_vert"], s["len"] + 1, s["ok"] & s["done"]
+
+
+def fetch_link_paths(g: gstore.DBGraph, links: lstore.LinkStore,
+                     link_ids: np.ndarray, edge_colour: int = 0,
+                     max_steps: int = 2048, adj=None):
+    """Follow each link from its kmer through the graph.
+
+    Returns (verts (B, max_steps+1) int32 padded -1, lens (B,), ok (B,))
+    — ok means every junction was consumed with a matching edge
+    (the link is "walkable", ref gpath_checks.c).
+    """
+    if len(link_ids) == 0:
+        return (np.zeros((0, max_steps + 1), np.int32),
+                np.zeros((0,), np.int32), np.zeros((0,), bool))
+    lv = link_vertices(links, g.capacity)
+    start = jnp.asarray(lv[np.asarray(link_ids)].astype(np.int32))
+    v, ln, ok = _fetch_links_jit(g, links, start,
+                                 jnp.asarray(link_ids, jnp.int32),
+                                 edge_colour, max_steps, adj)
+    return np.asarray(v), np.asarray(ln), np.asarray(ok)
+
+
+def assemble_contigs_from_paths(g: gstore.DBGraph, links: lstore.LinkStore,
+                                link_ids: np.ndarray, colour: int | None = 0,
+                                max_len: int = 4096, ctpcol: int = 0,
+                                missing_check: bool = False,
+                                conf_table=None, min_step: float = -1.0,
+                                min_cumul: float = -1.0):
+    """Assemble contigs seeded from whole link paths (ref
+    assemble_contigs.c:273-306 _assemble_from_paths: fetch the link's
+    node path, prime the walker along it, extend both directions)."""
+    from ..utils.text import kmers_to_strings
+    from ..graph import adjacency as adjmod
+    B = len(link_ids)
+    if B == 0:
+        return [], np.zeros((0, 2), np.int32)
+    adj = adjmod.get_adjacency(g)
+    verts, lens, ok = fetch_link_paths(g, links, link_ids,
+                                       max_steps=max_len, adj=adj)
+    Cw = verts.shape[1]
+
+    # dir 0: prime along the fetched path, then extend
+    s0 = jnp.asarray((verts[:, 0] >> 1).astype(np.int32))
+    o0 = jnp.asarray((verts[:, 0] & 1).astype(np.uint8))
+    st0 = linked_init(g, links, s0, o0, max_len, ctpcol)
+    st0 = walk_along(g, links, st0, jnp.asarray(verts),
+                     jnp.asarray(lens), ctpcol=ctpcol)
+    st0 = walk_linked_chunked(g, links, st0, colour, max_len + 1,
+                              ctpcol=ctpcol, missing_check=missing_check,
+                              adj=adj, conf_table=conf_table,
+                              min_step=min_step, min_cumul=min_cumul)
+    fw_b = np.asarray(st0.base.out_bases)
+    fw_l = np.asarray(st0.base.out_len)
+    stat0 = np.asarray(st0.base.status)
+
+    # dir 1: prime along the reversed-flipped path (ending at the start
+    # vertex flipped; ref primes with the init_len seed-path nodes only)
+    rv = np.full_like(verts, -1)
+    rlens = lens.copy()
+    for b in range(B):
+        L = int(lens[b])
+        rv[b, :L] = (verts[b, :L][::-1]) ^ 1
+    s1 = jnp.asarray((rv[:, 0] >> 1).astype(np.int32))
+    o1 = jnp.asarray((rv[:, 0] & 1).astype(np.uint8))
+    st1 = linked_init(g, links, s1, o1, max_len, ctpcol)
+    st1 = walk_along(g, links, st1, jnp.asarray(rv),
+                     jnp.asarray(rlens), ctpcol=ctpcol)
+    st1 = walk_linked_chunked(g, links, st1, colour, max_len + 1,
+                              ctpcol=ctpcol, missing_check=missing_check,
+                              adj=adj, conf_table=conf_table,
+                              min_step=min_step, min_cumul=min_cumul)
+    rv_b = np.asarray(st1.base.out_bases)
+    rv_l = np.asarray(st1.base.out_len)
+    stat1 = np.asarray(st1.base.status)
+
+    # path string: seed kmer of vertex 0 + last bases of the rest
+    rows = (np.maximum(verts, 0) >> 1).astype(np.int32)
+    ors = (np.maximum(verts, 0) & 1).astype(np.uint8)
+    lastb = np.asarray(kops.last_base(kops.oriented(
+        g.keys[jnp.asarray(rows.reshape(-1))],
+        jnp.asarray(ors.reshape(-1)), g.k))).reshape(B, Cw)
+    seed_strs = kmers_to_strings(
+        np.asarray(g.keys)[rows[:, 0]], g.k)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    basechars = "ACGT"
+    contigs = []
+    for i in range(B):
+        L = int(lens[i])
+        mid = seed_strs[i] + "".join(basechars[c]
+                                     for c in lastb[i, 1:L])
+        right = "".join(basechars[c] for c in fw_b[i, :fw_l[i]])
+        left_rc = "".join(basechars[c] for c in rv_b[i, :rv_l[i]])
+        left = "".join(comp[c] for c in reversed(left_rc))
+        contigs.append(left + mid + right)
     return contigs, np.stack([stat0, stat1], axis=1)

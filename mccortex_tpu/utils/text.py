@@ -24,7 +24,26 @@ def kmers_to_strings(keys: np.ndarray, k: int) -> list:
 
 def strings_to_kmers(strs, W: int) -> np.ndarray:
     from ..constants import CHAR_TO_BASE
-    out = np.zeros((len(strs), W), dtype=np.uint64)
+    n = len(strs)
+    if n == 0:
+        return np.zeros((0, W), dtype=np.uint64)
+    k = len(strs[0])
+    if all(len(s) == k for s in strs):
+        # vectorised: one byte buffer -> (n, k) codes -> tree-packed words
+        codes = CHAR_TO_BASE[np.frombuffer(
+            "".join(strs).encode(), np.uint8)].reshape(n, k).astype(
+                np.uint64)
+        pad = W * 32 - k
+        if pad:
+            codes = np.concatenate(
+                [np.zeros((n, pad), np.uint64), codes], axis=1)
+        v = codes.reshape(n, W, 32)
+        width = 1
+        while width < 32:
+            v = (v[..., 0::2] << np.uint64(2 * width)) | v[..., 1::2]
+            width *= 2
+        return v[..., 0]
+    out = np.zeros((n, W), dtype=np.uint64)
     for i, s in enumerate(strs):
         v = 0
         for c in s.encode():
