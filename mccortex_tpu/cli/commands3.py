@@ -261,48 +261,115 @@ def cmd_correct(argv):
 
 
 def cmd_links(argv):
+    """Clean, minimise and list links (ref ctx_links.c).
+
+    Junction-tree semantics: --clean truncates each link at its first
+    junction edge with coverage < N (not whole-link thresholding);
+    --threshold auto-picks N per junction distance and takes the
+    median; --covg-hist / --list / --plot inspect the trees.  Unlike
+    the streaming reference, the whole link table is processed in one
+    vectorised pass against the graph (kmer order = store row order).
+    """
     p = argparse.ArgumentParser(prog="mctx links")
-    p.add_argument("--clean", type=int, default=0,
-                   help="drop links seen fewer than N times")
-    p.add_argument("--list", dest="list_csv", default=None,
-                   help="write link stats CSV")
-    p.add_argument("--covg-hist", default=None,
-                   help="write link coverage histogram CSV")
+    p.add_argument("-c", "--clean", type=int, default=0,
+                   help="remove junction choices with coverage < N")
+    p.add_argument("-l", "--list", dest="list_csv", default=None,
+                   help="write (SeqLen,Covg) CSV of link junction edges")
+    p.add_argument("-P", "--plot", default=None,
+                   help="write DOT of one kmer's link tree")
+    p.add_argument("-T", "--threshold", default=None,
+                   help="auto-pick cleaning threshold, write to file")
+    p.add_argument("-H", "--covg-hist", default=None,
+                   help="write dist x covg link coverage matrix CSV")
+    p.add_argument("-D", "--max-dist", type=int, default=6)
+    p.add_argument("-C", "--max-covg", type=int, default=100)
+    p.add_argument("-L", "--limit", type=int, default=0,
+                   help="only use links from first N kmers (row order)")
     p.add_argument("-o", "--out", default=None)
     p.add_argument("ctx")
     p.add_argument("ctp")
     args = p.parse_args(argv)
-    import jax.numpy as jnp
     from ..io import ctp as ctpio
+    from ..links import link_tree as ltree
     from ..links import store as lstore
     h, g = _load_graph(args.ctx)
     links = ctpio.load_ctp(args.ctp, g)
-    nseen = np.asarray(links.nseen)
-    tot = nseen.sum(axis=1)
-    if args.covg_hist:
-        import collections
-        hist = collections.Counter(tot.tolist())
-        with open(args.covg_hist, "w") as fh:
-            fh.write("nseen,nlinks\n")
-            for v in sorted(hist):
-                fh.write(f"{v},{hist[v]}\n")
-    if args.list_csv:
-        nj = np.asarray(links.nj)
-        with open(args.list_csv, "w") as fh:
-            fh.write("link,njuncs,nseen_total\n")
-            for i in range(links.nlinks):
-                fh.write(f"{i},{nj[i]},{tot[i]}\n")
-    if args.clean > 0:
-        keep = tot >= args.clean
+    if args.clean and not args.out:
+        p.error("Need to give --out <out.ctp.gz> with --clean")
+
+    if args.limit:
+        # restrict to links of the first N kmers with links (row order;
+        # the reference limits by .ctp file order)
         offs = np.asarray(links.offsets)
-        verts = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        deg = np.diff(offs)
+        kmer_has = (deg[0::2] + deg[1::2]) > 0
+        rows = np.nonzero(kmer_has)[0][:args.limit]
+        keep_v = np.zeros(len(deg), bool)
+        keep_v[2 * rows] = keep_v[2 * rows + 1] = True
+        lids = np.nonzero(np.repeat(keep_v, deg))[0]
+        verts = np.repeat(np.arange(len(deg)), deg)[lids]
         links = lstore.assemble_csr(
-            verts[keep], np.asarray(links.seq)[keep],
-            np.asarray(links.nj)[keep], nseen[keep], g.capacity)
-        _status(f"link clean: kept {int(keep.sum())}/{len(keep)} links")
+            verts, np.asarray(links.seq)[lids],
+            np.asarray(links.nj)[lids].astype(np.int64),
+            np.asarray(links.nseen)[lids], g.capacity)
+        _status(f"links: limited to first {len(rows)} kmers "
+                f"({links.nlinks} links)")
+
+    need_view = bool(args.list_csv or args.threshold or args.covg_hist
+                     or args.clean)
+    view = None
+    if need_view:
+        jpos, ok, _, _ = ltree.trace_juncpos(g, links)
+        if not ok.all():
+            _status(f"links: WARNING {int((~ok).sum())}/{len(ok)} links "
+                    "not walkable in graph")
+        view = ltree.LinkTreeView(g, links, jpos)
+
+    if args.covg_hist or args.threshold:
+        hists = view.covg_hist(args.max_dist, args.max_covg)
+        if args.covg_hist:
+            with open(args.covg_hist, "w") as fh:
+                fh.write("dist," + ",".join(
+                    str(c) for c in range(args.max_covg)) + "\n")
+                for d in range(args.max_dist):
+                    fh.write(f"{d}," + ",".join(
+                        str(int(x)) for x in hists[d]) + "\n")
+        if args.threshold:
+            sug = ltree.suggest_cutoff(hists)
+            with open(args.threshold, "w") as fh:
+                ltree.write_threshold_file(fh, sug)
+            _status(f"links: suggested_cutoff={sug['suggested_cutoff']}")
+
+    keep = None
+    if args.clean > 0:
+        before = links.nlinks
+        links, lstats = view.clean(args.clean)
+        keep = view.keep_lengths(args.clean)
+        _status(f"link clean: {before} -> {lstats['num_links']} links "
+                f"({lstats['num_kmers_with_links']} kmers)")
+
+    if args.list_csv:
+        rows = view.list_rows(keep)
+        with open(args.list_csv, "w") as fh:
+            fh.write("SeqLen,Covg\n")
+            for sl, cv in rows:
+                fh.write(f"{sl},{cv}\n")
+
+    if args.plot:
+        offs = np.asarray(links.offsets)
+        deg = np.diff(offs)
+        rows = np.nonzero((deg[0::2] + deg[1::2]) > 0)[0]
+        if len(rows):
+            ki = min(args.limit - 1 if args.limit else 0, len(rows) - 1)
+            with open(args.plot, "w") as fh:
+                ltree.write_dot(g, links, int(rows[ki]), fh)
+
     if args.out:
+        hdr = ctpio.load_ctp_header(args.ctp)
         ctpio.save_ctp(args.out, g, links,
-                       sample_names=[gi.sample_name for gi in h.ginfo])
+                       sample_names=[gi.sample_name for gi in h.ginfo],
+                       command="mctx links " + " ".join(argv),
+                       prev_commands=hdr.get("commands"))
     return 0
 
 
