@@ -60,25 +60,37 @@ def main():
     kmers = B * (L - k + 1)
     kmers_per_s = kmers / dt
 
-    # secondary: batched lookup on a ~4M-kmer store
-    keys, covg, edges, nu = count_batch(bases, k, ncols, colour)
-    store_keys = keys  # sorted, sentinel padded
-    Q = 1 << 18
-    qk = store_keys[jnp.asarray(rng.integers(0, max(int(nu), 1), Q))]
+    # secondary: batched lookup via the planar hashed-bucket index
+    # (ops/hashidx.py).  Every dispatch gets a DISTINCT pre-staged query
+    # buffer and every result is fetched to host: the axon backend's
+    # block_until_ready does not actually synchronise, so fetch-timing is
+    # the only honest clock (scripts/perf_lab4.py).
+    from mccortex_tpu.ops import hashidx
+    N_STORE = 4 << 20
+    raw = np.unique(rng.integers(0, 1 << 62, size=N_STORE,
+                                 dtype=np.uint64))
+    store_keys = jnp.asarray(np.sort(raw)[:, None])
+    table, b_bits = hashidx.get_index_for(store_keys)
+    Q = 1 << 22
+    nbuf = 6
+    nu_i = store_keys.shape[0]
+    qks = [store_keys[jnp.asarray(rng.integers(0, nu_i, Q))]
+           for _ in range(nbuf)]
+    for q in qks:
+        q.block_until_ready()
 
     @jax.jit
-    def lk(qk, salt):
-        q2 = jnp.roll(qk, (salt % 5).astype(jnp.int32), axis=0)
-        idx, found = sops.lookup(store_keys, q2)
-        return idx.astype(jnp.int64).sum()
+    def lk(table, qk):
+        idx, found = hashidx.lookup_planar(table, qk, b_bits, 1)
+        return (idx * found).astype(jnp.int64).sum()
 
-    s = lk(qk, jnp.int64(0))
-    int(s)
+    np.asarray(lk(table, qks[0]))  # compile + warm
+    np.asarray(lk(table, qks[1]))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        s = lk(qk, s)
-    int(s)
-    dt_lk = (time.perf_counter() - t0) / iters
+    outs = [lk(table, q) for q in qks]
+    vals = [np.asarray(o) for o in outs]
+    dt_lk = (time.perf_counter() - t0) / nbuf
+    assert all(v > 0 for v in vals)
     lookups_per_s = Q / dt_lk
 
     out = {

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..constants import CHAR_TO_BASE
 from ..ops import kmer as kops
 from ..ops import sorted as sops
+from ..ops import hashidx
 from ..graph import store as gstore
 from ..utils.dna import revcomp
 
@@ -41,7 +42,7 @@ def _lookup_covg(g: gstore.DBGraph, kmers: list) -> np.ndarray:
     arr = np.stack([CHAR_TO_BASE[np.frombuffer(s.encode(), np.uint8)]
                     for s in kmers])
     keys, _ = kops.canonical(kops.pack_kmers(jnp.asarray(arr), g.k), g.k)
-    idx, found = sops.lookup(g.keys, keys)
+    idx, found = hashidx.lookup(g.keys, keys)
     cov = np.asarray(g.covg)[np.asarray(idx)]
     cov[~np.asarray(found)] = 0
     return cov

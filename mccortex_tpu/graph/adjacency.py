@@ -42,21 +42,11 @@ def _vertex_of(idx, found, o2):
 
 
 def lookup_chunked(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
-    """Batched lookup dispatched in <=CHUNK query pieces (each its own
-    device execution — long fused programs trip relay watchdogs)."""
-    N = queries.shape[0]
-    C = sops.CHUNK
-    if N <= C:
-        return sops.lookup(sorted_keys, queries)
-    idxs, founds = [], []
-    for s in range(0, N, C):
-        i, f = _lookup_jit(sorted_keys, queries[s:s + C])
-        idxs.append(i)
-        founds.append(f)
-    return jnp.concatenate(idxs), jnp.concatenate(founds)
-
-
-_lookup_jit = jax.jit(sops.lookup)
+    """Batched host-level lookup through the planar hashed-bucket index
+    (ops/hashidx.py): one row gather per query instead of a log2(N)
+    binary search, dispatched in bounded chunks."""
+    from ..ops import hashidx
+    return hashidx.lookup(sorted_keys, queries)
 
 
 def build_adjacency(keys: jnp.ndarray, k: int) -> jnp.ndarray:

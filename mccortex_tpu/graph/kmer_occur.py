@@ -22,6 +22,7 @@ from flax import struct
 from ..constants import CHAR_TO_BASE
 from ..ops import kmer as kops
 from ..ops import sorted as sops
+from ..ops import hashidx
 from . import store as gstore
 
 
@@ -61,7 +62,7 @@ def build_kograph(g: gstore.DBGraph, ref: RefGenome) -> KOGraph:
             continue
         kmers, valid = kops.rolling_kmers(jnp.asarray(arr[None]), g.k)
         keys, orient = kops.canonical(kmers, g.k)
-        idx, found = sops.lookup(g.keys, keys[0])
+        idx, found = hashidx.lookup(g.keys, keys[0])
         hit = np.asarray(valid[0]) & np.asarray(found)
         p = np.nonzero(hit)[0]
         rows_all.append(np.asarray(idx)[p])

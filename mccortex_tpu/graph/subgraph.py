@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import kmer as kops
 from ..ops import sorted as sops
+from ..ops import hashidx
 from . import store as gstore
 from . import edges as E
 
@@ -55,7 +56,7 @@ def seed_mask_from_seqs(g: gstore.DBGraph, seq_batches) -> jnp.ndarray:
     for bases in seq_batches:
         kmers, valid = kops.rolling_kmers(jnp.asarray(bases), g.k)
         keys, _ = kops.canonical(kmers, g.k)
-        idx, found = sops.lookup(g.keys, keys.reshape(-1, g.W))
+        idx, found = hashidx.lookup(g.keys, keys.reshape(-1, g.W))
         hit = (valid.reshape(-1) & found)
         mask = mask.at[idx].max(hit)
     return mask

@@ -65,15 +65,27 @@ def _record_valid_runs(stats, colour, valid: np.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _extract_canonical(bases: jnp.ndarray, k: int):
+    kmers, valid = kops.rolling_kmers(bases, k)
+    keys, orient = kops.canonical(kmers, k)
+    return keys, orient, valid
+
+
+@jax.jit
+def _combine_valid(idx, valid, found):
+    return idx.astype(jnp.int32), valid & found
+
+
 def reads_to_node_paths(g: gstore.DBGraph, bases: jnp.ndarray, k: int):
     """Map reads (B, P) to node paths: (idx, orient, valid) per position.
     A position is valid if its kmer window is clean AND present in the
-    graph."""
-    kmers, valid = kops.rolling_kmers(bases, k)
-    keys, orient = kops.canonical(kmers, k)
-    idx, found = sops.lookup(g.keys, keys)
-    valid = valid & found
-    return idx.astype(jnp.int32), orient, valid
+    graph.  Host-level: the store lookup goes through the planar
+    hashed-bucket index (ops/hashidx.py), one row gather per kmer."""
+    from ..ops import hashidx
+    keys, orient, valid = _extract_canonical(bases, k)
+    idx, found = hashidx.lookup(g.keys, keys)
+    idx, valid = _combine_valid(idx, valid, found)
+    return idx, orient, valid
 
 
 def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,

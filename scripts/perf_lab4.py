@@ -29,14 +29,13 @@ def splitmix64_np(x):
 
 
 def bench(name, fn, qs, Q):
-    import jax
     outs = [fn(q) for q in qs[:2]]       # compile + warm
     for o in outs:
-        jax.block_until_ready(o)
+        np.asarray(o)                    # force host fetch (honest sync)
     t0 = time.perf_counter()
     outs = [fn(q) for q in qs]
-    for o in outs:
-        jax.block_until_ready(o)
+    vals = [np.asarray(o) for o in outs]
+    del vals
     dt = (time.perf_counter() - t0) / len(qs)
     print(f"{name:34s} {dt*1e3:9.2f} ms  {Q/dt/1e6:9.2f} M/s", flush=True)
     return dt
@@ -182,6 +181,58 @@ def main():
 
             bench(f"PL planar bucket EPR={EPR} m~{m}",
                   lambda q: pl(table_j, q, EPR, b), qs, Q)
+
+    # ---- MR: merge-rank lookup (sort-based) ---------------------------
+    # concat store+query u32-pair keys, one stable lax.sort, cumsum of
+    # store flags gives each query its searchsorted rank; optional
+    # back-scatter restores query order.
+    if want("MR"):
+        hi32 = jnp.asarray((raw >> np.uint64(32)).astype(np.uint32))
+        lo32 = jnp.asarray(raw.astype(np.uint32))
+        store_tag = jnp.full((N,), -1, jnp.int32)
+        qid = jnp.arange(Q, dtype=jnp.int32)
+
+        @jax.jit
+        def mr(hi32, lo32, qr):
+            qh = (qr >> jnp.uint64(32)).astype(jnp.uint32)
+            ql = qr.astype(jnp.uint32)
+            ch = jnp.concatenate([hi32, qh])
+            cl = jnp.concatenate([lo32, ql])
+            ct = jnp.concatenate([store_tag, qid])
+            sh, sl, st = jax.lax.sort((ch, cl, ct), num_keys=2)
+            is_store = st < 0
+            srank = jnp.cumsum(is_store.astype(jnp.int32))
+            # exact-match test: element before a query at pos p is the
+            # store key with rank srank[p]; compare keys at sorted pos.
+            prev_h = jnp.concatenate([jnp.zeros((1,), jnp.uint32), sh[:-1]])
+            prev_l = jnp.concatenate([jnp.zeros((1,), jnp.uint32), sl[:-1]])
+            found_sorted = (prev_h == sh) & (prev_l == sl)
+            idx_sorted = srank - 1
+            out_idx = jnp.zeros((Q,), jnp.int32).at[
+                jnp.where(is_store, Q, st)].add(
+                    jnp.where(is_store, 0, idx_sorted), mode="drop")
+            out_fnd = jnp.zeros((Q,), jnp.bool_).at[
+                jnp.where(is_store, Q, st)].max(
+                    jnp.where(is_store, False, found_sorted), mode="drop")
+            return (out_idx * out_fnd).sum()
+
+        bench("MR merge-rank (back-scatter)",
+              lambda q: mr(hi32, lo32, q), qs, Q)
+
+        @jax.jit
+        def mrs(hi32, lo32, qr):
+            qh = (qr >> jnp.uint64(32)).astype(jnp.uint32)
+            ql = qr.astype(jnp.uint32)
+            ch = jnp.concatenate([hi32, qh])
+            cl = jnp.concatenate([lo32, ql])
+            ct = jnp.concatenate([store_tag, qid])
+            sh, sl, st = jax.lax.sort((ch, cl, ct), num_keys=2)
+            is_store = st < 0
+            srank = jnp.cumsum(is_store.astype(jnp.int32))
+            return jnp.where(is_store, 0, srank).sum()
+
+        bench("MRS merge-rank (sorted out)",
+              lambda q: mrs(hi32, lo32, q), qs, Q)
 
     # ---- RG: raw row gather (upper bound) -----------------------------
     if want("RG"):
