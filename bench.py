@@ -2,21 +2,30 @@
 device (TPU under the driver; CPU with JAX_PLATFORMS=cpu).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-The headline metric is build kmers/s/chip on the inner epoch
-(rolling extraction + canonicalise + sort + segmented reduce), the
-replacement for the reference's hash-table insert loop
+The headline metric is build kmers/s/chip on the inner epoch (rolling
+extraction + canonicalise + 32-bit-plane sort + Pallas segreduce_compact
+aggregation), the replacement for the reference's hash-table insert loop
 (ref src/tools/build_graph.c:122; BASELINE.json metric).  Iterations are
 chained through a data dependency (the previous epoch's count perturbs
-the next input) so asynchronous dispatch cannot overlap them, and the
-final value is fetched to host — wall-clock is end-to-end honest.
+the next input) so asynchronous dispatch cannot overlap device work, and
+the final value is fetched to host — wall-clock is end-to-end honest.
 
 vs_baseline anchors against the reference's CPU hash-table insert
 throughput: mccortex's own hashtest micro-benchmark inserts ~4M
 kmers/s/core on a modern x86 core (results/hash_table_benchmark; the
 binary itself is unbuildable here — submodules are not vendored), so we
 use 4.0e6 kmers/s as the single-core CPU baseline.
+
+Extra keys:
+  lookup_kmers_per_s  — planar hashed-bucket index batched lookup
+                        (ops/hashidx.py), 4M-key store, fetch-timed.
+  breakdown_ms        — per-stage device times of one build epoch
+                        (front = extract+canonicalise+edges, sort,
+                        reduce = Pallas kernel), each fetch-timed; the
+                        ~20 ms axon RPC round-trip is included in each
+                        stage, so stages sum to more than the epoch.
 """
 
 import json
@@ -32,26 +41,26 @@ def main():
     import jax
     import jax.numpy as jnp
     import mccortex_tpu  # noqa: F401
-    from mccortex_tpu.graph.build import count_batch
-    from mccortex_tpu.ops import sorted as sops
+    from mccortex_tpu.graph.build import (count_batch_best,
+                                          reads_to_records)
 
     k, ncols, colour = 31, 1, 0
-    B, L = 2048, 256  # ~0.5M records per epoch
+    B, L = 32768, 256  # 8.4M records per epoch (compute-bound regime)
     rng = np.random.default_rng(0)
     bases = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def epoch(bases, salt):
         # data-dependent input shift serialises iterations
         shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32), axis=0)
-        keys, covg, edges, n = count_batch(shifted, k, ncols, colour)
+        keys, covg, edges, n = count_batch_best(shifted, k, ncols, colour)
         return n
 
     n = epoch(bases, jnp.int64(0))
     int(n)  # compile + sync
-    iters = 20
+    n = epoch(bases, n)
+    int(n)
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         n = epoch(bases, n)
@@ -59,6 +68,49 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     kmers = B * (L - k + 1)
     kmers_per_s = kmers / dt
+
+    # per-stage breakdown (each stage fetch-timed separately)
+    from mccortex_tpu.ops import kmer as kops
+
+    @jax.jit
+    def s_front(b):
+        keys, ebyte, valid = reads_to_records(b, k)
+        return keys[0, 0, 0] + ebyte[0, 0]
+
+    @jax.jit
+    def s_sort(b):
+        keys, ebyte, valid = reads_to_records(b, k)
+        M = B * L
+        flat = keys.reshape(M, 1)
+        hi = (flat[:, 0] >> jnp.uint64(32)).astype(jnp.uint32)
+        lo = flat[:, 0].astype(jnp.uint32)
+        e32 = ebyte.reshape(M).astype(jnp.uint32)
+        sh, sl, se = jax.lax.sort((hi, lo, e32), num_keys=2)
+        return sh[0] + se[0]
+
+    def t_stage(fn, iters=4):
+        np.asarray(fn(bases))
+        ts = []
+        for _ in range(iters):
+            t1 = time.perf_counter()
+            np.asarray(fn(bases))
+            ts.append(time.perf_counter() - t1)
+        return float(np.median(ts) * 1e3)
+
+    @jax.jit
+    def s_full(b):
+        _, _, _, n = count_batch_best(b, k, ncols, colour)
+        return n
+
+    bd = {}
+    try:
+        t_f = t_stage(s_front)
+        t_fs = t_stage(s_sort)
+        t_all = t_stage(s_full)
+        bd = {"front": round(t_f, 1), "sort": round(t_fs - t_f, 1),
+              "reduce": round(t_all - t_fs, 1), "epoch": round(t_all, 1)}
+    except Exception:
+        pass
 
     # secondary: batched lookup via the planar hashed-bucket index
     # (ops/hashidx.py).  Every dispatch gets a DISTINCT pre-staged query
@@ -99,6 +151,7 @@ def main():
         "unit": "kmers/s",
         "vs_baseline": round(kmers_per_s / CPU_BASELINE_KMERS_PER_S, 3),
         "lookup_kmers_per_s": round(lookups_per_s),
+        "breakdown_ms": bd,
     }
     print(json.dumps(out))
     return 0

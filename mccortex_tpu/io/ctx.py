@@ -79,7 +79,11 @@ def _open_maybe_gz(path, mode="rb") -> BinaryIO:
 
 
 def _pack_longdouble(x: float) -> bytes:
-    return np.longdouble(x).tobytes()  # 16 bytes on x86-64
+    # 16 bytes on x86-64: 10-byte x87 extended value + 6 padding bytes.
+    # numpy leaves the padding uninitialised, which makes .ctx files
+    # non-reproducible byte-for-byte; zero it (readers ignore it).
+    b = np.longdouble(x).tobytes()
+    return b[:10] + b"\x00" * (len(b) - 10)
 
 
 def _unpack_longdouble(b: bytes) -> float:
