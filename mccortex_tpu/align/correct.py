@@ -2,13 +2,32 @@
 
 Role of ref src/alignment/{db_alignment.c, correct_alignment.c}: split a
 read into runs of graph-present kmers; bridge the sequencing-error gaps
-between runs by walking the graph (with links) from the left anchor
-until the right anchor kmer is re-acquired, accepting fills of length
-N +- (N*0.1 + 5) (ref correct_alignment.h:17-19 gap tolerance).
+between runs by walking the graph (with links).  Two traversal modes
+(ref correct_alignment.c:283-356):
+
+  one-way (default, conservative): walk forward from the left anchor
+    until the right anchor is re-acquired; if that fails, walk backward
+    from the right anchor until the left anchor is re-acquired
+    (ref traverse_one_way, correct_alignment.c:283-330).
+  two-way (liberal): walk from both anchors toward each other with
+    alternating single steps, meeting in the middle
+    (ref traverse_two_way2, correct_alignment.c:179-280) — bridges gaps
+    one-way cannot, e.g. a linkless forward fork mid-gap where the
+    reverse walker passes through the halted forward walker's node.
+
+Acceptable bridge lengths (kmers) follow the reference gap model
+(correct_alignment.c:403-438): mid-read gaps accept
+gap_est ± (gap_est*GAP_VARIANCE + GAP_WIGGLE); insert (mate-pair) gaps
+additionally shift the window by frag_len_{min,max} - sum_read_bases
++ k - 1.  Bridged-but-too-short fills are rejected
+(result.gap_too_short, correct_alignment.c:168).
 
 TPU mapping: all gaps across a read batch become one batched linked
-walk (one walker per gap, max steps = tolerance bound); acceptance and
-path splicing happen on host.
+walk (two walkers per gap — left-forward and right-backward); the
+alternating two-way automaton and acceptance run on host over the
+recorded paths.  CorrectAlnStats mirrors ref correct_aln_stats.h:10-27
+(gap 2-D histogram, fragment-length histogram, traversal counters) with
+byte-compatible CSV dumps.
 """
 
 from __future__ import annotations
@@ -19,18 +38,95 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import kmer as kops
-from ..ops import sorted as sops
 from ..graph import store as gstore
 from ..links import store as lstore
 from ..links import thread as lthread
 from ..links import walk as lwalk
 
-GAP_VARIANCE = 0.1   # ref correct_aln_input defaults
-GAP_WIGGLE = 5
+GAP_VARIANCE = 0.1   # ref correct_alignment.h:18 DEFAULT_CRTALN_GAP_VARIANCE
+GAP_WIGGLE = 5       # ref correct_alignment.h:19 DEFAULT_CRTALN_GAP_WIGGLE
+FRAG_LEN_MIN = 0     # ref correct_alignment.h DEFAULT_CRTALN_FRAGLEN_MIN
+FRAG_LEN_MAX = 1000  # ref correct_alignment.h:15 DEFAULT_CRTALN_FRAGLEN_MAX
+
+MAX_GAP_HIST = 128      # ref correct_aln_stats.h:7 ALN_STATS_MAX_GAP
+MAX_FRAGLEN_HIST = 1024  # ref correct_aln_stats.h:8 ALN_STATS_MAX_FRAGLEN
 
 
 def gap_tolerance(n: int) -> int:
     return int(n * GAP_VARIANCE + GAP_WIGGLE)
+
+
+@dataclasses.dataclass
+class CorrectAlnStats:
+    """Mirror of ref CorrectAlnStats (correct_aln_stats.h:10-27)."""
+    gap_err_histgrm: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((MAX_GAP_HIST, MAX_GAP_HIST),
+                                         np.int64))
+    fraglen_histgrm: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(MAX_FRAGLEN_HIST, np.int64))
+    contig_histgrm: dict = dataclasses.field(default_factory=dict)
+    num_gap_attempts: int = 0
+    num_gap_successes: int = 0
+    num_paths_disagreed: int = 0   # no end-check walker here; stays 0
+    num_gaps_too_short: int = 0
+    num_ins_gaps: int = 0
+    num_ins_traversed: int = 0
+    num_mid_gaps: int = 0
+    num_mid_traversed: int = 0
+    num_end_gaps: int = 0          # read-end extension gaps: not traversed
+    num_end_traversed: int = 0
+    num_missing_edges: int = 0
+
+    def update(self, traversed: bool, too_short: bool = False):
+        self.num_gap_attempts += 1
+        self.num_gap_successes += traversed
+        self.num_gaps_too_short += too_short
+
+    def add_gap(self, exp_seq_gap: int, act_gap: int):
+        """Sequencing-error gap (ref correct_aln_stats_add)."""
+        self.gap_err_histgrm[min(exp_seq_gap, MAX_GAP_HIST - 1),
+                             min(act_gap, MAX_GAP_HIST - 1)] += 1
+
+    def add_mp(self, gap_kmers: int, r1bases: int, r2bases: int, k: int):
+        """Mate-pair insert gap (ref correct_aln_stats_add_mp):
+        fraglen_bp = r1bases + r2bases + gap_kmers - k + 1."""
+        fraglen = r1bases + r2bases + gap_kmers - k + 1
+        self.fraglen_histgrm[min(max(fraglen, 0),
+                                 MAX_FRAGLEN_HIST - 1)] += 1
+
+    def add_contig(self, contig_len_bp: int):
+        self.contig_histgrm[contig_len_bp] = \
+            self.contig_histgrm.get(contig_len_bp, 0) + 1
+
+    def dump_gaps(self, path: str):
+        """Gap size matrix CSV, byte-format of ref
+        correct_aln_stats_dump_gaps (correct_aln_stats.c:86)."""
+        with open(path, "w") as f:
+            f.write(".")
+            for j in range(MAX_GAP_HIST):
+                f.write(f"\tgraph_{j}")
+            f.write("\n")
+            for i in range(MAX_GAP_HIST):
+                f.write(f"read_{i}")
+                for j in range(MAX_GAP_HIST):
+                    f.write(f"\t{self.gap_err_histgrm[i, j]}")
+                f.write("\n")
+
+    def dump_fraglen(self, path: str):
+        """Fragment length CSV (ref correct_aln_stats_dump_fraglen)."""
+        with open(path, "w") as f:
+            f.write("fraglen_bases\tcount\n")
+            for i in range(MAX_FRAGLEN_HIST):
+                f.write(f"{i:4d}\t{self.fraglen_histgrm[i]:4d}\n")
+
+    def summary(self) -> str:
+        a = max(self.num_gap_attempts, 1)
+        return (f"gaps attempted {self.num_gap_attempts}, bridged "
+                f"{self.num_gap_successes} "
+                f"({100.0 * self.num_gap_successes / a:.1f}%), "
+                f"too short {self.num_gaps_too_short}; "
+                f"mid {self.num_mid_traversed}/{self.num_mid_gaps}, "
+                f"insert {self.num_ins_traversed}/{self.num_ins_gaps}")
 
 
 @dataclasses.dataclass
@@ -42,28 +138,79 @@ class CorrectedRead:
     nfixed: int
 
 
+def _two_way_meet(Lp, Rp, gap_max: int):
+    """The reference's alternating two-way automaton
+    (correct_alignment.c:208-237) replayed over the two recorded walker
+    paths.  Lp/Rp: vert sequences with index 0 = the anchor node
+    (right-side verts are in backward orientation; meet when
+    Lp[i] == Rp[j] ^ 1).  Returns (traversed, gap_len, a0, a1) where
+    a0/a1 = nodes appended from each side (the meet node is appended by
+    exactly one side)."""
+    pos = [0, 0]
+    app = [0, 0]
+    use = [True, True]
+    P = [Lp, Rp]
+    gap_len = 0
+    while gap_len <= gap_max and (use[0] or use[1]):
+        for s in (0, 1):
+            if not use[s]:
+                continue
+            if pos[s] + 1 >= len(P[s]):
+                use[s] = False
+                continue
+            pos[s] += 1
+            if Lp[pos[0]] == (Rp[pos[1]] ^ 1):
+                return gap_len <= gap_max, gap_len, app[0], app[1]
+            app[s] += 1
+            gap_len += 1
+    return False, gap_len, app[0], app[1]
+
+
+def _verts_bases(g: gstore.DBGraph, verts: np.ndarray, k: int):
+    """Last base code of each vert's oriented kmer (the base each
+    bridge node contributes reading left to right)."""
+    if len(verts) == 0:
+        return np.zeros(0, np.uint8)
+    rows = (verts >> 1).astype(np.int64)
+    ors = (verts & 1).astype(np.uint8)
+    okm = kops.oriented(jnp.asarray(np.asarray(g.keys)[rows]),
+                        jnp.asarray(ors), k)
+    return np.asarray(okm[:, -1] & np.uint64(3)).astype(np.uint8)
+
+
 def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   bases: np.ndarray, colour: int | None = 0,
                   ctpcol: int = 0, mate_col: int | None = None,
-                  frag_len_max: int = 1000):
+                  frag_len_min: int = FRAG_LEN_MIN,
+                  frag_len_max: int = FRAG_LEN_MAX,
+                  one_way: bool = True,
+                  aln_stats: CorrectAlnStats | None = None):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
     for reads with no aligned kmer).
 
     mate_col: if set, rows are mate pairs laid out as
     r1 + [invalid] + revcomp(r2) with the break at this column; gaps
-    spanning it are INSERT gaps bridged with fragment-length tolerance
-    (<= frag_len_max steps, first re-acquisition wins — ref
-    correct_alignment.c one-way insert-gap traversal bounded by
-    frag_len, correct_alignment.h:37-43)."""
+    spanning it are INSERT gaps whose acceptance window derives from
+    frag_len_min/max (ref correct_alignment.c:426-431; sum_read_bases
+    here = count of valid base columns in the row, an equivalent of the
+    reference's r1bases+r2bases up to masked-out bases).
+
+    one_way=False enables the reference's two-way meet-in-the-middle
+    traversal (traverse_two_way2).  aln_stats accumulates the gap /
+    fragment histograms and traversal counters.
+    """
     k = g.k
     if links is None:
         links = lstore.empty(g.capacity, g.ncols)
+    if aln_stats is None:
+        aln_stats = CorrectAlnStats()
     bj = jnp.asarray(bases)
     idx, orient, valid = lthread.reads_to_node_paths(g, bj, k)
     idx = np.asarray(idx)
     orient = np.asarray(orient)
     valid = np.asarray(valid)
     B, P = idx.shape
+    sum_bases = (np.asarray(bases) < 4).sum(axis=1)
 
     # collect gaps: (read, left_anchor_pos, right_anchor_pos)
     gaps = []
@@ -79,37 +226,104 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
 
     fills = {}
     if gaps:
-        seed_rows = np.array([idx[b, l] for b, l, _ in gaps], np.int32)
-        seed_or = np.array([orient[b, l] for b, l, _ in gaps], np.uint8)
-        gaplens = np.array([r - l - 1 for b, l, r in gaps])
-        is_ins = np.array([mate_col is not None and l < mate_col <= r
-                           for b, l, r in gaps])
-        max_err_steps = int(gaplens[~is_ins].max() + gap_tolerance(
-            int(gaplens[~is_ins].max())) + 2) if (~is_ins).any() else 2
-        max_steps = int(min(max(max_err_steps,
-                                frag_len_max if is_ins.any() else 0),
-                            4096))
+        G = len(gaps)
+        gap_bounds = []
+        for b, l, r in gaps:
+            n = r - l - 1
+            is_ins = mate_col is not None and l < mate_col <= r
+            if is_ins:
+                ge = max(0, n - k)
+                wig = int(ge * GAP_VARIANCE + GAP_WIGGLE)
+                adj_min = frag_len_min - int(sum_bases[b]) + k - 1
+                adj_max = frag_len_max - int(sum_bases[b]) + k - 1
+                lo_l = ge - wig + adj_min
+                hi_l = ge + wig + adj_max
+                aln_stats.num_ins_gaps += 1
+            else:
+                ge = n
+                wig = int(ge * GAP_VARIANCE + GAP_WIGGLE)
+                lo_l = ge - wig
+                hi_l = ge + wig
+                aln_stats.num_mid_gaps += 1
+            gap_bounds.append((max(0, lo_l), max(0, hi_l), hi_l < 0,
+                               is_ins, ge))
+        max_steps = int(min(max(hi for _, hi, _, _, _ in gap_bounds)
+                            + 2, 4096))
+        # two walkers per gap: [0:G) left-forward, [G:2G) right-backward
+        seed_rows = np.array([idx[b, l] for b, l, _ in gaps]
+                             + [idx[b, r] for b, _, r in gaps], np.int32)
+        seed_or = np.array(
+            [orient[b, l] for b, l, _ in gaps]
+            + [orient[b, r] ^ 1 for b, _, r in gaps], np.uint8)
         st = lwalk.linked_init(g, links, jnp.asarray(seed_rows),
                                jnp.asarray(seed_or), max_steps,
                                ctpcol=ctpcol)
         st = lwalk.walk_linked(g, links, st, colour, max_steps=max_steps,
                                ctpcol=ctpcol)
         wverts = np.asarray(st.base.out_vert)
-        wbases = np.asarray(st.base.out_bases)
         wlens = np.asarray(st.base.out_len)
         for gi, (b, l, r) in enumerate(gaps):
-            target = int(idx[b, r]) * 2 + int(orient[b, r])
-            L = int(wlens[gi])
-            n = r - l - 1
-            hit = np.nonzero(wverts[gi, :L] == target)[0]
-            if is_ins[gi]:
-                ok = [h for h in hit if h + 1 <= frag_len_max]
+            lo, hi, dead, is_ins, gap_est = gap_bounds[gi]
+            if dead:
+                aln_stats.update(False)
+                continue
+            l_anchor = int(idx[b, l]) * 2 + int(orient[b, l])
+            r_anchor = int(idx[b, r]) * 2 + int(orient[b, r])
+            Lw = wverts[gi, :int(wlens[gi])]
+            Rw = wverts[G + gi, :int(wlens[G + gi])]
+            fill_verts = None
+            act = 0
+            if one_way:
+                # forward: first re-acquisition of the right anchor
+                hit = np.nonzero(Lw[:hi + 1] == r_anchor)[0]
+                if hit.size:
+                    d = int(hit[0])
+                    if d >= lo:
+                        fill_verts = Lw[:d].astype(np.int64)
+                        act = d
+                        aln_stats.update(True)
+                    else:
+                        aln_stats.update(False, too_short=True)
+                else:
+                    aln_stats.update(False)
+                if fill_verts is None:
+                    # backward: from the right anchor toward the left
+                    hit = np.nonzero(Rw[:hi + 1] == (l_anchor ^ 1))[0]
+                    if hit.size:
+                        d = int(hit[0])
+                        if d >= lo:
+                            fill_verts = (Rw[:d].astype(np.int64)
+                                          ^ 1)[::-1]
+                            act = d
+                            aln_stats.update(True)
+                        else:
+                            aln_stats.update(False, too_short=True)
+                    else:
+                        aln_stats.update(False)
             else:
-                tol = gap_tolerance(n)
-                ok = [h for h in hit if abs((h + 1) - (n + 1)) <= tol]
-            if ok:
-                d = ok[0]  # shortest acceptable fill
-                fills[(b, l)] = (wverts[gi, :d], wbases[gi, :d])
+                Lp = np.concatenate([[l_anchor],
+                                     Lw.astype(np.int64)])
+                Rp = np.concatenate([[r_anchor ^ 1],
+                                     Rw.astype(np.int64)])
+                trav, gap_len, a0, a1 = _two_way_meet(Lp, Rp, hi)
+                if trav and gap_len >= lo:
+                    fill_verts = np.concatenate(
+                        [Lp[1:1 + a0],
+                         (Rp[1:1 + a1] ^ 1)[::-1]])
+                    act = gap_len
+                    aln_stats.update(True)
+                else:
+                    aln_stats.update(False,
+                                     too_short=trav and gap_len < lo)
+            if fill_verts is not None:
+                if is_ins:
+                    aln_stats.num_ins_traversed += 1
+                    aln_stats.add_mp(act, int(sum_bases[b]), 0, k)
+                else:
+                    aln_stats.num_mid_traversed += 1
+                    aln_stats.add_gap(gap_est, act)
+                fb = _verts_bases(g, fill_verts, k)
+                fills[(b, l)] = (fill_verts, fb)
 
     # splice per read (vectorised base extraction, python only for the
     # short per-read run bookkeeping)
@@ -170,11 +384,10 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
         seq = "".join(seq_parts)
         disp = "".join(disp_parts)
         verts = np.array([v for sub in verts_out for v in sub], np.int64)
+        aln_stats.add_contig(len(seq))
         out.append(CorrectedRead(verts, seq, disp, ngaps, nfixed))
     return out
 
 
 def _codes_to_str(codes):
     return "".join("ACGTN"[min(int(c), 4)] for c in codes)
-
-

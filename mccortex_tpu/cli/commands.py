@@ -550,8 +550,23 @@ def cmd_thread(argv):
     p.add_argument("--seq2", action="append", nargs=2, default=[],
                    metavar=("R1", "R2"),
                    help="paired-end read files (links span fragments)")
-    p.add_argument("--frag-len", type=int, default=1000,
-                   help="max fragment length for insert-gap bridging")
+    p.add_argument("-L", "--max-frag-len", "--frag-len", type=int,
+                   dest="frag_len", default=1000,
+                   help="max fragment length for insert-gap bridging "
+                        "(ref ctx_thread.c -L)")
+    p.add_argument("-l", "--min-frag-len", type=int, default=0,
+                   help="min fragment length for --seq2 "
+                        "(ref ctx_thread.c -l)")
+    p.add_argument("-w", "--one-way", dest="one_way",
+                   action="store_true", default=True,
+                   help="one-way gap filling (conservative, default)")
+    p.add_argument("-W", "--two-way", dest="one_way",
+                   action="store_false",
+                   help="two-way (meet-in-the-middle) gap filling")
+    p.add_argument("-g", "--gap-hist", default=None,
+                   help="save gap size distribution CSV")
+    p.add_argument("-G", "--frag-hist", default=None,
+                   help="save PE fragment size distribution CSV")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     if not args.seq and not args.seq2:
@@ -560,14 +575,18 @@ def cmd_thread(argv):
     from ..links import store as lstore
     from ..io import ctp as ctpio
     from ..io import seqio
+    from ..align.correct import CorrectAlnStats
     h, g = _load_graph(args.ctx)
     ncols = max(h.ncols, args.colour + 1)
     stats = lthread.ThreadStats(ncols)
+    aln_stats = CorrectAlnStats()
     batches = [(codes, args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
     if args.gap_fill:
         links = lthread.thread_reads_gapfill(g, batches, ncols,
-                                             stats=stats)
+                                             stats=stats,
+                                             one_way=args.one_way,
+                                             aln_stats=aln_stats)
     elif batches:
         links = lthread.thread_reads(g, batches, ncols, stats=stats)
     else:
@@ -580,8 +599,9 @@ def cmd_thread(argv):
                                                    colour=args.colour):
                 pair_batches.append((c1, c2, args.colour))
         pe_links = lthread.thread_reads_pe(
-            g, pair_batches, ncols, frag_len_max=args.frag_len,
-            stats=stats)
+            g, pair_batches, ncols, frag_len_min=args.min_frag_len,
+            frag_len_max=args.frag_len, stats=stats,
+            one_way=args.one_way, aln_stats=aln_stats)
         links = pe_links if links is None else lstore2.merge_stores(
             links, pe_links, g.capacity)
     prev_commands = []
@@ -602,6 +622,16 @@ def cmd_thread(argv):
         if args.seq2 else 0
     _status(f"threaded {sum(b.shape[0] for b, _ in batches)} reads + "
             f"{npe} pairs -> {links.nlinks} links")
+    if aln_stats.num_gap_attempts:
+        _status("[CorrectAln] " + aln_stats.summary())
+    if args.gap_hist:
+        aln_stats.dump_gaps(args.gap_hist)
+        _status(f"[CorrectAln] saved gap size distribution to: "
+                f"{args.gap_hist}")
+    if args.frag_hist:
+        aln_stats.dump_fraglen(args.frag_hist)
+        _status(f"[CorrectAln] saved fragment size distribution to: "
+                f"{args.frag_hist}")
     ctpio.save_ctp(args.out, g, links,
                    sample_names=[gi.sample_name for gi in h.ginfo],
                    command="mctx thread " + " ".join(argv),

@@ -227,6 +227,16 @@ def cmd_correct(argv):
     p.add_argument("-p", "--paths", action="append", default=[])
     p.add_argument("-o", "--out", required=True, help="output FASTA")
     p.add_argument("--colour", type=int, default=0)
+    p.add_argument("-w", "--one-way", dest="one_way",
+                   action="store_true", default=True,
+                   help="one-way gap filling (conservative, default)")
+    p.add_argument("-W", "--two-way", dest="one_way",
+                   action="store_false",
+                   help="two-way (meet-in-the-middle) gap filling")
+    p.add_argument("-g", "--gap-hist", default=None,
+                   help="save gap size distribution CSV")
+    p.add_argument("-G", "--frag-hist", default=None,
+                   help="save PE fragment size distribution CSV")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..align import correct as acorrect
@@ -234,6 +244,7 @@ def cmd_correct(argv):
     from ..io import seqio
     h, g = _load_graph(args.ctx)
     links = ctpio.load_link_store(args.paths, g) if args.paths else None
+    aln_stats = acorrect.CorrectAlnStats()
     nreads = nfixed = ngaps = 0
     with open(args.out, "w") as out:
         for path in args.seq:
@@ -250,13 +261,21 @@ def cmd_correct(argv):
                 arr[i, :len(s)] = CHAR_TO_BASE[
                     np.frombuffer(s.encode(), np.uint8)]
             res = acorrect.correct_batch(g, links, arr,
-                                         colour=args.colour)
+                                         colour=args.colour,
+                                         one_way=args.one_way,
+                                         aln_stats=aln_stats)
             for name, cr in zip(names, res):
                 out.write(f">{name}\n{cr.display}\n")
                 nreads += 1
                 ngaps += cr.ngaps
                 nfixed += cr.nfixed
     _status(f"corrected {nreads} reads: {nfixed}/{ngaps} gaps bridged")
+    if aln_stats.num_gap_attempts:
+        _status("[CorrectAln] " + aln_stats.summary())
+    if args.gap_hist:
+        aln_stats.dump_gaps(args.gap_hist)
+    if args.frag_hist:
+        aln_stats.dump_fraglen(args.frag_hist)
     return 0
 
 

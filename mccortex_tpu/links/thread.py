@@ -248,7 +248,8 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
 
 def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                          links_prev=None, edge_colour: int = 0,
-                         stats=None):
+                         stats=None, one_way: bool = True,
+                         aln_stats=None):
     """Threading with gap filling: bridge read gaps through the graph
     first (ref generate_paths.c uses correct_alignment), then extract
     junctions from the bridged node paths."""
@@ -256,7 +257,9 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
     all_recs = []
     for bases, colour in read_batches:
         corrected = acorrect.correct_batch(g, links_prev, bases,
-                                           colour=edge_colour)
+                                           colour=edge_colour,
+                                           one_way=one_way,
+                                           aln_stats=aln_stats)
         # re-pack bridged paths into arrays
         paths = [c.verts for c in corrected if len(c.verts)]
         if not paths:
@@ -311,7 +314,8 @@ def pair_to_rows(codes1: np.ndarray, codes2: np.ndarray):
 
 def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
                     links_prev=None, edge_colour: int = 0,
-                    frag_len_max: int = 1000, stats=None):
+                    frag_len_min: int = 0, frag_len_max: int = 1000,
+                    stats=None, one_way: bool = True, aln_stats=None):
     """Paired-end threading: mates joined through the graph across the
     insert gap (ref generate_paths PE mode), then junction extraction
     over the combined paths — links span whole fragments."""
@@ -321,7 +325,9 @@ def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
         rows, mate_col = pair_to_rows(codes1, codes2)
         corrected = acorrect.correct_batch(
             g, links_prev, rows, colour=edge_colour,
-            mate_col=mate_col, frag_len_max=frag_len_max)
+            mate_col=mate_col, frag_len_min=frag_len_min,
+            frag_len_max=frag_len_max, one_way=one_way,
+            aln_stats=aln_stats)
         paths = [c.verts for c in corrected if len(c.verts)]
         if not paths:
             continue
