@@ -187,8 +187,16 @@ def unitig_chain(g, start_vertex, succ, max_len):
 
 def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
                  max_allele: int = 300, max_flank: int = 1000,
-                 haploid_cols=(), remove_serial: bool = False):
-    """Find all bubbles.  Returns list[Bubble]."""
+                 haploid_cols=(), remove_serial: bool = True):
+    """Find all bubbles.  Returns list[Bubble].
+
+    Matches the reference's per-shared-unitig enumeration
+    (ref bubble_caller.c:425 find_bubbles_ending_with): each fork can
+    yield MULTIPLE (nested) bubbles — one per downstream unitig that >=2
+    branch paths enter the same way — after the reference filter chain
+    (is_3p_flank, dupe removal, haploid filter, serial suppression).
+    remove_serial defaults True as in ctx_bubbles.c (-S keeps them).
+    """
     ncols = g.ncols
     if links is None:
         links = lstore.empty(g.capacity, ncols)
@@ -208,14 +216,12 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
         bases[sel] = np.asarray(sub.base.out_bases)
         lens[sel] = np.asarray(sub.base.out_len)
 
-    covg_np = np.asarray(g.covg)
-    succ = np.asarray(U.successors(g.keys, gstore.union_edges(g), g.k))
+    view = U.unitig_view(g.keys, gstore.union_edges(g), g.k)
+    succ = np.asarray(view.succ)
+    uid_np = np.asarray(view.uid)
     keys_np = np.asarray(g.keys)
-    basechars = "ACGT"
 
     bubbles = []
-    rows = fork_verts >> 1
-    orients = fork_verts & 1
     for fi in range(len(fork_verts)):
         wsel = np.nonzero(meta[:, 0] == fi)[0]
         if len(wsel) < 2:
@@ -228,97 +234,118 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
                           verts[w, :lens[w]], bases[w, :lens[w]]))
         if len(paths) < 2:
             continue
-        bub = _group_bubble(g, fi, fork_verts[fi], paths, succ,
-                            covg_np, haploid_cols, max_allele, max_flank,
-                            keys_np, remove_serial)
-        if bub is not None:
-            bubbles.append(bub)
+        bubbles.extend(_fork_bubbles(
+            g, fork_verts[fi], paths, uid_np, succ, haploid_cols,
+            max_allele, max_flank, keys_np, remove_serial))
     return bubbles
 
 
-def _group_bubble(g, fi, fork_vertex, paths, succ, covg_np, haploid_cols,
-                  max_allele, max_flank, keys_np, remove_serial=False):
-    basechars = "ACGT"
-    # earliest convergence: vertex shared by paths from >= 2 branches
-    pos_of = [dict() for _ in paths]
-    for p, (_, _, vs, _) in enumerate(paths):
-        seen = pos_of[p]
-        for i, v in enumerate(vs):
-            if v not in seen:
-                seen[v] = i
-    best = None  # (max_index, vertex)
+def _fork_bubbles(g, fork_vertex, paths, uid_np, succ, haploid_cols,
+                  max_allele, max_flank, keys_np, remove_serial=True):
+    """All bubbles from one fork's branch paths.
+
+    Each path is decomposed into unitig STEPS; a step's identity is its
+    entry vertex (entries into a unitig in a given direction always land
+    on the same head vertex, since unitigs break at degree changes — the
+    role of ref GCacheStep's (unitig, orient) encoding).  Every step
+    word with >= 2 steps across paths is a candidate 3' flank, filtered
+    exactly as ref filter_bubbles (bubble_caller.c:387-421):
+      1. is_3p_flank (graph_cache.c:337): first steps not all equal AND
+         some second-last step differs;
+      2. duplicate step-prefix removal (colours of dropped duplicates
+         merge into the survivor — the reference loses them to qsort
+         dedupe, a deliberate improvement);
+      3. haploid-repeat path removal (remove_haploid_paths);
+      4. serial suppression: drop if some unitig occurs in every kept
+         step's strict prefix (paths_all_share_unitig).
+    """
     from collections import defaultdict
-    cand = defaultdict(list)
-    for p, (_br, _c, vs, _b) in enumerate(paths):
-        for v, i in pos_of[p].items():
-            cand[v].append((p, i))
-    for v, plist in cand.items():
-        brset = {paths[p][0] for p, _ in plist}
-        if len(brset) < 2:
+    basechars = "ACGT"
+
+    # unitig-step decomposition per path: (entry vertex, kmer position)
+    path_steps = []
+    for (_br, _c, vs, _bs) in paths:
+        u = uid_np[vs >> 1]
+        bnd = np.ones(len(vs), bool)
+        bnd[1:] = u[1:] != u[:-1]
+        pos = np.nonzero(bnd)[0]
+        path_steps.append([(int(vs[i]), int(i)) for i in pos])
+
+    groups = defaultdict(list)   # entry vertex -> [(path, step index)]
+    order = []
+    for p, steps in enumerate(path_steps):
+        for si, (w, _pos) in enumerate(steps):
+            if w not in groups:
+                order.append(w)
+            groups[w].append((p, si))
+
+    bubbles = []
+    for w in order:
+        steps = groups[w]
+        if len(steps) < 2:
             continue
-        score = max(i for _, i in plist)
-        if best is None or score < best[0] or \
-           (score == best[0] and v < best[1]):
-            best = (score, v, plist)
-    if best is None:
-        return None
-    _, conv_v, plist = best
-    # paths through the convergence vertex, cut at it (allele excludes
-    # the 3p unitig)
-    cut = {p: i for p, i in plist}
-    alleles = {}
-    for p, i in cut.items():
-        br, c, vs, bs = paths[p]
-        seq = "".join(basechars[x] for x in bs[:i])
-        key = (br, seq)
-        alleles.setdefault(key, set()).add(c)
-    # haploid filter (ref remove_haploid_paths)
-    items = sorted(alleles.items())
-    kept = []
-    hap_seen = set()
-    for (br, seq), cols in items:
-        drop = False
-        for h in haploid_cols:
-            if h in cols:
-                if h in hap_seen:
-                    drop = True
-                    break
-                hap_seen.add(h)
-        if not drop:
-            kept.append(((br, seq), cols))
-    if len(kept) < 2:
-        return None
-    if len({br for (br, _), _ in kept}) < 2:
-        return None
+        # 1. is_3p_flank
+        firsts = {path_steps[p][0][0] for p, _si in steps}
+        if len(firsts) < 2:
+            continue
+        prevs = [path_steps[p][si - 1][0] if si > 0 else None
+                 for p, si in steps]
+        if prevs[0] is None:
+            if not any(x is not None for x in prevs[1:]):
+                continue
+        else:
+            if not any(x is None or x != prevs[0] for x in prevs[1:]):
+                continue
+        # 2. dedupe on the step prefix (inclusive); merge colours
+        seen = {}
+        for p, si in steps:
+            key = tuple(x for x, _ in path_steps[p][:si + 1])
+            if key in seen:
+                seen[key][1].add(paths[p][1])
+            else:
+                seen[key] = ((p, si), {paths[p][1]})
+        items = [v for _k, v in sorted(seen.items())]
+        if len(items) < 2:
+            continue
+        # 3. haploid filter
+        hap_seen = set()
+        kept = []
+        for (p, si), cols in items:
+            drop = False
+            for h in haploid_cols:
+                if h in cols:
+                    if h in hap_seen:
+                        drop = True
+                        break
+                    hap_seen.add(h)
+            if not drop:
+                kept.append(((p, si), cols))
+        if len(kept) < 2:
+            continue
+        # 4. serial suppression
+        if remove_serial:
+            cnt = defaultdict(int)
+            for (p, si), _cols in kept:
+                for x, _pos in path_steps[p][:si]:
+                    cnt[x] += 1
+            if any(v == len(kept) for v in cnt.values()):
+                continue
 
-    # serial-bubble filter (ref paths_all_share_unitig,
-    # bubble_caller.c:317-345): drop the bubble if every kept branch
-    # passes through a common vertex BEFORE the convergence point —
-    # i.e. this is the second half of a chained (serial) bubble
-    if remove_serial:
-        common = None
-        for (br, seq), cols in kept:
-            for p, i in cut.items():
-                if paths[p][0] == br and \
-                   "".join("ACGT"[x] for x in paths[p][3][:i]) == seq:
-                    vs = set(paths[p][2][:i].tolist())
-                    common = vs if common is None else (common & vs)
-                    break
-        if common:
-            return None
-
-    # 3p flank: the unitig starting at the convergence vertex
-    chain = unitig_chain(g, conv_v, succ, max_allele)
-    flank3p = _verts_to_bases(g, chain, keys_np)
-    # 5p flank: backward unitig extension from the fork, revcmp'd, ending
-    # with the fork kmer (ref print_bubble flank5p)
-    rev_fork = fork_vertex ^ 1
-    fchain = unitig_chain(g, rev_fork, succ, max_flank)
-    flank5p = _flank5p_seq(g, fchain, keys_np)
-    return Bubble(fork_vertex=int(fork_vertex), flank5p=flank5p,
-                  flank3p=flank3p,
-                  branches=[seq for (_, seq), _ in kept],
-                  branch_colsets=[sorted(cols) for _, cols in kept])
+        branches, colsets = [], []
+        for (p, si), cols in kept:
+            cutpos = path_steps[p][si][1]
+            bs = paths[p][3]
+            branches.append("".join(basechars[x] for x in bs[:cutpos]))
+            colsets.append(sorted(cols))
+        chain = unitig_chain(g, w, succ, max_allele)
+        flank3p = _verts_to_bases(g, chain, keys_np)
+        fchain = unitig_chain(g, fork_vertex ^ 1, succ, max_flank)
+        flank5p = _flank5p_seq(g, fchain, keys_np)
+        bubbles.append(Bubble(fork_vertex=int(fork_vertex),
+                              flank5p=flank5p, flank3p=flank3p,
+                              branches=branches,
+                              branch_colsets=colsets))
+    return bubbles
 
 
 def _vertex_kmer(g, v, keys_np):

@@ -668,8 +668,10 @@ def cmd_bubbles(argv):
     p.add_argument("--max-flank", type=int, default=1000)
     p.add_argument("--haploid", default="",
                    help="comma-separated haploid colour list")
-    p.add_argument("--serial", action="store_true",
-                   help="remove serial (chained) bubbles")
+    p.add_argument("-S", "--keep-serial", dest="keep_serial",
+                   action="store_true",
+                   help="keep serial (chained) bubbles "
+                        "(ref ctx_bubbles.c -S; higher FP)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..calls import bubbles as bub
@@ -682,7 +684,7 @@ def cmd_bubbles(argv):
     haploid = [int(x) for x in args.haploid.split(",") if x != ""]
     bl = bub.call_bubbles(g, links, max_allele=args.max_allele,
                           max_flank=args.max_flank, haploid_cols=haploid,
-                          remove_serial=args.serial)
+                          remove_serial=not args.keep_serial)
     callfile.write_bubble_file(
         args.out, bl, g.k, h.ncols, args.max_allele, args.max_flank,
         sample_names=[gi.sample_name for gi in h.ginfo])

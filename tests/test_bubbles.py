@@ -106,3 +106,56 @@ def test_cli_bubbles_roundtrip(tmp_path):
     assert len(calls) >= 1
     c = calls[0]
     assert c["flank5p"] and c["flank3p"] and len(c["branches"]) == 2
+
+
+def test_nested_bubbles_per_shared_unitig():
+    # three alleles from one fork: x/y converge at M (inner bubble),
+    # z joins at R (outer bubble) — ref find_bubbles_ending_with emits
+    # BOTH (one per shared 3' unitig)
+    k = 11
+    L = random_dna(40, seed=460)
+    M = random_dna(30, seed=461)
+    Q = random_dna(30, seed=462)
+    R = random_dna(40, seed=463)
+    snp = L[-1]
+    opts = [c for c in "ACGT" if c != snp]
+    s1 = L + opts[0] + M + R
+    s2 = L + opts[1] + M + R
+    s3 = L + opts[2] + Q + R
+    g = build_g([(s1, 0), (s2, 0), (s3, 0)], k)
+    bl = bub.call_bubbles(g)
+    # the inner 2-allele bubble AND the outer 3-allele bubble must both
+    # be called (nested); reverse-strand duplicates may also appear
+    want_inner = sorted([opts[0] + M[:k - 1], opts[1] + M[:k - 1]])
+    inner = [b for b in bl if sorted(b.branches) == want_inner]
+    assert len(inner) == 1
+    three = [b for b in bl if len(b.branches) == 3]
+    assert len(three) == 1
+    outer_first = sorted(s[:1] for s in three[0].branches)
+    assert outer_first == sorted(opts)
+
+
+def test_serial_bubble_suppression_with_links():
+    # two SNP bubbles in series; link-carrying walks from the first fork
+    # continue through the second — the chained call at the second
+    # convergence must be suppressed (ref paths_all_share_unitig) unless
+    # remove_serial=False
+    from mccortex_tpu.links import thread as lthread
+    k = 11
+    L = random_dna(40, seed=470)
+    M = random_dna(30, seed=471)
+    R = random_dna(40, seed=472)
+    a1 = "A" if L[-1] != "A" else "C"
+    a2 = "G" if a1 != "G" else "T"
+    b1 = "A" if M[-1] != "A" else "C"
+    b2 = "G" if b1 != "G" else "T"
+    hap1 = L + a1 + M + b1 + R
+    hap2 = L + a2 + M + b2 + R
+    g = build_g([(hap1, 0), (hap2, 0)], k)
+    links = lthread.thread_reads(g, batchify([(hap1, 0), (hap2, 0)]), 1)
+    bl_keep = bub.call_bubbles(g, links, remove_serial=False)
+    bl_drop = bub.call_bubbles(g, links, remove_serial=True)
+    # with serial removal the linked walk-through calls disappear;
+    # both primary bubbles survive
+    assert len(bl_drop) >= 2
+    assert len(bl_keep) > len(bl_drop)
