@@ -23,22 +23,73 @@ from ..io import vcf as vcfio
 from ..utils.dna import revcomp
 
 
+class RefKmerIndex:
+    """Unique-kmer placement index over a reference: canonical key ->
+    (chrom, pos, strand), None for repeated keys.
+
+    Vectorised build (utils/npkmer.py) + sorted-array binary search —
+    replaces the per-kmer python dict loop that dominated wall-clock at
+    genome scale (VERDICT r1 item 6)."""
+
+    def __init__(self, ref: KO.RefGenome, k: int):
+        from ..utils import npkmer as npk
+        self.k = k
+        keys, cis, poss, strands = [], [], [], []
+        for ci, seq in enumerate(ref.seqs):
+            kk, orient, pos = npk.seq_canonical_keys(seq, k)
+            keys.append(kk)
+            cis.append(np.full(len(pos), ci, np.int32))
+            poss.append(pos.astype(np.int64))
+            strands.append(orient)
+        if not keys or sum(len(x) for x in keys) == 0:
+            self._rep = np.zeros((0, 1), np.uint64)
+            self._void = self._rep.view(np.dtype((np.void, 8))).ravel()
+            self._payload = np.zeros((0, 3), np.int64)
+            self._uniq = np.zeros(0, bool)
+            return
+        allk = np.concatenate(keys)
+        payload = np.stack([np.concatenate(cis).astype(np.int64),
+                            np.concatenate(poss),
+                            np.concatenate(strands).astype(np.int64)],
+                           axis=1)
+        v = _key_void(allk)
+        order = np.argsort(v)
+        sv, payload = v[order], payload[order]
+        new = np.ones(len(sv), bool)
+        new[1:] = sv[1:] != sv[:-1]
+        run_id = np.cumsum(new) - 1
+        counts = np.bincount(run_id)
+        starts = np.nonzero(new)[0]
+        self._void = sv[starts]
+        self._payload = payload[starts]
+        self._uniq = counts == 1
+
+    def get(self, km: str):
+        from ..utils import npkmer as npk
+        if len(km) != self.k or len(self._void) == 0:
+            return None
+        keys, _, pos = npk.seq_canonical_keys(km, self.k)
+        if len(keys) == 0:      # contains N
+            return None
+        qv = _key_void(keys)[0]
+        i = np.searchsorted(self._void, qv)
+        if i >= len(self._void) or self._void[i] != qv or \
+                not self._uniq[i]:
+            return None
+        ci, p, strand = self._payload[i]
+        return int(ci), int(p), int(strand)
+
+
+def _key_void(keys: np.ndarray) -> np.ndarray:
+    """(N, W) u64 -> sortable void rows (big-endian bytes: memcmp order
+    == multiword lexicographic order)."""
+    W = keys.shape[1]
+    be = np.ascontiguousarray(keys.astype(">u8"))
+    return be.view(np.dtype((np.void, 8 * W))).ravel()
+
+
 def _ref_kmer_index(ref: KO.RefGenome, k: int):
-    """kmer string (canonical) -> (chrom, pos, strand) for UNIQUE kmers,
-    None for repeated."""
-    idx = {}
-    for ci, seq in enumerate(ref.seqs):
-        for i in range(len(seq) - k + 1):
-            km = seq[i:i + k]
-            if "N" in km:
-                continue
-            rc = revcomp(km)
-            key, strand = (km, 0) if km <= rc else (rc, 1)
-            if key in idx:
-                idx[key] = None
-            else:
-                idx[key] = (ci, i, strand)
-    return idx
+    return RefKmerIndex(ref, k)
 
 
 def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int):

@@ -18,30 +18,29 @@ import itertools
 import numpy as np
 import jax.numpy as jnp
 
-from ..constants import CHAR_TO_BASE
-from ..ops import kmer as kops
 from ..ops import sorted as sops
 from ..ops import hashidx
 from ..graph import store as gstore
-from ..utils.dna import revcomp
 
 
-def _kmer_set(seq: str, k: int) -> set:
-    out = set()
-    for i in range(len(seq) - k + 1):
-        km = seq[i:i + k]
-        if "N" not in km:
-            out.add(min(km, revcomp(km)))
-    return out
+def _kmer_keys(seq: str, k: int) -> np.ndarray:
+    """Canonical keys of all valid kmers: sortable void rows (vectorised
+    numpy, utils/npkmer.py — replaces the per-kmer python set loop)."""
+    from ..utils import npkmer as npk
+    from .calls2vcf import _key_void
+    keys, _, _ = npk.seq_canonical_keys(seq, k)
+    return _key_void(keys)
 
 
-def _lookup_covg(g: gstore.DBGraph, kmers: list) -> np.ndarray:
-    """(nk, C) coverage for kmer strings (0 when absent)."""
-    if not kmers:
+def _void_to_keys(v: np.ndarray, W: int) -> np.ndarray:
+    return v.view(">u8").reshape(-1, W).astype(np.uint64)
+
+
+def _lookup_covg(g: gstore.DBGraph, key_void: np.ndarray) -> np.ndarray:
+    """(nk, C) coverage for canonical-key void rows (0 when absent)."""
+    if len(key_void) == 0:
         return np.zeros((0, g.ncols), np.uint32)
-    arr = np.stack([CHAR_TO_BASE[np.frombuffer(s.encode(), np.uint8)]
-                    for s in kmers])
-    keys, _ = kops.canonical(kops.pack_kmers(jnp.asarray(arr), g.k), g.k)
+    keys = jnp.asarray(_void_to_keys(key_void, g.keys.shape[1]))
     idx, found = hashidx.lookup(g.keys, keys)
     cov = np.asarray(g.covg)[np.asarray(idx)]
     cov[~np.asarray(found)] = 0
@@ -130,18 +129,21 @@ def _annotate(r, others, cseq, g, k, tagR, tagA, C):
     # combinations (ref genotyping.c combinations <= max-nvars)
     neigh = [(o.pos, o.ref, o.alts[0]) for o in others
              if o.pos + len(o.ref) <= win_e and o.pos >= win_s]
-    ref_kmers, alt_kmers = set(), set()
+    ref_lists, alt_lists = [], []
     ncomb = min(len(neigh), 4)  # cap combinations 2^4
     for mask in range(1 << ncomb):
         chosen = [neigh[i] for i in range(ncomb) if mask >> i & 1]
         h_ref = _apply(base, chosen + [(r.pos, r.ref, r.ref)], win_s)
         h_alt = _apply(base, chosen + [(r.pos, r.ref, alt)], win_s)
         if h_ref is not None:
-            ref_kmers |= _kmer_set(h_ref, k)
+            ref_lists.append(_kmer_keys(h_ref, k))
         if h_alt is not None:
-            alt_kmers |= _kmer_set(h_alt, k)
-    excl_r = sorted(ref_kmers - alt_kmers)
-    excl_a = sorted(alt_kmers - ref_kmers)
+            alt_lists.append(_kmer_keys(h_alt, k))
+    empty = np.zeros(0, np.dtype((np.void, 8 * g.keys.shape[1])))
+    ref_u = np.unique(np.concatenate(ref_lists)) if ref_lists else empty
+    alt_u = np.unique(np.concatenate(alt_lists)) if alt_lists else empty
+    excl_r = np.setdiff1d(ref_u, alt_u, assume_unique=True)
+    excl_a = np.setdiff1d(alt_u, ref_u, assume_unique=True)
     cov_r = _lookup_covg(g, excl_r)
     cov_a = _lookup_covg(g, excl_a)
     while len(r.samples) < C:

@@ -328,17 +328,46 @@ class PcrDupFilter:
     is dropped iff ALL its start kmers were previously seen as read
     starts in the same orientation (2 bits per kmer, `readstrt`).
 
-    Host-side state: dict canonical-start-key -> 2-bit seen mask.
-    Batched: start kmers for a whole batch are computed on device; the
-    tiny per-read check/update runs on host in arrival order (matching
-    the reference's sequential semantics within a stream).
+    Fully vectorised (VERDICT r1 item 6 — the per-read dict loop was the
+    scale bomb): start kmers for a whole batch are computed on device;
+    (key, orientation) tokens are matched against an LSM of sorted
+    token runs with numpy searchsorted, and the within-batch sequential
+    semantics ("seen by an earlier read in this stream") reduce to a
+    min-read-index-per-token computation, exactly equivalent to the
+    reference's sequential loop: a dropped read's tokens are already
+    seen, so marking all reads' tokens equals marking kept reads' only.
     """
 
     def __init__(self, k: int):
         from ..constants import nwords
         self.k = k
         self.W = nwords(k)
-        self.seen = {}
+        self._runs = []   # LSM: sorted void-token arrays
+
+    def _tokens(self, keys: np.ndarray, orient: np.ndarray) -> np.ndarray:
+        comb = np.concatenate(
+            [keys, orient[:, None].astype(np.uint64)], axis=1)
+        return np.ascontiguousarray(comb).view(
+            np.dtype((np.void, 8 * (self.W + 1)))).ravel()
+
+    def _in_store(self, toks: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(toks), bool)
+        for run in self._runs:
+            if len(run) == 0 or len(toks) == 0:
+                continue
+            i = np.minimum(np.searchsorted(run, toks), len(run) - 1)
+            out |= run[i] == toks
+        return out
+
+    def _add(self, toks: np.ndarray):
+        if len(toks) == 0:
+            return
+        self._runs.append(np.unique(toks))
+        while len(self._runs) >= 2 and \
+                len(self._runs[-1]) >= len(self._runs[-2]):
+            b = self._runs.pop()
+            a = self._runs.pop()
+            self._runs.append(np.unique(np.concatenate([a, b])))
 
     def _start_info(self, bases: np.ndarray):
         bj = jnp.asarray(bases[:, :self.k])
@@ -351,23 +380,52 @@ class PcrDupFilter:
                      bases2: np.ndarray | None = None) -> np.ndarray:
         """Returns keep mask.  For pairs, a pair is dropped only if BOTH
         mates' start kmers were seen (ref: all start kmers seen)."""
+        N = len(bases)
         k1, o1, v1 = self._start_info(bases)
+        t1 = self._tokens(k1, o1)
+        sides = [(t1, v1)]
         if bases2 is not None:
             k2, o2, v2 = self._start_info(bases2)
-        keep = np.ones(len(bases), bool)
-        for i in range(len(bases)):
-            infos = []
-            if v1[i]:
-                infos.append((tuple(k1[i].tolist()), int(o1[i])))
-            if bases2 is not None and v2[i]:
-                infos.append((tuple(k2[i].tolist()), int(o2[i])))
-            if not infos:
-                continue
-            all_seen = all(
-                (self.seen.get(key, 0) >> o) & 1 for key, o in infos)
-            if all_seen:
-                keep[i] = False
-            else:
-                for key, o in infos:
-                    self.seen[key] = self.seen.get(key, 0) | (1 << o)
-        return keep
+            sides.append((self._tokens(k2, o2), v2))
+
+        # min read index per token within this batch ("seen by an
+        # earlier read in the stream")
+        pool = np.concatenate([t[v] for t, v in sides])
+        ridx = np.concatenate(
+            [np.nonzero(v)[0] for _t, v in sides]).astype(np.int64)
+        if len(pool):
+            order = np.lexsort((ridx, pool))
+            sp, sr = pool[order], ridx[order]
+            first = np.ones(len(sp), bool)
+            first[1:] = sp[1:] != sp[:-1]
+            utok = sp[first]
+            umin = sr[first]      # min read idx: lexsort is stable
+        else:
+            utok = pool
+            umin = ridx
+
+        def seen_of(t, v):
+            seen = np.zeros(N, bool)
+            if v.any():
+                tv = t[v]
+                s = self._in_store(tv)
+                i = np.minimum(np.searchsorted(utok, tv),
+                               max(len(utok) - 1, 0))
+                if len(utok):
+                    s |= (utok[i] == tv) & \
+                        (umin[i] < np.nonzero(v)[0])
+                seen[v] = s
+            return seen
+
+        seen1 = seen_of(*sides[0])
+        if bases2 is None:
+            all_seen = seen1 & v1
+        else:
+            seen2 = seen_of(*sides[1])
+            v2 = sides[1][1]
+            any_token = v1 | v2
+            # AND over present tokens only (absent mate is neutral)
+            all_seen = any_token & \
+                np.where(v1, seen1, True) & np.where(v2, seen2, True)
+        self._add(pool)
+        return ~all_seen

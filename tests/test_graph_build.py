@@ -177,3 +177,85 @@ def test_pcr_pair_filter():
     keep3 = f.filter_batch(np.stack([seq_to_codes(r1)]),
                            np.stack([seq_to_codes(other)]))
     assert keep3[0]
+
+
+def test_pcr_filter_matches_sequential_reference():
+    # fuzz the vectorised PcrDupFilter against a literal sequential
+    # re-implementation of ref build_graph.c:35-96
+    from mccortex_tpu.graph.build import PcrDupFilter
+    from mccortex_tpu.utils import npkmer as npk
+    rng = np.random.default_rng(77)
+    k = 7
+
+    def ref_filter(batches, pairs):
+        seen = {}
+        keeps = []
+        for bi, (b1, b2) in enumerate(zip(batches, pairs)):
+            keep = np.ones(len(b1), bool)
+            for i in range(len(b1)):
+                infos = []
+                for b in ([b1[i]] if b2 is None else [b1[i], b2[i]]):
+                    if (b[:k] < 4).all() and len(b) >= k:
+                        km, valid = npk.rolling_kmers_np(b[:k], k)
+                        key, o = npk.canonical_np(km, k)
+                        infos.append((key[0].tobytes(), int(o[0])))
+                if not infos:
+                    continue
+                if all((seen.get(key, 0) >> o) & 1 for key, o in infos):
+                    keep[i] = False
+                else:
+                    for key, o in infos:
+                        seen[key] = seen.get(key, 0) | (1 << o)
+            keeps.append(keep)
+        return keeps
+
+    # small alphabet of starts to force collisions; some invalid reads
+    starts = [rng.integers(0, 4, k).astype(np.uint8) for _ in range(6)]
+    def mk_batch(n, with_invalid=True):
+        rows = np.full((n, 20), 0, np.uint8)
+        for i in range(n):
+            s = starts[rng.integers(0, len(starts))]
+            rows[i, :k] = s
+            rows[i, k:] = rng.integers(0, 4, 20 - k)
+            if with_invalid and rng.random() < 0.15:
+                rows[i, rng.integers(0, k)] = 4
+        return rows
+
+    # single-end batches
+    f = PcrDupFilter(k)
+    batches = [mk_batch(12) for _ in range(4)]
+    got = [f.filter_batch(b) for b in batches]
+    want = ref_filter(batches, [None] * 4)
+    for g_, w in zip(got, want):
+        np.testing.assert_array_equal(g_, w)
+
+    # paired-end batches
+    f2 = PcrDupFilter(k)
+    b1s = [mk_batch(10) for _ in range(3)]
+    b2s = [mk_batch(10) for _ in range(3)]
+    got = [f2.filter_batch(a, b) for a, b in zip(b1s, b2s)]
+    seen = {}
+    # sequential reference for pairs
+    def ref_pairs():
+        keeps = []
+        for a, b in zip(b1s, b2s):
+            keep = np.ones(len(a), bool)
+            for i in range(len(a)):
+                infos = []
+                for rr in (a[i], b[i]):
+                    if (rr[:k] < 4).all():
+                        km, _v = npk.rolling_kmers_np(rr[:k], k)
+                        key, o = npk.canonical_np(km, k)
+                        infos.append((key[0].tobytes(), int(o[0])))
+                if not infos:
+                    continue
+                if all((seen.get(x, 0) >> o) & 1 for x, o in infos):
+                    keep[i] = False
+                else:
+                    for x, o in infos:
+                        seen[x] = seen.get(x, 0) | (1 << o)
+            keeps.append(keep)
+        return keeps
+    want = ref_pairs()
+    for g_, w in zip(got, want):
+        np.testing.assert_array_equal(g_, w)
