@@ -61,6 +61,11 @@ class LinkedWalkState:
     max_gap: jnp.ndarray    # (B,) int32 largest USELINKS gap (bp)
     # link-usage marking (ref graph_walker.c:576-579 used_paths)
     used: jnp.ndarray       # (nlinks,) bool
+    # pickup-overflow honesty: links that could not be tracked because
+    # the per-node pickup cap or the cursor/counter slot arrays were
+    # full (the reference's lists are unbounded; these SLOTS are a knob,
+    # so dropped pickups are counted and surfaced, never silent)
+    n_drop: jnp.ndarray = None     # (B,) int32 dropped pickups
 
 
 def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
@@ -81,7 +86,8 @@ def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
         seg_infork=jnp.zeros((B, SMAX), bool),
         cum_conf=jnp.ones((B,), jnp.float32),
         max_gap=jnp.zeros((B,), jnp.int32),
-        used=jnp.zeros((max(links.nlinks, 1),), bool))
+        used=jnp.zeros((max(links.nlinks, 1),), bool),
+        n_drop=jnp.zeros((B,), jnp.int32))
     # pick up links on the seed node itself (ref graph_walker_start ->
     # pickup via _graph_walker_force_jump on first move; the reference
     # picks up at start too via graph_walker_start's caller prime)
@@ -133,6 +139,11 @@ def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
     # free-slot ranking per walker
     free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
     rows = jnp.arange(B)
+    # links beyond the per-node pickup cap are never examined: count
+    # them as (potentially) dropped
+    n_drop = st.n_drop + jnp.where(
+        st.base.active, jnp.clip(navail - cap, 0, None), 0
+    ).astype(jnp.int32)
     for s in range(cap):
         lid = jnp.clip(start + s, 0, max(links.nlinks - 1, 0))
         ok = (s < navail) & st.base.active
@@ -141,6 +152,7 @@ def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
         slot_match = free & (free_rank == s)
         has_slot = slot_match.any(axis=1)
         slot = jnp.argmax(slot_match, axis=1)
+        n_drop = n_drop + (ok & ~has_slot).astype(jnp.int32)
         ok = ok & has_slot
         cur_link = cur_link.at[rows, slot].set(
             jnp.where(ok, lid.astype(jnp.int32), cur_link[rows, slot]))
@@ -148,7 +160,8 @@ def _pickup(g: gstore.DBGraph, links: lstore.LinkStore,
             jnp.where(ok, 0, cur_pos[rows, slot]))
         cur_age = cur_age.at[rows, slot].set(
             jnp.where(ok, 0, cur_age[rows, slot]))
-    return st.replace(cur_link=cur_link, cur_pos=cur_pos, cur_age=cur_age)
+    return st.replace(cur_link=cur_link, cur_pos=cur_pos, cur_age=cur_age,
+                      n_drop=n_drop)
 
 
 def _cntr_bases(links: lstore.LinkStore, st: LinkedWalkState):
@@ -175,6 +188,7 @@ def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
     back_bit = (jnp.uint8(3) - lost_nuc) & 3
     pop4 = jnp.asarray(T._POP4)
     cl, cp, ca = st.cntr_link, st.cntr_pos, st.cntr_age
+    cntr_drop = jnp.zeros((B,), jnp.int32)
     rows = jnp.arange(B)
     for n in range(4):
         has = ((in_nib >> n) & 1).astype(bool) & (back_bit != n) & adv
@@ -195,6 +209,9 @@ def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
             ok_node = has & qfound
             free = cl < 0
             free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
+            cntr_drop = cntr_drop + jnp.where(
+                ok_node, jnp.clip(navail - 8, 0, None), 0
+            ).astype(jnp.int32)
             for s_ in range(8):
                 lid = jnp.clip(start + s_, 0, links.nlinks - 1)
                 base0 = lstore.unpack_junc(links.seq[lid],
@@ -209,6 +226,8 @@ def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
                 slot_match = free & (free_rank == s_)
                 has_slot = slot_match.any(axis=1)
                 slot = jnp.argmax(slot_match, axis=1)
+                cntr_drop = cntr_drop + (want & ~has_slot).astype(
+                    jnp.int32)
                 want = want & has_slot
                 cl = cl.at[rows, slot].set(
                     jnp.where(want, lid.astype(jnp.int32),
@@ -219,7 +238,8 @@ def _pickup_counter(g, links, st: LinkedWalkState, adv, lost_nuc,
                     jnp.where(want, 0, ca[rows, slot]))
             free = cl < 0
             free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
-    return st.replace(cntr_link=cl, cntr_pos=cp, cntr_age=ca)
+    return st.replace(cntr_link=cl, cntr_pos=cp, cntr_age=ca,
+                      n_drop=st.n_drop + cntr_drop)
 
 
 def _path_gap(st: LinkedWalkState, live, bases, rep):
@@ -538,6 +558,13 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         halves.append((np.asarray(st.base.out_bases),
                        np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
+        ndrop = int(np.asarray(st.n_drop).sum())
+        if ndrop:
+            import sys
+            print(f"[mctx] warning: {ndrop} link pickups dropped "
+                  f"(cursor slots full / >16 links per node) — results "
+                  f"may differ from the unbounded-list reference",
+                  file=sys.stderr)
     seed_strs = kmers_to_strings(np.asarray(g.keys)[seed_rows], g.k)
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     basechars = "ACGT"

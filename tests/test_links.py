@@ -256,3 +256,35 @@ def test_missing_info_check_halts():
     assert len(strict[0]) < len(relaxed[0])
     from mccortex_tpu.graph.traverse import MISSING_LINKS
     assert MISSING_LINKS in s1[0]
+
+
+def test_pickup_overflow_counted():
+    # >16 distinct links on one node (a ladder of forks with
+    # reconvergent spacers gives 4^3 = 64 junction strings from the
+    # shared core): the per-node pickup cap must COUNT the overflow,
+    # never silently drop — the reference's lists are unbounded
+    import numpy as np
+    import itertools
+    from mccortex_tpu.links import walk as lwalk
+    from mccortex_tpu.links import thread as lthread
+    from mccortex_tpu.graph import build as gbuild
+    from util import random_dna
+    from test_graph_build import batchify
+    k = 9
+    core = random_dna(20, seed=555)
+    s1 = random_dna(14, seed=556)
+    s2 = random_dna(14, seed=557)
+    s3 = random_dna(14, seed=559)
+    tail = random_dna(14, seed=558)
+    seqs = [(core + a + s1 + b + s2 + c + s3 + d + tail, 0)
+            for a, b, c, d in itertools.product("ACGT", repeat=4)]
+    g = gbuild.build(batchify(seqs), k)
+    links = lthread.thread_reads(g, batchify(seqs), 1)
+    off = np.asarray(links.offsets)
+    cnt = off[1:] - off[:-1]
+    v = int(cnt.argmax())
+    assert cnt[v] > 16, cnt.max()
+    st = lwalk.linked_init(g, links, np.array([v >> 1], np.int32),
+                           np.array([v & 1], np.uint8), 80)
+    st = lwalk.walk_linked(g, links, st, 0, max_steps=60)
+    assert int(np.asarray(st.n_drop).sum()) > 0

@@ -103,3 +103,27 @@ def test_sharded_lookup(mesh):
     for i, s in enumerate(q_present):
         from util import key_str
         assert cov[i, 0] == ref[key_str(s)][0][0]
+
+
+def test_bucket_overflow_grows_and_retries():
+    # a maximally skewed batch (every read identical -> all records land
+    # on a few owner shards) overflows a tiny bucket_cap; the builder
+    # must grow and produce exact counts, never silently drop
+    from mccortex_tpu.parallel import shard as psh
+    import jax.numpy as jnp
+    k = 11
+    n_dev = 4
+    mesh = psh.make_mesh(n_dev)
+    rng = np.random.default_rng(5)
+    read = rng.integers(0, 4, size=48, dtype=np.uint8)
+    bases = np.tile(read, (8, 1))
+    bld = psh.ShardedBuilder(mesh, k, 1, 0, bucket_cap=2, out_cap=256)
+    state = psh.empty_sharded_graph(mesh, k, 1, 256)
+    keys, covg, edges, n = bld.step(jnp.asarray(bases), *state)
+    assert bld.n_grows >= 1
+    # exact: every kmer of the read has coverage 8
+    kn = np.asarray(keys).reshape(-1, 1)
+    live = ~(kn == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+    cv = np.asarray(covg).reshape(-1, 1)[live]
+    assert int(np.asarray(n).sum()) == 48 - k + 1
+    assert (cv == 8).all()
