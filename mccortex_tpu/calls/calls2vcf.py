@@ -5,12 +5,11 @@ decomp_breakpoint.c, aligned_call.c: place each call on the reference,
 align ALT allele vs REF slice with Needleman-Wunsch, decompose into
 left-aligned VCF records.
 
-Flank placement: the reference maps bubble 5' flanks with an external
-aligner (bwa SAM input, ctx_calls2vcf.c -F).  Here flanks are placed by
-exact unique kmer match against the reference (the same information a
-perfect mapper would give for exact flanks); calls whose flanks cannot
-be placed uniquely are dropped and counted.  SAM input can be added on
-top without changing the decomposition.
+Flank placement: primary placement is by exact unique kmer match
+against the reference; when that fails (repetitive flank end), mapped
+flanks from a SAM file are consulted (ref ctx_calls2vcf.c -F --flanks,
+with -Q/--min-mapq filtering), recovering calls the kmer index alone
+would drop.
 """
 
 from __future__ import annotations
@@ -92,13 +91,72 @@ def _ref_kmer_index(ref: KO.RefGenome, k: int):
     return RefKmerIndex(ref, k)
 
 
-def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int):
+def load_flank_sam(path: str, ref: KO.RefGenome, min_mapq: int = 30):
+    """Parse a SAM/BAM of mapped 5' flanks (ref ctx_calls2vcf.c -F,
+    produced by mapping the dumped flank FASTA with e.g. bwa):
+    call name -> (chrom index, ref start0, ref end0, strand, mapq).
+    Entries below min_mapq or unmapped are omitted."""
+    import re
+    from ..io.seqio import _openseq, _is_bam
+    name_to_ci = {n: i for i, n in enumerate(ref.names)}
+    places = {}
+
+    def handle(fields):
+        name, flag, rname, pos, mapq, cigar = (
+            fields[0], int(fields[1]), fields[2], int(fields[3]),
+            int(fields[4]), fields[5])
+        if flag & (0x4 | 0x100 | 0x800) or mapq < min_mapq:
+            return
+        ci = name_to_ci.get(rname)
+        if ci is None:
+            return
+        ref_len = sum(int(n) for n, op in
+                      re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+                      if op in "MDN=X")
+        places[name] = (ci, pos - 1, pos - 1 + ref_len,
+                        (flag >> 4) & 1, mapq)
+
+    if _is_bam(path):
+        raise NotImplementedError(
+            "-F with BAM: convert to SAM (sequence-only BAM parsing is "
+            "supported for build; flank placement needs CIGAR/RNAME)")
+    with _openseq(path) as fh:
+        for line in fh:
+            if line.startswith("@") or not line.strip():
+                continue
+            f = line.rstrip("\n").split("\t")
+            if len(f) >= 6:
+                handle(f)
+    return places
+
+
+def _sam_place5(f5, sam_entry, ref, k):
+    """Synthesise a (ci, pos, strand) placement for the 5' flank's last
+    kmer from a forward-strand SAM alignment of the whole flank."""
+    ci, s0, e0, strand, _q = sam_entry
+    if strand != 0 or e0 - s0 < k:
+        return None
+    pos = e0 - k
+    km = f5[-k:]
+    # verify the reference agrees (soft-clips etc. can shift the end)
+    if ref.seqs[ci][pos:pos + k] != km:
+        return None
+    return (ci, pos, 0 if km <= revcomp(km) else 1)
+
+
+def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int, sam_places=None):
     """Returns (records, n_dropped).  calls from callfile.read_call_file.
 
     If the 5' flank places on the reverse strand, the whole call is
     flipped to the forward strand first (swap + revcomp flanks and
-    branches), then decomposed with forward-strand logic."""
+    branches), then decomposed with forward-strand logic.
+
+    sam_places (from load_flank_sam) supplies mapped-flank placements
+    (ref ctx_calls2vcf.c -F): used when unique-kmer placement fails
+    (repetitive flank ends); a reverse-strand mapping flips the call
+    exactly like a reverse kmer placement."""
     kidx = _ref_kmer_index(ref, k)
+    sam_places = sam_places or {}
     records = []
     dropped = 0
     for call in calls:
@@ -107,8 +165,15 @@ def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int):
         if len(f5) < k:
             dropped += 1
             continue
+        sam = sam_places.get(call.get("name"))
         place = kidx.get(_canon(f5[-k:]))
-        if place is not None and _strand_of(f5[-k:], place):
+        flip = place is not None and _strand_of(f5[-k:], place)
+        if place is None and sam is not None:
+            if sam[3] == 0:
+                place = _sam_place5(f5, sam, ref, k)
+            else:
+                flip = True
+        if flip:
             # flip the call to the forward strand
             f5, f3 = revcomp(f3), revcomp(f5)
             branches = [revcomp(b) for b in branches]

@@ -65,6 +65,10 @@ def cmd_breakpoints(argv):
 def cmd_calls2vcf(argv):
     p = argparse.ArgumentParser(prog="mctx calls2vcf")
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("-F", "--flanks", default=None,
+                   help="SAM of mapped 5' flanks (ref ctx_calls2vcf -F)")
+    p.add_argument("-Q", "--min-mapq", type=int, default=30,
+                   help="min MAPQ for -F placements [30]")
     p.add_argument("calls", help="bubble or breakpoint call file")
     p.add_argument("ref", help="reference FASTA")
     args = p.parse_args(argv)
@@ -80,7 +84,12 @@ def cmd_calls2vcf(argv):
     if fmt == "CtxBreakpoints":
         records, dropped = _breakpoint_calls_to_vcf(calls, ref, k, c2v)
     else:
-        records, dropped = c2v.bubbles_to_vcf(calls, ref, k)
+        sam_places = None
+        if args.flanks:
+            sam_places = c2v.load_flank_sam(args.flanks, ref,
+                                            args.min_mapq)
+        records, dropped = c2v.bubbles_to_vcf(calls, ref, k,
+                                              sam_places=sam_places)
     out = vcfio.VcfFile(
         headers=vcfio.std_headers(
             args.ref, contigs=[(n, len(s))

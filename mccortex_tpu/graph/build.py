@@ -71,6 +71,10 @@ def reads_to_records(bases: jnp.ndarray, k: int):
     from i's side.
     """
     B, L = bases.shape
+    if L < k:   # no window fits: all records sentinel
+        from ..ops import sorted as _so
+        return (_so.sentinel((B, L), nwords(k)),
+                jnp.zeros((B, L), jnp.uint8), jnp.zeros((B, L), bool))
     kmers, valid = kops.rolling_kmers(bases, k)
     keys, orient = kops.canonical(kmers, k)
 

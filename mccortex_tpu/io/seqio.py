@@ -33,10 +33,18 @@ def _openseq(path):
 
 
 def parse_reads(path: str) -> Iterator[Read]:
-    """Yield reads from FASTA or FASTQ (gz ok); format auto-detected."""
+    """Yield reads from FASTA/FASTQ/SAM/BAM (gz/BGZF ok); format
+    auto-detected (ref ctx_build.c:29 input formats, via libs/seq_file).
+    Secondary/supplementary alignments are skipped."""
+    if _is_bam(path):
+        yield from _parse_bam(path)
+        return
     with _openseq(path) as fh:
         first = fh.readline()
         if not first:
+            return
+        if "\t" in first:          # SAM (with or without @-header)
+            yield from _parse_sam_lines(first, fh)
             return
         if first.startswith(">"):
             name, chunks = first[1:].strip(), []
@@ -61,6 +69,79 @@ def parse_reads(path: str) -> Iterator[Read]:
                 name = fh.readline()
         else:
             raise ValueError(f"{path}: unrecognised sequence format")
+
+
+def _is_bam(path: str) -> bool:
+    with open(path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            return False
+    with gzip.open(path, "rb") as g:
+        return g.read(4) == b"BAM\x01"
+
+
+def _parse_sam_lines(first: str, fh) -> Iterator[Read]:
+    """SAM text records (header lines skipped; 0x100/0x800 flags and
+    SEQ='*' records dropped)."""
+    import itertools
+    for line in itertools.chain([first], fh):
+        if not line.strip() or line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        if len(f) < 11:
+            continue
+        flag = int(f[1])
+        if flag & 0x900 or f[9] == "*":
+            continue
+        quals = None
+        if f[10] != "*":
+            q = np.frombuffer(f[10].encode(), np.uint8).astype(
+                np.int16) - 33
+            quals = np.clip(q, 0, 255).astype(np.uint8)
+        yield Read(f[0], f[9].upper(), quals)
+
+
+_BAM_SEQ = "=ACMGRSVTWYHKDBN"
+
+
+def _parse_bam(path: str) -> Iterator[Read]:
+    """Minimal BAM reader: BGZF is concatenated gzip members, which
+    python's gzip module reads transparently; no htslib needed for
+    read-only sequence access."""
+    import struct
+    with gzip.open(path, "rb") as g:
+        if g.read(4) != b"BAM\x01":
+            raise ValueError(f"{path}: bad BAM magic")
+        (l_text,) = struct.unpack("<i", g.read(4))
+        g.read(l_text)
+        (n_ref,) = struct.unpack("<i", g.read(4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", g.read(4))
+            g.read(l_name + 4)
+        while True:
+            bs = g.read(4)
+            if len(bs) < 4:
+                return
+            (block_size,) = struct.unpack("<i", bs)
+            rec = g.read(block_size)
+            if len(rec) < block_size:
+                raise ValueError(f"{path}: truncated BAM record")
+            l_read_name = rec[8]
+            n_cigar, flag = struct.unpack("<HH", rec[12:16])
+            (l_seq,) = struct.unpack("<i", rec[16:20])
+            if flag & 0x900 or l_seq <= 0:
+                continue
+            name = rec[32:32 + l_read_name - 1].decode()
+            off = 32 + l_read_name + 4 * n_cigar
+            nseq = (l_seq + 1) // 2
+            s4 = np.frombuffer(rec[off:off + nseq], np.uint8)
+            nib = np.empty(nseq * 2, np.uint8)
+            nib[0::2] = s4 >> 4
+            nib[1::2] = s4 & 0xF
+            seq = "".join(_BAM_SEQ[x] for x in nib[:l_seq])
+            qual = np.frombuffer(
+                rec[off + nseq:off + nseq + l_seq], np.uint8)
+            quals = None if (qual == 0xFF).all() else qual.copy()
+            yield Read(name, seq, quals)
 
 
 def read_batches(paths, batch_size: int = 512, max_len: int | None = None,

@@ -1,8 +1,14 @@
-// Native sequence ingest: FASTA/FASTQ (plain or gzip) -> packed base-code
-// batches.  Role of ref libs/seq_file + src/basic/seq_reader.c: the
-// host-side decode path that must not starve the chips (SURVEY.md §7
-// "Host IO throughput").  Exposed as a tiny C ABI consumed via ctypes
-// (no pybind11 in this image).
+// Native sequence ingest: FASTA/FASTQ/SAM/BAM (plain or gzip/BGZF) ->
+// packed base-code batches.  Role of ref libs/seq_file +
+// src/basic/seq_reader.c (ref ctx_build.c:29 lists sam/bam among build
+// inputs): the host-side decode path that must not starve the chips
+// (SURVEY.md §7 "Host IO throughput").  Exposed as a tiny C ABI
+// consumed via ctypes (no pybind11 in this image).
+//
+// BAM's BGZF container is a sequence of concatenated gzip members,
+// which zlib's gzread traverses transparently — no htslib needed for
+// read-only sequence access.  Secondary (0x100) and supplementary
+// (0x800) alignments are skipped so reads are not double-counted.
 //
 // Base coding matches mccortex_tpu.constants: A=0 C=1 G=2 T=3, other=4.
 
@@ -63,6 +69,8 @@ long read_line(SeqFile *f, char **buf, size_t *cap) {
 
 extern "C" {
 
+void mctx_seq_close(void *h);
+
 void *mctx_seq_open(const char *path) {
   gzFile gz = gzopen(path, "rb");
   if (!gz) return nullptr;
@@ -75,8 +83,105 @@ void *mctx_seq_open(const char *path) {
   f->have_pending = false;
   f->pending = nullptr;
   f->pendingcap = 0;
+  // BAM detection: decompressed stream starts with "BAM\1"
+  char magic[4];
+  int got = gzread(gz, magic, 4);
+  if (got == 4 && memcmp(magic, "BAM\1", 4) == 0) {
+    f->format = 3;
+    // header: l_text, text, n_ref, then per-ref (l_name, name, l_ref)
+    int32_t l_text = 0, n_ref = 0;
+    if (gzread(gz, &l_text, 4) != 4) { mctx_seq_close(f); return nullptr; }
+    if (gzseek(gz, l_text, SEEK_CUR) < 0) { mctx_seq_close(f); return nullptr; }
+    if (gzread(gz, &n_ref, 4) != 4) { mctx_seq_close(f); return nullptr; }
+    for (int32_t r = 0; r < n_ref; r++) {
+      int32_t l_name = 0;
+      if (gzread(gz, &l_name, 4) != 4) { mctx_seq_close(f); return nullptr; }
+      if (gzseek(gz, l_name + 4, SEEK_CUR) < 0) {
+        mctx_seq_close(f); return nullptr;
+      }
+    }
+  } else {
+    gzrewind(gz);
+  }
   return f;
 }
+
+namespace {
+
+// 4-bit BAM seq codes "=ACMGRSVTWYHKDBN" -> base codes
+const uint8_t bam4_code[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4,
+                               4, 4, 4, 4};
+
+// One BAM alignment record into a codes/quals row.  Returns 1 on
+// success, 0 at EOF, -1 on error, 2 if the record was skipped.
+int read_bam_record(SeqFile *f, long max_len, uint8_t *crow,
+                    uint8_t *qrow, int32_t *len_out) {
+  int32_t block_size = 0;
+  int got = gzread(f->gz, &block_size, 4);
+  if (got == 0) return 0;
+  if (got != 4 || block_size < 32) return -1;
+  if (f->pendingcap < (size_t)block_size) {
+    f->pendingcap = (size_t)block_size * 2;
+    f->pending = (char *)realloc(f->pending, f->pendingcap);
+  }
+  if (gzread(f->gz, f->pending, block_size) != block_size) return -1;
+  const uint8_t *p = (const uint8_t *)f->pending;
+  uint8_t l_read_name = p[8];
+  uint16_t n_cigar, flag;
+  int32_t l_seq;
+  memcpy(&n_cigar, p + 12, 2);
+  memcpy(&flag, p + 14, 2);
+  memcpy(&l_seq, p + 16, 4);
+  if (flag & (0x100 | 0x800)) return 2;   // secondary/supplementary
+  if (l_seq <= 0) return 2;
+  size_t off = 32 + l_read_name + (size_t)n_cigar * 4;
+  if (off + (l_seq + 1) / 2 + l_seq > (size_t)block_size) return -1;
+  const uint8_t *seq4 = p + off;
+  const uint8_t *qual = seq4 + (l_seq + 1) / 2;
+  for (int32_t i = 0; i < l_seq && i < max_len; i++) {
+    uint8_t nib = (i & 1) ? (seq4[i / 2] & 0xF) : (seq4[i / 2] >> 4);
+    crow[i] = bam4_code[nib];
+  }
+  for (int32_t i = 0; i < l_seq && i < max_len; i++)
+    qrow[i] = (qual[i] == 0xFF) ? 0 : qual[i];
+  *len_out = l_seq;
+  return 1;
+}
+
+// One SAM record line (already in linebuf) into a row.  Returns 1 on
+// success, 2 if skipped.
+int parse_sam_line(char *line, long max_len, uint8_t *crow,
+                   uint8_t *qrow, int32_t *len_out) {
+  // fields: QNAME FLAG RNAME POS MAPQ CIGAR RNEXT PNEXT TLEN SEQ QUAL
+  char *fields[12];
+  int nf = 0;
+  char *s = line;
+  fields[nf++] = s;
+  while (*s && nf < 12) {
+    if (*s == '\t') { *s = '\0'; fields[nf++] = s + 1; }
+    s++;
+  }
+  if (nf < 11) return 2;
+  long flag = strtol(fields[1], nullptr, 10);
+  if (flag & (0x100 | 0x800)) return 2;
+  const char *seq = fields[9];
+  const char *qual = fields[10];
+  if (seq[0] == '*' && seq[1] == '\0') return 2;
+  long l = (long)strlen(seq);
+  for (long i = 0; i < l && i < max_len; i++)
+    crow[i] = base_code[(uint8_t)seq[i]];
+  if (!(qual[0] == '*' && qual[1] == '\0')) {
+    long lq = (long)strlen(qual);
+    for (long i = 0; i < lq && i < max_len; i++) {
+      int q = (int)qual[i] - 33;
+      qrow[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+    }
+  }
+  *len_out = (int32_t)l;
+  return 1;
+}
+
+}  // namespace
 
 void mctx_seq_close(void *h) {
   SeqFile *f = (SeqFile *)h;
@@ -98,6 +203,17 @@ long mctx_seq_read_batch(void *h, long max_reads, long max_len,
   memset(codes, 4, (size_t)max_reads * max_len);
   memset(quals, 0, (size_t)max_reads * max_len);
   long n = 0;
+  if (f->format == 3) {          // BAM
+    while (n < max_reads) {
+      int r = read_bam_record(f, max_len,
+                              codes + (size_t)n * max_len,
+                              quals + (size_t)n * max_len, lens + n);
+      if (r < 0) return -1;
+      if (r == 0) break;
+      if (r == 1) n++;
+    }
+    return n;
+  }
   while (n < max_reads) {
     long len;
     if (f->have_pending) {
@@ -114,12 +230,21 @@ long mctx_seq_read_batch(void *h, long max_reads, long max_len,
     }
     char first = f->linebuf[0];
     if (f->format == 0) {
+      bool has_tab = strchr(f->linebuf, '\t') != nullptr;
       if (first == '>') f->format = 1;
+      else if (first == '@' && has_tab) f->format = 4;   // SAM header
       else if (first == '@') f->format = 2;
+      else if (has_tab) f->format = 4;       // headerless SAM record
       else return -1;
     }
     uint8_t *crow = codes + (size_t)n * max_len;
     uint8_t *qrow = quals + (size_t)n * max_len;
+    if (f->format == 4) {                    // SAM
+      if (first == '@') continue;            // header line
+      int r = parse_sam_line(f->linebuf, max_len, crow, qrow, lens + n);
+      if (r == 1) n++;
+      continue;
+    }
     if (f->format == 1) {
       if (first != '>') return -1;
       // read sequence lines until next '>' or EOF

@@ -272,6 +272,9 @@ def rolling_kmers(bases: jnp.ndarray, k: int):
     L = bases.shape[-1]
     W = nwords(k)
     batch = bases.shape[:-1]
+    if L < k:   # every window falls off the end: no valid kmers
+        return (jnp.zeros(batch + (L, W), dtype=U64),
+                jnp.zeros(batch + (L,), dtype=bool))
 
     def shift_pos(arr, m):
         # arr[..., i] -> arr[..., i+m] with zero pad at the end
