@@ -187,6 +187,9 @@ def check_graph_arrays(k, keys, covg, edges):
 
 def cmd_check(argv):
     p = argparse.ArgumentParser(prog="mctx check")
+    p.add_argument("-p", "--paths", action="append", default=[],
+                   help="link files to verify against the graph "
+                        "(ref ctx_health_check.c: gpath_checks_all_paths)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..io import ctx as ctxio
@@ -197,6 +200,19 @@ def cmd_check(argv):
     if errs:
         return 1
     _status(f"{args.ctx}: OK ({len(keys)} kmers, {h.ncols} colours)")
+    if args.paths:
+        from ..io import ctp as ctpio
+        from ..links import check as lcheck
+        h2, g = _load_graph(args.ctx)
+        links = ctpio.load_link_store(args.paths, g)
+        nchecked, nbad, bad_ids = lcheck.check_links(g, links)
+        if nbad:
+            print(f"check: {nbad}/{nchecked} link walks FAILED "
+                  f"(link ids {bad_ids[:10].tolist()}...)",
+                  file=sys.stderr)
+            return 1
+        _status(f"links OK ({links.nlinks} links, "
+                f"{nchecked} colour-walks verified)")
     return 0
 
 
@@ -241,12 +257,30 @@ def cmd_clean(argv):
                    help="remove unitigs below covg threshold (default auto)")
     p.add_argument("--fallback", type=int, default=0,
                    help="threshold to use if auto-detection fails")
+    p.add_argument("-c", "--covg-before", default=None,
+                   help="save kmer/unitig coverage histogram CSV before "
+                        "cleaning (ref ctx_clean.c -c)")
+    p.add_argument("-C", "--covg-after", default=None,
+                   help="coverage histogram CSV after cleaning")
+    p.add_argument("-l", "--len-before", default=None,
+                   help="unitig length histogram CSV before cleaning")
+    p.add_argument("-L", "--len-after", default=None,
+                   help="unitig length histogram CSV after cleaning")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..graph import clean as gclean
     h, g = _load_graph(args.ctx)
     k = h.kmer_size
+
+    if args.covg_before or args.len_before:
+        kh, uh, lh = gclean.cleaning_histograms(g)
+        if args.covg_before:
+            gclean.write_covg_csv(args.covg_before, kh, uh)
+            _status(f"saved coverage histogram: {args.covg_before}")
+        if args.len_before:
+            gclean.write_len_csv(args.len_before, lh, k)
+            _status(f"saved length histogram: {args.len_before}")
 
     tips = (2 * k) if args.tips == -1 else args.tips
     thresh = args.unitigs
@@ -270,6 +304,14 @@ def cmd_clean(argv):
                             min_keep_tip=tips)
     _status(f"cleaned: {before} -> {int(g2.n)} kmers "
             f"(tips<{tips}, covg<{thresh})")
+    if args.covg_after or args.len_after:
+        kh, uh, lh = gclean.cleaning_histograms(g2)
+        if args.covg_after:
+            gclean.write_covg_csv(args.covg_after, kh, uh)
+            _status(f"saved coverage histogram: {args.covg_after}")
+        if args.len_after:
+            gclean.write_len_csv(args.len_after, lh, k)
+            _status(f"saved length histogram: {args.len_after}")
     for gi in h.ginfo:
         if tips:
             gi.cleaning.cleaned_tips = True

@@ -437,48 +437,112 @@ def cmd_popbubbles(argv):
 
 def cmd_server(argv):
     p = argparse.ArgumentParser(prog="mctx server")
+    p.add_argument("-p", "--paths", action="append", default=[],
+                   help="link files: responses include the kmer's links "
+                        "(ref ctx_server.c:194)")
+    p.add_argument("--disk", action="store_true",
+                   help="serve from the sorted .ctx on disk via its "
+                        ".idx block index (ref ctx_server.c --disk + "
+                        "graph_search.h) — O(1) memory")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     import json
-    import jax.numpy as jnp
-    from ..constants import CHAR_TO_BASE
-    from ..ops import kmer as kops
-    from ..ops import sorted as sops
+    from ..utils import npkmer as npk
     from ..utils.text import edges_to_strings
-    h, g = _load_graph(args.ctx)
-    covg = np.asarray(g.covg)
-    edges = np.asarray(g.edges)
-    _status(f"server ready (k={g.k}, {int(g.n)} kmers); "
-            "enter kmer, 'info', or 'random'; ctrl-D to quit")
+    from ..io import ctx as ctxio
+
+    link_info = None
+    if args.disk:
+        if args.paths:
+            p.error("--disk serves the graph only (links need "
+                    "in-memory row resolution); drop -p or --disk")
+        dg = ctxio.DiskGraphReader(args.ctx)
+        h = dg.h
+        k = h.kmer_size
+        n_kmers = dg.n
+        _status(f"server ready (k={k}, {n_kmers} kmers, DISK mode); "
+                "enter kmer or 'info'; ctrl-D to quit")
+    else:
+        h, g = _load_graph(args.ctx)
+        covg = np.asarray(g.covg)
+        edges = np.asarray(g.edges)
+        k = g.k
+        n_kmers = int(g.n)
+        if args.paths:
+            from ..io import ctp as ctpio
+            from ..links import store as lstore
+            from ..links.walk import link_vertices
+            links = ctpio.load_link_store(args.paths, g)
+            lv = np.asarray(link_vertices(links, g.capacity))
+            link_info = (links, lv)
+        _status(f"server ready (k={k}, {n_kmers} kmers); "
+                "enter kmer, 'info', or 'random'; ctrl-D to quit")
+
+    def links_of(row):
+        if link_info is None:
+            return None
+        links, lv = link_info
+        from ..links import store as lstore
+        import jax.numpy as jnp
+        out = []
+        off = np.asarray(links.offsets)
+        nseen = np.asarray(links.nseen)
+        nj = np.asarray(links.nj)
+        for o in (0, 1):
+            v = 2 * row + o
+            for lid in range(int(off[v]), int(off[v + 1])):
+                juncs = "".join(
+                    "ACGT"[int(np.asarray(lstore.unpack_junc(
+                        links.seq[jnp.asarray([lid])],
+                        jnp.asarray([j]))))]
+                    for j in range(int(nj[lid])))
+                out.append({"forward": o == 0, "juncs": juncs,
+                            "colours": [int(x) for x in nseen[lid]]})
+        return out
+
     for line in sys.stdin:
         q = line.strip()
         if not q:
             continue
         if q == "info":
-            print(json.dumps({"kmer_size": g.k, "num_kmers": int(g.n),
+            print(json.dumps({"kmer_size": k, "num_kmers": n_kmers,
                               "ncols": h.ncols}))
             continue
-        if q == "random":
+        if q == "random" and not args.disk:
             import random
-            row = random.randrange(int(g.n))
+            row = random.randrange(n_kmers)
             from ..utils.text import kmers_to_strings
-            q = kmers_to_strings(np.asarray(g.keys)[row:row + 1], g.k)[0]
-        if len(q) != g.k or any(c not in "ACGTacgt" for c in q):
-            print(json.dumps({"error": f"expected {g.k}bp kmer"}))
+            q = kmers_to_strings(np.asarray(g.keys)[row:row + 1], k)[0]
+        if len(q) != k or any(c not in "ACGTacgt" for c in q):
+            print(json.dumps({"error": f"expected {k}bp kmer"}))
             continue
-        arr = CHAR_TO_BASE[np.frombuffer(q.upper().encode(), np.uint8)]
-        key, _ = kops.canonical(kops.pack_kmers(jnp.asarray(arr[None]),
-                                                g.k), g.k)
-        row, found = sops.lookup(g.keys, key)
+        qkeys, _, _ = npk.seq_canonical_keys(q.upper(), k)
+        if args.disk:
+            hit = dg.lookup(qkeys[0])
+            if hit is None:
+                print(json.dumps({"key": q, "find": False}))
+            else:
+                _r, cv, ed = hit
+                print(json.dumps({
+                    "key": q, "find": True,
+                    "colours": [int(c) for c in cv],
+                    "edges": edges_to_strings(ed[None, :])[0]}))
+            sys.stdout.flush()
+            continue
+        from ..ops import sorted as sops
+        import jax.numpy as jnp
+        row, found = sops.lookup(g.keys, jnp.asarray(qkeys))
         if not bool(found[0]):
             print(json.dumps({"key": q, "find": False}))
         else:
             r = int(row[0])
-            estr = edges_to_strings(edges[r][None, :])[0]
-            print(json.dumps({
-                "key": q, "find": True,
-                "colours": [int(c) for c in covg[r]],
-                "edges": estr}))
+            resp = {"key": q, "find": True,
+                    "colours": [int(c) for c in covg[r]],
+                    "edges": edges_to_strings(edges[r][None, :])[0]}
+            lk = links_of(r)
+            if lk is not None:
+                resp["links"] = lk
+            print(json.dumps(resp))
         sys.stdout.flush()
     return 0
 

@@ -138,3 +138,53 @@ def clean_graph(g: gstore.DBGraph, covg_threshold: int = 0,
         remove = remove | (is_tip & (uv.length < min_keep_tip))
     keep = live & ~remove
     return P.prune_to_mask(g, keep)
+
+
+def cleaning_histograms(g: gstore.DBGraph, maxcovg: int = 1000,
+                        maxlen: int = 1000):
+    """(kmer_covg_hist, unitig_medcovg_hist, unitig_len_hist) for the
+    cleaning CSVs (ref clean_graph.c:320-333 histogram arrays):
+    per-kmer sum-across-colours coverage, per-unitig median coverage,
+    and per-unitig kmer length."""
+    from . import unitigs as gu
+    uv, medcov, _tip, _ext = gu.unitig_stats(g)
+    uid = np.asarray(uv.uid)
+    length = np.asarray(uv.length)
+    medcov = np.asarray(medcov).astype(np.int64)
+    n = int(g.n)
+    covg = np.asarray(g.covg)[:n].sum(axis=1).astype(np.int64)
+    kh = np.bincount(np.clip(covg, 0, maxcovg), minlength=maxcovg + 1)
+    # one representative kmer per unitig
+    _, first = np.unique(uid[:n], return_index=True)
+    uh = np.bincount(np.clip(medcov[:n][first], 0, maxcovg),
+                     minlength=maxcovg + 1)
+    lh = np.bincount(np.clip(length[:n][first].astype(np.int64), 0,
+                             maxlen), minlength=maxlen + 1)
+    kh[0] = uh[0] = lh[0] = 0
+    return kh, uh, lh
+
+
+def write_covg_csv(path: str, kmer_hist: np.ndarray,
+                   unitig_hist: np.ndarray):
+    """ref cleaning_write_covg_histogram (clean_graph.c:672) format."""
+    with open(path, "w") as f:
+        f.write("Covg,NumKmers,NumUnitigs\n")
+        end = len(kmer_hist) - 1
+        while end > 2 and kmer_hist[end] == 0:
+            end -= 1
+        for i in range(1, end + 1):
+            if kmer_hist[i] > 0:
+                f.write(f"{i},{kmer_hist[i]},{unitig_hist[i]}\n")
+
+
+def write_len_csv(path: str, len_hist: np.ndarray, k: int):
+    """ref cleaning_write_len_histogram (clean_graph.c:694) format."""
+    with open(path, "w") as f:
+        f.write("UnitigKmerLength,bp,Count\n")
+        end = len(len_hist) - 1
+        while end > 1 and len_hist[end] == 0:
+            end -= 1
+        f.write(f"1,{k},{len_hist[1]}\n")
+        for i in range(2, end + 1):
+            if len_hist[i] > 0:
+                f.write(f"{i},{k + i - 1},{len_hist[i]}\n")

@@ -184,3 +184,77 @@ def read_ctx(path: str):
     return (h, rec["kmer"].astype(np.uint64).reshape(-1, W),
             rec["covg"].astype(np.uint32).reshape(-1, C),
             rec["edges"].astype(np.uint8).reshape(-1, C))
+
+
+class DiskGraphReader:
+    """Disk-backed kmer lookup over a SORTED uncompressed .ctx file
+    using the `.idx` block index written by `mctx index` — the consumer
+    of that index (ref src/graph/graph_search.h:12-25 disk binary
+    search; ctx_server.c --disk).  O(blocks) memory; each query reads
+    one record block and binary-searches it."""
+
+    def __init__(self, path: str, idx_path: str | None = None,
+                 block_kmers: int = 4096):
+        import os
+        self.fh = open(path, "rb")
+        self.h = read_header(self.fh)
+        self.data_off = self.fh.tell()
+        W, C = self.h.W, self.h.ncols
+        self.rec_dt = np.dtype([("kmer", "<u8", (W,)),
+                                ("covg", "<u4", (C,)),
+                                ("edges", "u1", (C,))])
+        size = os.path.getsize(path)
+        if (size - self.data_off) % self.rec_dt.itemsize:
+            raise ValueError(f"{path}: truncated .ctx")
+        self.n = (size - self.data_off) // self.rec_dt.itemsize
+        idx_path = idx_path or (path + ".idx")
+        starts, keys = [], []
+        if os.path.exists(idx_path):
+            from ..utils import npkmer as npk
+            for line in open(idx_path):
+                if line.startswith("#") or not line.strip():
+                    continue
+                kstr, index, _nk = line.split("\t")
+                kk, _, _ = npk.seq_canonical_keys(kstr.strip(),
+                                                  self.h.kmer_size)
+                starts.append(int(index))
+                keys.append(kk[0])
+        else:
+            for s in range(0, self.n, block_kmers):
+                self.fh.seek(self.data_off + s * self.rec_dt.itemsize)
+                rec = np.frombuffer(
+                    self.fh.read(self.rec_dt.itemsize), self.rec_dt)
+                starts.append(s)
+                keys.append(rec["kmer"][0].astype(np.uint64))
+        self.block_starts = np.array(starts, np.int64)
+        if keys:
+            self.block_keys = np.stack(keys).astype(np.uint64)
+        else:
+            self.block_keys = np.zeros((0, W), np.uint64)
+
+    def lookup(self, key: np.ndarray):
+        """key: (W,) uint64 canonical.  Returns (row, covg, edges) or
+        None."""
+        from ..calls.calls2vcf import _key_void
+        if self.n == 0:
+            return None
+        qv = _key_void(key[None])[0]
+        bv = _key_void(self.block_keys)
+        b = int(np.searchsorted(bv, qv, side="right")) - 1
+        if b < 0:
+            return None
+        s = int(self.block_starts[b])
+        e = int(self.block_starts[b + 1]) if b + 1 < len(
+            self.block_starts) else self.n
+        self.fh.seek(self.data_off + s * self.rec_dt.itemsize)
+        recs = np.frombuffer(
+            self.fh.read((e - s) * self.rec_dt.itemsize), self.rec_dt)
+        kv = _key_void(recs["kmer"].astype(np.uint64))
+        i = int(np.searchsorted(kv, qv))
+        if i >= len(kv) or kv[i] != qv:
+            return None
+        return (s + i, recs["covg"][i].astype(np.uint32),
+                recs["edges"][i].astype(np.uint8))
+
+    def close(self):
+        self.fh.close()

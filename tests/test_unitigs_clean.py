@@ -205,3 +205,32 @@ def test_gfa_links(tmp_path, capsys):
     n_seg = sum(1 for l in gfa.splitlines() if l.startswith("S\t"))
     n_link = sum(1 for l in gfa.splitlines() if l.startswith("L\t"))
     assert n_seg >= 3 and n_link >= 2  # fork: stem connects to 2 branches
+
+
+def test_cleaning_histogram_csvs(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from test_ctx_io import write_fasta
+    k = 9
+    genome = random_dna(120, seed=1100)
+    err = random_dna(30, seed=1101)
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, [genome] * 3 + [err])
+    ctx = str(tmp_path / "g.ctx")
+    out = str(tmp_path / "c.ctx")
+    cb, ca = str(tmp_path / "cb.csv"), str(tmp_path / "ca.csv")
+    lb = str(tmp_path / "lb.csv")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--seq", fa, ctx]) == 0
+    assert mctx(["clean", "--unitigs", "2", "-c", cb, "-C", ca,
+                 "-l", lb, "-o", out, ctx]) == 0
+    blines = open(cb).read().splitlines()
+    assert blines[0] == "Covg,NumKmers,NumUnitigs"
+    hist = {int(l.split(",")[0]): int(l.split(",")[1])
+            for l in blines[1:]}
+    assert hist.get(3, 0) > 0 and hist.get(1, 0) > 0
+    alines = open(ca).read().splitlines()
+    ahist = {int(l.split(",")[0]): int(l.split(",")[1])
+             for l in alines[1:]}
+    assert ahist.get(1, 0) == 0         # covg-1 kmers cleaned away
+    llines = open(lb).read().splitlines()
+    assert llines[0] == "UnitigKmerLength,bp,Count"
