@@ -95,7 +95,7 @@ def cmd_calls2vcf(argv):
             args.ref, contigs=[(n, len(s))
                                for n, s in zip(ref.names, ref.seqs)]),
         sample_names=[], records=records)
-    vcfio.write_vcf(args.out, out)
+    vcfio.write_variants(args.out, out)
     _status(f"wrote {len(records)} variants ({dropped} calls dropped)")
     return 0
 
@@ -166,11 +166,11 @@ def cmd_vcfcov(argv):
     from ..io import vcf as vcfio
     h, g = _load_graph(args.ctx[0])
     ref = KO.RefGenome.from_fasta(args.ref)
-    vcf = vcfio.read_vcf(args.vcf)
+    vcf = vcfio.read_variants(args.vcf)
     if not vcf.sample_names:
         vcf.sample_names = [gi.sample_name for gi in h.ginfo]
     gt.vcfcov(vcf, ref, g, max_nvars=args.max_nvars)
-    vcfio.write_vcf(args.out, vcf)
+    vcfio.write_variants(args.out, vcf)
     _status(f"annotated {len(vcf.records)} records with K{g.k}R/K{g.k}A")
     return 0
 
@@ -196,7 +196,7 @@ def cmd_vcfgeno(argv):
     from ..io import vcf as vcfio
     if (args.kcov is None) == (args.cov is None):
         p.error("give exactly one of --kcov / --cov")
-    vcf = vcfio.read_vcf(args.vcf)
+    vcf = vcfio.read_variants(args.vcf)
     S = max(len(vcf.sample_names), 1)
 
     def parse_list(s, cast=float):
@@ -215,7 +215,7 @@ def cmd_vcfgeno(argv):
     ploidies = parse_list(args.ploidy, int)
     ndone, nskip = vg.genotype_vcf(vcf, k, kcovs, errs, ploidies,
                                    readlensk)
-    vcfio.write_vcf(args.out, vcf)
+    vcfio.write_variants(args.out, vcf)
     _status(f"genotyped {ndone} records ({nskip} skipped)")
     return 0
 

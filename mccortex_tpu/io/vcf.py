@@ -106,3 +106,20 @@ def std_headers(ref_path: str | None = None, contigs=None,
         hdr.append(f"##contig=<ID={name},length={length}>")
     hdr += extra or []
     return hdr
+
+
+def read_variants(path: str) -> "VcfFile":
+    """Extension-dispatched variant reader: .bcf -> binary BCF2.2,
+    otherwise text VCF (.gz ok) — ref vcf_misc.h hts mode detection."""
+    if path.endswith(".bcf"):
+        from . import bcf as _bcf
+        return _bcf.read_bcf(path)
+    return read_vcf(path)
+
+
+def write_variants(path: str, vcf: "VcfFile") -> None:
+    if path.endswith(".bcf"):
+        from . import bcf as _bcf
+        _bcf.write_bcf(path, vcf)
+        return
+    write_vcf(path, vcf)
