@@ -132,15 +132,26 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
     from ..ops.pallas import segreduce as _sr
 
     B, L = bases.shape
-    keys, ebyte, valid = reads_to_records(bases, k)
     M = B * L
-    W = keys.shape[-1]
-    flat = keys.reshape(M, W)
-    ops = ()
-    for w in range(W):
-        ops += ((flat[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
-                flat[:, w].astype(jnp.uint32))
-    ops += (ebyte.reshape(M).astype(jnp.uint32),)
+    W = nwords(k)
+    if W == 1:
+        # fused Pallas front-end: rolling pack + canonicalise + edges
+        # in one VMEM pass (ops/pallas/frontend.py)
+        from ..ops.pallas import frontend as _fe
+        khi, klo, eb, _valid = _fe.records_fused(bases, k,
+                                                 interpret=interpret)
+        bc0 = jax.lax.bitcast_convert_type
+        ops = (bc0(khi.reshape(M), jnp.uint32),
+               bc0(klo.reshape(M), jnp.uint32),
+               bc0(eb.reshape(M), jnp.uint32))
+    else:
+        keys, ebyte, valid = reads_to_records(bases, k)
+        flat = keys.reshape(M, W)
+        ops = ()
+        for w in range(W):
+            ops += ((flat[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
+                    flat[:, w].astype(jnp.uint32))
+        ops += (ebyte.reshape(M).astype(jnp.uint32),)
     sorted_ops = jax.lax.sort(ops, num_keys=2 * W)
     bc = jax.lax.bitcast_convert_type
     kp = tuple(bc(p, jnp.int32) for p in sorted_ops[:2 * W])
