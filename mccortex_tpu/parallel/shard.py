@@ -229,3 +229,126 @@ def lookup_sharded(mesh: Mesh, k: int, query_cap: int):
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS, None)),
         out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)))
     return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN-aware) hierarchical routing
+# ---------------------------------------------------------------------------
+
+HOST_AXIS = "hosts"
+
+
+def make_mesh_2d(n_hosts: int, chips_per_host: int) -> Mesh:
+    """2-D mesh (hosts, chips): the inner axis rides ICI, the outer DCN
+    on a real multi-host slice (device order groups chips per host)."""
+    devs = jax.devices()
+    n = n_hosts * chips_per_host
+    return Mesh(np.array(devs[:n]).reshape(n_hosts, chips_per_host),
+                (HOST_AXIS, AXIS))
+
+
+def build_step_sharded_2d(mesh: Mesh, k: int, ncols: int, colour: int,
+                          bucket_cap: int, out_cap: int):
+    """Hierarchical build step for (hosts, chips) meshes: records cross
+    the slow inter-host links exactly ONCE.
+
+    Phase 1 (ICI): within each host, all_to_all gathers records by
+      destination-host congruence class (chip j holds records for hosts
+      ≡ j mod C), so phase 2 runs C parallel host-to-host streams.
+    Phase 2 (DCN): all_to_all over the host axis to the owner host.
+    Phase 3 (ICI): within the owner host, all_to_all to the owner chip.
+
+    Same contract as build_step_sharded; the 1-D version is the H=1
+    special case.  This is the TPU replacement for the reference's
+    single-node shared-memory hash table — the design target of
+    SURVEY.md §5 (≥70% weak-scaling efficiency at 2 hosts).
+    """
+    H, C = mesh.devices.shape
+    n_shards = H * C
+    W = nwords(k)
+
+    def a2a(x, axis):
+        return jax.lax.all_to_all(x, axis, 0, 0, tiled=True)
+
+    def local_step(bases, keys0, covg0, edges0, n0):
+        Bl, L = bases.shape
+        M = Bl * L
+        kk, eb, valid = gbuild.reads_to_records(bases, k)
+        fk = kk.reshape(M, W)
+        covg = jnp.zeros((M, ncols), jnp.uint32).at[:, colour].set(
+            valid.reshape(M).astype(jnp.uint32))
+        edges = jnp.zeros((M, ncols), jnp.uint8).at[:, colour].set(
+            eb.reshape(M))
+        sk, sc, se = sops.sort_by_key(fk, covg, edges)
+        uk, uc, ue, _ = sops.unique_reduce(sk, sc, se, M)
+
+        owner = shard_of_key(uk, n_shards)
+        dest_host = owner // C
+        dead = sops.is_sentinel(uk)
+
+        # phase 1: ICI — group by dest-host congruence class (mod C)
+        p1 = jnp.where(dead, C, dest_host % C)
+        bk, bc, be, d1 = _bucketize(uk, uc, ue, p1, C, bucket_cap)
+        bk = a2a(bk, AXIS)
+        bc = a2a(bc, AXIS)
+        be = a2a(be, AXIS)
+        rk = bk.reshape(-1, W)
+        rc = bc.reshape(-1, ncols)
+        re_ = be.reshape(-1, ncols)
+
+        # phase 2: DCN — to the owner host
+        owner2 = shard_of_key(rk, n_shards)
+        dh2 = owner2 // C
+        p2 = jnp.where(sops.is_sentinel(rk), H, dh2)
+        cap2 = bucket_cap * max(1, (C + H - 1) // H) * 2
+        bk, bc, be, d2 = _bucketize(rk, rc, re_, p2, H, cap2)
+        bk = a2a(bk, HOST_AXIS)
+        bc = a2a(bc, HOST_AXIS)
+        be = a2a(be, HOST_AXIS)
+        rk = bk.reshape(-1, W)
+        rc = bc.reshape(-1, ncols)
+        re_ = be.reshape(-1, ncols)
+
+        # phase 3: ICI — to the owner chip within the host
+        owner3 = shard_of_key(rk, n_shards)
+        p3 = jnp.where(sops.is_sentinel(rk), C, owner3 % C)
+        cap3 = cap2 * max(1, (H + C - 1) // C) * 2
+        bk, bc, be, d3 = _bucketize(rk, rc, re_, p3, C, cap3)
+        bk = a2a(bk, AXIS)
+        bc = a2a(bc, AXIS)
+        be = a2a(be, AXIS)
+        rk = bk.reshape(-1, W)
+        rc = bc.reshape(-1, ncols)
+        re_ = be.reshape(-1, ncols)
+
+        allk = jnp.concatenate([keys0, rk])
+        allc = jnp.concatenate([covg0, rc])
+        alle = jnp.concatenate([edges0, re_])
+        sk2, sc2, se2 = sops.sort_by_key(allk, allc, alle)
+        ok, oc, oe, n = sops.unique_reduce(sk2, sc2, se2, out_cap)
+        dropped = (d1 + d2 + d3).astype(jnp.int64)
+        return (ok, oc, oe, n.astype(jnp.int64)[None], dropped[None])
+
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P((HOST_AXIS, AXIS), None), P((HOST_AXIS, AXIS), None),
+                  P((HOST_AXIS, AXIS), None), P((HOST_AXIS, AXIS), None),
+                  P((HOST_AXIS, AXIS))),
+        out_specs=(P((HOST_AXIS, AXIS), None), P((HOST_AXIS, AXIS), None),
+                   P((HOST_AXIS, AXIS), None), P((HOST_AXIS, AXIS)),
+                   P((HOST_AXIS, AXIS))))
+    return jax.jit(mapped)
+
+
+def empty_sharded_graph_2d(mesh: Mesh, k: int, ncols: int, out_cap: int):
+    from jax.sharding import NamedSharding
+    n = mesh.devices.size
+    W = nwords(k)
+    sh2 = NamedSharding(mesh, P((HOST_AXIS, AXIS), None))
+    sh1 = NamedSharding(mesh, P((HOST_AXIS, AXIS)))
+    keys = jax.device_put(
+        np.full((n * out_cap, W), sops.SENTINEL64, np.uint64), sh2)
+    covg = jax.device_put(np.zeros((n * out_cap, ncols), np.uint32), sh2)
+    edges = jax.device_put(np.zeros((n * out_cap, ncols), np.uint8), sh2)
+    nlive = jax.device_put(np.zeros((n,), np.int64), sh1)
+    return keys, covg, edges, nlive

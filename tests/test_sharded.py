@@ -127,3 +127,37 @@ def test_bucket_overflow_grows_and_retries():
     cv = np.asarray(covg).reshape(-1, 1)[live]
     assert int(np.asarray(n).sum()) == 48 - k + 1
     assert (cv == 8).all()
+
+
+def test_hierarchical_2d_build_matches_flat():
+    # (2 hosts x 4 chips) hierarchical routing must produce the same
+    # global kmer multiset as the flat 8-shard build
+    from mccortex_tpu.parallel import shard as psh
+    import jax.numpy as jnp
+    k = 11
+    rng = np.random.default_rng(9)
+    bases = rng.integers(0, 4, size=(16, 64), dtype=np.uint8)
+    out_cap = 512
+
+    mesh1 = psh.make_mesh(8)
+    step1 = psh.build_step_sharded(mesh1, k, 1, 0, 256, out_cap)
+    st1 = psh.empty_sharded_graph(mesh1, k, 1, out_cap)
+    k1, c1, e1, n1, d1 = step1(jnp.asarray(bases), *st1)
+    assert int(np.asarray(d1).sum()) == 0
+
+    mesh2 = psh.make_mesh_2d(2, 4)
+    step2 = psh.build_step_sharded_2d(mesh2, k, 1, 0, 256, out_cap)
+    st2 = psh.empty_sharded_graph_2d(mesh2, k, 1, out_cap)
+    k2, c2, e2, n2, d2 = step2(jnp.asarray(bases), *st2)
+    assert int(np.asarray(d2).sum()) == 0
+
+    def collect(kk, cc, ee):
+        kk, cc, ee = (np.asarray(kk), np.asarray(cc), np.asarray(ee))
+        live = ~(kk == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+        recs = sorted((tuple(a.tolist()), tuple(b.tolist()),
+                       tuple(x.tolist()))
+                      for a, b, x in zip(kk[live], cc[live], ee[live]))
+        return recs
+
+    assert int(np.asarray(n1).sum()) == int(np.asarray(n2).sum())
+    assert collect(k1, c1, e1) == collect(k2, c2, e2)
