@@ -185,10 +185,45 @@ def total_bases(paths) -> int:
 
 
 def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
-                        colour: int = 0):
+                        colour: int = 0, prefetch: int = 4):
     """Native (C++) batch reader; yields the same (codes, quals, colour)
     tuples as read_batches.  Falls back to the python parser when the
-    native library is unavailable."""
+    native library is unavailable.
+
+    prefetch > 0 runs decode on a producer thread with a bounded queue
+    so file IO + parsing overlap device compute (role of ref
+    libs/seq_file async reader feeding worker threads,
+    ref ctx_build.c / asyncio pool) — the C parser releases the GIL
+    during gz decompression, so the overlap is real."""
+    if prefetch > 0:
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        SENTINEL = object()
+        err = []
+
+        def produce():
+            try:
+                for item in read_batches_native(
+                        paths, batch_size, max_len, colour, prefetch=0):
+                    q.put(item)
+            except BaseException as e:      # surfaced on the consumer
+                err.append(e)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+        return
+
     import ctypes
     from ..native import get_lib
     lib = get_lib()
