@@ -48,6 +48,11 @@ def cmd_join(argv):
     p.add_argument("-o", "--out", required=True)
     p.add_argument("--flatten", action="store_true",
                    help="sum all colours into one")
+    p.add_argument("-i", "--intersect", action="append", default=[],
+                   help="only keep kmers present in this graph "
+                        "(ref ctx_join.c -i; repeatable = intersection "
+                        "of all of them); the graph itself is NOT "
+                        "merged into the output")
     p.add_argument("ctx", nargs="+",
                    help="input graphs; 'N:file.ctx' loads file at colour "
                         "offset N")
@@ -124,6 +129,20 @@ def cmd_join(argv):
     covg = jnp.asarray(np.concatenate(allc))
     edges = jnp.asarray(np.concatenate(alle))
     g = gs.from_records(k, keys, covg, edges)
+    for ipath in args.intersect:
+        from ..ops import sorted as sops
+        hi, ikeys, _ic, _ie = ctxio.read_ctx(ipath)
+        if hi.kmer_size != k:
+            raise ValueError(f"{ipath}: kmer size mismatch")
+        _idx, found = sops.lookup(jnp.asarray(ikeys), g.keys)
+        live = ~sops.is_sentinel(g.keys)
+        keep = np.asarray(found) & np.asarray(live)
+        kk = np.asarray(g.keys)[keep]
+        cc = np.asarray(g.covg)[keep]
+        ee = np.asarray(g.edges)[keep]
+        g = gs.from_records(k, jnp.asarray(kk), jnp.asarray(cc),
+                            jnp.asarray(ee))
+        _status(f"intersected with {ipath}: {int(g.n)} kmers remain")
     hdr = ctxio.CtxHeader(kmer_size=k, ginfo=ginfo)
     _save_graph(args.out, hdr, g)
     _status(f"joined {len(inputs)} graphs -> {int(g.n)} kmers x "

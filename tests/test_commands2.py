@@ -206,3 +206,31 @@ def test_pjoin(two_colour_graph, tmp_path):
     assert merged.nlinks <= l1.nlinks + l2.nlinks
     assert int(np.asarray(merged.nseen).sum()) == \
         int(np.asarray(l1.nseen).sum()) + int(np.asarray(l2.nseen).sum())
+
+
+def test_join_intersect(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from mccortex_tpu.io import ctx as ictx
+    from util import random_dna
+    from test_ctx_io import write_fasta
+    k = 11
+    a = random_dna(120, seed=1400)
+    b = random_dna(120, seed=1401)
+    shared = random_dna(80, seed=1402)
+    fa_a = str(tmp_path / "a.fa"); write_fasta(fa_a, [a + shared])
+    fa_b = str(tmp_path / "b.fa"); write_fasta(fa_b, [b + shared])
+    ca = str(tmp_path / "a.ctx"); cb = str(tmp_path / "b.ctx")
+    out = str(tmp_path / "j.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "a",
+                 "--seq", fa_a, ca]) == 0
+    assert mctx(["build", "-k", str(k), "--sample", "b",
+                 "--seq", fa_b, cb]) == 0
+    assert mctx(["join", "-o", out, "-i", cb, ca]) == 0
+    h, keys, covg, edges = ictx.read_ctx(out)
+    hb, kb, _, _ = ictx.read_ctx(cb)
+    # every surviving kmer is in b's graph; the shared segment survives
+    kb_set = set(map(tuple, kb.tolist()))
+    assert all(tuple(x) in kb_set for x in keys.tolist())
+    assert len(keys) >= 80 - k + 1
+    ha, ka, _, _ = ictx.read_ctx(ca)
+    assert len(keys) < len(ka)
