@@ -60,24 +60,70 @@ def cmd_build(argv):
     for colour, (sample, files) in enumerate(tasks):
         total_seq = 0
         nreads = 0
-        for codes, quals, _ in seqio.read_batches_native(files, colour=colour):
-            if pcr is not None:
-                keepm = pcr.filter_batch(codes)
-                ndup += int((~keepm).sum())
-                codes = codes[keepm]
-                quals = quals[keepm] if quals is not None else None
-                if codes.shape[0] == 0:
-                    continue
+
+        def _mask(codes, quals):
             if quals is not None and args.fq_cutoff:
-                codes = np.asarray(gbuild.mask_reads(
+                return np.asarray(gbuild.mask_reads(
                     jnp.asarray(codes), jnp.asarray(quals),
                     fq_cutoff=args.fq_cutoff, hp_cutoff=args.cut_hp))
-            elif args.cut_hp:
-                codes = np.asarray(gbuild.mask_reads(
+            if args.cut_hp:
+                return np.asarray(gbuild.mask_reads(
                     jnp.asarray(codes), None, hp_cutoff=args.cut_hp))
+            return codes
+
+        def _emit(codes, quals):
+            nonlocal total_seq, nreads
+            codes = _mask(codes, quals)
             total_seq += int((codes < 4).sum())
             nreads += codes.shape[0]
             batches.append((codes, colour))
+
+        for entry in files:
+            kind = entry[0]
+            if kind == "se":
+                for codes, quals, _ in seqio.read_batches_native(
+                        [entry[1]], colour=colour):
+                    if pcr is not None:
+                        keepm = pcr.filter_batch(codes)
+                        ndup += int((~keepm).sum())
+                        codes = codes[keepm]
+                        quals = quals[keepm] if quals is not None                             else None
+                        if codes.shape[0] == 0:
+                            continue
+                    _emit(codes, quals)
+            elif kind == "pe":
+                # pair-aware PCR: a pair is dropped only when BOTH
+                # mates' start kmers were seen (ref build_graph.c:62)
+                for c1, c2, _ in seqio.read_batches_pe(
+                        entry[1], entry[2], colour=colour):
+                    if pcr is not None:
+                        keepm = pcr.filter_batch(c1, c2)
+                        ndup += int((~keepm).sum()) * 2
+                        c1, c2 = c1[keepm], c2[keepm]
+                        if c1.shape[0] == 0:
+                            continue
+                    _emit(c1, None)
+                    _emit(c2, None)
+            else:   # interleaved: even rows = r1, odd rows = r2
+                for codes, quals, _ in seqio.read_batches_native(
+                        [entry[1]], batch_size=512, colour=colour):
+                    if codes.shape[0] % 2:
+                        codes = codes[:-1]
+                        if quals is not None:
+                            quals = quals[:-1]
+                    c1, c2 = codes[0::2], codes[1::2]
+                    q1 = quals[0::2] if quals is not None else None
+                    q2 = quals[1::2] if quals is not None else None
+                    if pcr is not None:
+                        keepm = pcr.filter_batch(c1, c2)
+                        ndup += int((~keepm).sum()) * 2
+                        c1, c2 = c1[keepm], c2[keepm]
+                        q1 = q1[keepm] if q1 is not None else None
+                        q2 = q2[keepm] if q2 is not None else None
+                        if c1.shape[0] == 0:
+                            continue
+                    _emit(c1, q1)
+                    _emit(c2, q2)
         gi = ctxio.GraphInfo(sample_name=sample, total_sequence=total_seq,
                              mean_read_length=(total_seq // max(nreads, 1)))
         ginfo.append(gi)
@@ -108,13 +154,15 @@ def _parse_build_tasks(p, argv):
             cur_name, cur_files = argv[i + 1], []
             i += 2
         elif a in ("--seq", "--seq1"):
-            cur_files.append(argv[i + 1])
+            cur_files.append(("se", argv[i + 1]))
             i += 2
         elif a == "--seq2":
-            # mate pair: two files, both added as reads for building
-            cur_files.append(argv[i + 1])
-            cur_files.append(argv[i + 2])
+            cur_files.append(("pe", argv[i + 1], argv[i + 2]))
             i += 3
+        elif a in ("--seqi", "-i"):
+            # interleaved mate pairs in one file (ref ctx_build.c -i)
+            cur_files.append(("interleaved", argv[i + 1]))
+            i += 2
         else:
             rest.append(a)
             i += 1

@@ -71,14 +71,23 @@ def from_records(k: int, keys: jnp.ndarray, covg: jnp.ndarray,
                    n=n.astype(jnp.int64), k=k)
 
 
-@jax.jit
 def lookup(g: DBGraph, query_keys: jnp.ndarray):
     """Batched lookup: (idx, found) per query key (..., W).
 
-    The replacement for hash_table_find (ref: hash_table.c:84); one of the
-    two headline inner loops (BASELINE.json metric).
+    The replacement for hash_table_find (ref: hash_table.c:84); one of
+    the two headline inner loops (BASELINE.json metric).  NOT jitted:
+    host-level calls route through the planar hashed-bucket index
+    (ops/hashidx.py, one row-gather per probe, ~25x the binary search),
+    whose table build/cache is host-side.  When called under an outer
+    jit (args are tracers) it falls back to the binary search — inside
+    jit use sops.lookup or the adjacency cache directly.
     """
-    return sops.lookup(g.keys, query_keys)
+    import jax.core as _core
+    if isinstance(query_keys, _core.Tracer) or isinstance(
+            g.keys, _core.Tracer):
+        return sops.lookup(g.keys, query_keys)
+    from ..ops import hashidx
+    return hashidx.lookup(g.keys, query_keys)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))

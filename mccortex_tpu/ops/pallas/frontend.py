@@ -168,18 +168,27 @@ def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False):
     if pad:
         b32 = jnp.concatenate(
             [b32, jnp.full((pad, L), 4, jnp.int32)])
+    # pad L to a lane multiple: rolls on a non-128-multiple axis fall
+    # off Mosaic's vector path (catastrophically slow); padded columns
+    # are invalid bases, so their windows are invalid and sliced away
+    Lp = -(-L // 128) * 128
+    if Lp != L:
+        b32 = jnp.concatenate(
+            [b32, jnp.full((b32.shape[0], Lp - L), 4, jnp.int32)],
+            axis=1)
     NB = b32.shape[0] // TILE_B
     zero = np.int32(0)
     outs = pl.pallas_call(
-        _make_kernel(k, L),
+        _make_kernel(k, Lp),
         grid=(NB,),
-        in_specs=[pl.BlockSpec((TILE_B, L), lambda i: (i, zero),
+        in_specs=[pl.BlockSpec((TILE_B, Lp), lambda i: (i, zero),
                                memory_space=pltpu.VMEM)],
-        out_specs=tuple(pl.BlockSpec((TILE_B, L), lambda i: (i, zero),
+        out_specs=tuple(pl.BlockSpec((TILE_B, Lp), lambda i: (i, zero),
                                      memory_space=pltpu.VMEM)
                         for _ in range(4)),
-        out_shape=tuple(jax.ShapeDtypeStruct((NB * TILE_B, L), jnp.int32)
+        out_shape=tuple(jax.ShapeDtypeStruct((NB * TILE_B, Lp),
+                                             jnp.int32)
                         for _ in range(4)),
         interpret=interpret,
     )(b32)
-    return tuple(o[:B] for o in outs)
+    return tuple(o[:B, :L] for o in outs)

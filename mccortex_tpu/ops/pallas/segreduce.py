@@ -96,25 +96,26 @@ def _from_left(x, d):
     return jnp.where(col >= d, rl, rb)
 
 
-def _seg_scan_fwd(is_start, covg, edge):
-    """Inclusive forward segmented scan: covg summed, edge OR-ed,
-    segments reset at is_start.  O(log BLK) doubling passes."""
+def _seg_scan_fwd(is_start, sums, ors):
+    """Inclusive forward segmented scan over lists of planes: `sums`
+    summed, `ors` OR-ed, segments reset at is_start.  O(log BLK)
+    doubling passes."""
     R = is_start.shape[0]
     _, _, flat = _iotas(R)
     # flags as i32 throughout: Mosaic cannot roll/select i1 vectors
-    f, c, e = is_start.astype(jnp.int32), covg, edge
+    f = is_start.astype(jnp.int32)
+    sums = list(sums)
+    ors = list(ors)
     d = 1
     while d < R * LANES:
         fp = _from_left(f, d)
-        cp = _from_left(c, d)
-        ep = _from_left(e, d)
         before = flat < d                      # no element d earlier
         take = (f == 0) & (~before)
-        c = jnp.where(take, c + cp, c)
-        e = jnp.where(take, e | ep, e)
+        sums = [jnp.where(take, c + _from_left(c, d), c) for c in sums]
+        ors = [jnp.where(take, e | _from_left(e, d), e) for e in ors]
         f = jnp.where(before, f, f | fp)
         d *= 2
-    return c, e
+    return sums, ors
 
 
 def _compact(planes, emit):
@@ -163,29 +164,32 @@ def _compact(planes, emit):
     return planes, nkeep
 
 
-def _make_kernel(n_keys: int, r_blk: int):
-    """Kernel over planes: n_keys key planes + 1 edge plane input;
-    outputs n_keys key + covg + edge planes (row-padded) and the count.
+def _make_kernel(n_keys: int, n_sum: int, n_or: int, r_blk: int):
+    """Kernel over planes: NK key planes + NS sum planes + NO or planes
+    in; NK key planes + count + NS sums + NO ors out (row-padded), plus
+    the unique count.
 
     SMEM scratch `st` (i32):
       st[0] = base row of the next output write
       st[1] = residual element count (0..127)
       st[2] = total emitted records
       st[3..3+NK) = carry key planes (last record of previous block)
-      st[3+NK] = carry covg aggregate
-      st[4+NK] = carry edge aggregate
+      st[3+NK] = carry live-count aggregate
+      st[4+NK..4+NK+NS) = carry sum aggregates
+      st[4+NK+NS..4+NK+NS+NO) = carry or aggregates
     """
-    NK = n_keys
-    NP = NK + 2     # output planes: keys…, covg, edge
+    NK, NS, NO = n_keys, n_sum, n_or
+    NP = NK + 1 + NS + NO   # output planes: keys…, count, sums…, ors…
+    NIN = NK + NS + NO
 
     def kernel(*refs):
-        in_refs = refs[:NK + 1]
-        out_refs = refs[NK + 1:NK + 1 + NP]
-        cnt_ref = refs[NK + 1 + NP]
-        st = refs[NK + 2 + NP]
-        res = refs[NK + 3 + NP]         # (NP, 1, LANES) residual
-        buf = refs[NK + 4 + NP]         # (NP, r_blk, LANES) DMA stage
-        sem = refs[NK + 5 + NP]
+        in_refs = refs[:NIN]
+        out_refs = refs[NIN:NIN + NP]
+        cnt_ref = refs[NIN + NP]
+        st = refs[NIN + NP + 1]
+        res = refs[NIN + NP + 2]        # (NP, 1, LANES) residual
+        buf = refs[NIN + NP + 3]        # (NP, r_blk, LANES) DMA stage
+        sem = refs[NIN + NP + 4]
 
         g = pl.program_id(0)
         ng = pl.num_programs(0)
@@ -199,15 +203,17 @@ def _make_kernel(n_keys: int, r_blk: int):
             st[2] = _i32(0)
             for p in range(NK):
                 st[3 + p] = _i32(-1)    # sentinel carry: no pending run
-            st[3 + NK] = _i32(0)
-            st[4 + NK] = _i32(0)
+            for p in range(1 + NS + NO):
+                st[3 + NK + p] = _i32(0)
 
         keys = [in_refs[p][:] for p in range(NK)]
-        edge = in_refs[NK][:]
+        sums_in = [in_refs[NK + p][:] for p in range(NS)]
+        ors_in = [in_refs[NK + NS + p][:] for p in range(NO)]
 
         live = keys[0] != _SENT
         for p in range(1, NK):
             live = live | (keys[p] != _SENT)
+        live_i = live.astype(jnp.int32)
 
         # run starts (vs previous record, incl. cross-block carry)
         prevs = [_flat_prev(keys[p], st[3 + p]) for p in range(NK)]
@@ -215,24 +221,30 @@ def _make_kernel(n_keys: int, r_blk: int):
         for p in range(1, NK):
             is_start = is_start | (prevs[p] != keys[p])
 
-        sc, se = _seg_scan_fwd(is_start, live.astype(jnp.int32), edge)
+        aggs = [live_i] + [c * live_i for c in sums_in]
+        orss = [e * live_i for e in ors_in]
+        sums, ors = _seg_scan_fwd(is_start, aggs, orss)
 
         # positions before the first start continue the carried run
         first_start = jnp.min(jnp.where(is_start, flat, _i32(R * LANES)))
         in_carry = flat < first_start
-        sc = jnp.where(in_carry, sc + st[3 + NK], sc)
-        se = jnp.where(in_carry, se | st[4 + NK], se)
+        sums = [jnp.where(in_carry, c + st[3 + NK + i], c)
+                for i, c in enumerate(sums)]
+        ors = [jnp.where(in_carry, e | st[4 + NK + NS + i], e)
+               for i, e in enumerate(ors)]
 
         # a start at p emits the PREVIOUS run: key = key[p-1] (or carry),
         # aggregate = scan[p-1] (or carry); only if that run was live
-        pc = _flat_prev(sc, st[3 + NK])
-        pe = _flat_prev(se, st[4 + NK])
+        pvals = [_flat_prev(c, st[3 + NK + i])
+                 for i, c in enumerate(sums)]
+        povals = [_flat_prev(e, st[4 + NK + NS + i])
+                  for i, e in enumerate(ors)]
         prev_live = prevs[0] != _SENT
         for p in range(1, NK):
             prev_live = prev_live | (prevs[p] != _SENT)
         emit = is_start & prev_live
 
-        planes, nemit = _compact(prevs + [pc, pe], emit)
+        planes, nemit = _compact(prevs + pvals + povals, emit)
 
         # prepend the residual partial row (rem elements, dynamic 0..127)
         rem = st[1]
@@ -275,8 +287,10 @@ def _make_kernel(n_keys: int, r_blk: int):
         # carry out: the last record of this block may continue
         for p in range(NK):
             st[3 + p] = keys[p][R - 1, LANES - 1]
-        st[3 + NK] = sc[R - 1, LANES - 1]
-        st[4 + NK] = se[R - 1, LANES - 1]
+        for i, c in enumerate(sums):
+            st[3 + NK + i] = c[R - 1, LANES - 1]
+        for i, e in enumerate(ors):
+            st[4 + NK + NS + i] = e[R - 1, LANES - 1]
 
         @pl.when(g == ng - 1)
         def _():
@@ -286,13 +300,12 @@ def _make_kernel(n_keys: int, r_blk: int):
                 pend = jnp.logical_or(pend, st[3 + p] != -1)
             nres = st[1]
             col1 = col[0:1, :]
-            pvals = [st[3 + p] for p in range(NK)] + [st[3 + NK],
-                                                      st[4 + NK]]
+            pend_vals = [st[3 + p] for p in range(NK)] +                 [st[3 + NK + i] for i in range(1 + NS + NO)]
             for p in range(NP):
                 fill = _i32(_SENT if p < NK else 0)
                 fr = jnp.where(col1 < nres, res[p, 0:1, :],
                                jnp.where((col1 == nres) & pend,
-                                         pvals[p], fill))
+                                         pend_vals[p], fill))
                 buf[p, 0:1, :] = fr
                 cp = pltpu.make_async_copy(
                     buf.at[_i32(p), pl.ds(0, 1), :],
@@ -305,23 +318,27 @@ def _make_kernel(n_keys: int, r_blk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def segreduce_compact(key_planes, edge_plane, *, interpret=False):
-    """key_planes: tuple of (M,) int32 planes (most significant first),
-    sorted by the combined key, sentinel (-1 in all planes) padding at
-    the end; edge_plane: (M,) int32.
+def segreduce_compact_multi(key_planes, sum_planes, or_planes, *,
+                            interpret=False):
+    """Generalised segmented reduce + compaction.
 
-    Returns (out_key_planes, covg, edge, n_unique): (M,) int32 planes
-    with compacted unique records at the front (covg = run length,
-    edge = OR of the run), sentinel/zero tails.
+    key_planes: tuple of (M,) i32 planes (most significant first),
+    sorted by the combined key, sentinel (-1 in all planes) padding at
+    the end.  sum_planes / or_planes: tuples of (M,) i32 value planes
+    aggregated per run by + / |.
+
+    Returns (out_key_planes, count, out_sums, out_ors, n_unique):
+    compacted unique records at the front; count = run length (live
+    records per run); sentinel/zero tails.
     """
-    NK = len(key_planes)
+    NK, NS, NO = len(key_planes), len(sum_planes), len(or_planes)
     M = key_planes[0].shape[0]
     assert M % BLK == 0, M
     NB = M // BLK
-    shaped = [k.reshape(NB * R_BLK, LANES) for k in key_planes]
-    shaped.append(edge_plane.reshape(NB * R_BLK, LANES))
+    shaped = [x.reshape(NB * R_BLK, LANES)
+              for x in (*key_planes, *sum_planes, *or_planes)]
 
-    NP = NK + 2
+    NP = NK + 1 + NS + NO
     out_shape = tuple(
         jax.ShapeDtypeStruct((NB * R_BLK + 1, LANES), jnp.int32)
         for _ in range(NP)) + (
@@ -331,18 +348,18 @@ def segreduce_compact(key_planes, edge_plane, *, interpret=False):
     zero = np.int32(0)
     in_specs = [pl.BlockSpec((R_BLK, LANES), lambda i: (i, zero),
                              memory_space=pltpu.VMEM)
-                for _ in range(NK + 1)]
+                for _ in range(NK + NS + NO)]
     out_specs = tuple(pl.BlockSpec(memory_space=pl.ANY)
                       for _ in range(NP)) + (
         pl.BlockSpec((1,), lambda i: (zero,),
                      memory_space=pltpu.SMEM),)
     outs = pl.pallas_call(
-        _make_kernel(NK, R_BLK),
+        _make_kernel(NK, NS, NO, R_BLK),
         grid=(NB,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((5 + NK,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((4 + NK + NS + NO,), jnp.int32),
                         pltpu.VMEM((NP, 1, LANES), jnp.int32),
                         pltpu.VMEM((NP, R_BLK, LANES), jnp.int32),
                         pltpu.SemaphoreType.DMA(())],
@@ -354,7 +371,16 @@ def segreduce_compact(key_planes, edge_plane, *, interpret=False):
     planes = [o.reshape(-1)[:M] for o in outs[:NP]]
     idx = jnp.arange(M, dtype=jnp.int32)
     live = idx < n
-    okeys = [jnp.where(live, p, _SENT) for p in planes[:NK]]
-    ocovg = jnp.where(live, planes[NK], 0)
-    oedge = jnp.where(live, planes[NK + 1], 0)
-    return okeys, ocovg, oedge, n
+    okeys = [jnp.where(live, x, _SENT) for x in planes[:NK]]
+    zl = lambda x: jnp.where(live, x, 0)
+    count = zl(planes[NK])
+    osums = [zl(x) for x in planes[NK + 1:NK + 1 + NS]]
+    oors = [zl(x) for x in planes[NK + 1 + NS:]]
+    return okeys, count, osums, oors, n
+
+
+def segreduce_compact(key_planes, edge_plane, *, interpret=False):
+    """Back-compat wrapper: covg = run length, edge = OR of the run."""
+    okeys, count, _sums, ors, n = segreduce_compact_multi(
+        tuple(key_planes), (), (edge_plane,), interpret=interpret)
+    return okeys, count, ors[0], n

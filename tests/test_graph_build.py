@@ -259,3 +259,33 @@ def test_pcr_filter_matches_sequential_reference():
     want = ref_pairs()
     for g_, w in zip(got, want):
         np.testing.assert_array_equal(g_, w)
+
+
+def test_build_seqi_pair_aware_pcr(tmp_path):
+    # interleaved PE file: a pair is dropped only when BOTH mates'
+    # start kmers were seen (ref build_graph.c:62)
+    from mccortex_tpu.cli.main import main as mctx
+    from mccortex_tpu.io import ctx as ictx
+    from util import random_dna
+    k = 11
+    r1 = random_dna(40, seed=1500)
+    r2 = random_dna(40, seed=1501)
+    r3 = random_dna(40, seed=1502)
+    fa = str(tmp_path / "i.fa")
+    with open(fa, "w") as f:
+        # pair A, exact duplicate pair A (dropped), half-dup pair (kept)
+        for i, s in enumerate([r1, r2, r1, r2, r1, r3]):
+            f.write(f">p{i}\n{s}\n")
+    ctx = str(tmp_path / "g.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--remove-pcr", "--seqi", fa, ctx]) == 0
+    h, keys, covg, edges = ictx.read_ctx(ctx)
+    # pair (r1, r3): r1 start seen, r3 start not -> pair kept; covg of
+    # r1's kmers is 2 (dup pair removed), r3's kmers present
+    from mccortex_tpu.utils import npkmer as npk
+    kk, _, _ = npk.seq_canonical_keys(r3[:k], k)
+    present = (keys == kk[0]).all(axis=1).any()
+    assert present
+    kk1, _, _ = npk.seq_canonical_keys(r1[:k], k)
+    row = np.nonzero((keys == kk1[0]).all(axis=1))[0]
+    assert covg[row[0], 0] == 2

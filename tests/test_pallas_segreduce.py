@@ -182,3 +182,40 @@ def test_count_batch_fused_k63_two_words():
     np.testing.assert_array_equal(np.asarray(ka)[:n], np.asarray(kb)[:n])
     np.testing.assert_array_equal(np.asarray(ca)[:n], np.asarray(cb)[:n])
     np.testing.assert_array_equal(np.asarray(ea)[:n], np.asarray(eb)[:n])
+
+
+def test_merge_sorted_fused_matches_merge2():
+    import jax.numpy as jnp
+    from mccortex_tpu.graph import build as gb
+    from mccortex_tpu.ops import sorted as sops
+    rng = np.random.default_rng(21)
+
+    def mk(n_live, cap, C, seed):
+        r = np.random.default_rng(seed)
+        keys = np.sort(np.unique(
+            r.integers(0, 1 << 40, n_live).astype(np.uint64)))
+        n_live = keys.shape[0]
+        out_k = np.full((cap, 1), np.uint64(0xFFFFFFFFFFFFFFFF))
+        out_k[:n_live, 0] = keys
+        covg = np.zeros((cap, C), np.uint32)
+        covg[:n_live] = r.integers(1, 100, (n_live, C))
+        edges = np.zeros((cap, C), np.uint8)
+        edges[:n_live] = r.integers(0, 256, (n_live, C))
+        return (jnp.asarray(out_k), jnp.asarray(covg),
+                jnp.asarray(edges))
+
+    for C in (1, 2):
+        ak, ac, ae = mk(700, 1024, C, 100 + C)
+        bk, bc, be = mk(600, 1024, C, 200 + C)
+        mk1, mc1, me1 = gb._merge2(ak, ac, ae, bk, bc, be)
+        mk2, mc2, me2, n2 = gb.merge_sorted_fused(
+            ak, ac, ae, bk, bc, be, interpret=True)
+        k1 = np.asarray(mk1); k2 = np.asarray(mk2)
+        live1 = ~(k1 == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+        live2 = ~(k2 == np.uint64(0xFFFFFFFFFFFFFFFF)).all(axis=1)
+        assert live1.sum() == live2.sum() == int(n2)
+        np.testing.assert_array_equal(k1[live1], k2[live2])
+        np.testing.assert_array_equal(np.asarray(mc1)[live1],
+                                      np.asarray(mc2)[live2])
+        np.testing.assert_array_equal(np.asarray(me1)[live1],
+                                      np.asarray(me2)[live2])
