@@ -27,7 +27,6 @@ for _i, _c in enumerate(b"ACGT"):
 for _i, _c in enumerate(b"acgt"):
     CHAR_TO_BASE[_c] = _i
 
-COMPLEMENT_CHAR = np.frombuffer(b"NNNN", dtype=np.uint8).copy()  # placeholder
 
 
 def nwords(k: int) -> int:

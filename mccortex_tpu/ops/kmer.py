@@ -10,7 +10,8 @@ compare, and the canonical key is min(fwd, revcmp)
 
 All functions are shape-polymorphic over leading batch dims; the word dim W
 is always the trailing axis and is static.  Everything is pure jnp and
-jit-safe; hot paths are also available as Pallas kernels in ops/pallas/.
+jit-safe; the fused build front-end lives in ops/pallas/frontend.py
+(u32-pair kernels) and the aggregation in ops/pallas/segreduce.py.
 """
 
 from __future__ import annotations

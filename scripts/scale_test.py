@@ -1,6 +1,6 @@
 """At-scale smoke+perf run (BASELINE config 1 analog): E.coli-sized
 synthetic genome -> build -> clean -> contigs, timed on the current
-device.  Usage: python scripts/scale_test.py [genome_mb] [coverage]
+device.  Usage: python scripts/scale_test.py [genome_mb] [coverage] [batch]
 """
 
 import json
@@ -42,7 +42,7 @@ def main():
     print(f"genome {gsize/1e6:.1f}Mb, {nreads} reads x {rlen}bp "
           f"({cov:.0f}x, {err*100}% err)", file=sys.stderr)
 
-    B = 2048
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
     t0 = time.perf_counter()
     batches = [(reads[i:i + B], 0) for i in range(0, nreads - B + 1, B)]
     g = gbuild.build(batches, k, ncols=1)
