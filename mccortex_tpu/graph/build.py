@@ -230,7 +230,11 @@ def _searchsorted_right(sorted_keys, queries):
 # Device merge levels above this spill to host numpy: 64-bit compares
 # are native on the host but emulated on TPU, and very large device
 # merges risk the relay execution watchdog.
-SPILL_LEVEL = 1 << 23
+# device merges spill to host numpy above this level.  Raised from 2**23
+# in round 2: merges are now sort + Pallas segreduce (no sort-scratch
+# blowup until ~9e7 records, and adaptive level compaction keeps live
+# sizes small), so E.coli-scale builds stay on-device end to end.
+SPILL_LEVEL = 1 << 25
 
 
 def _to_np(item):
@@ -293,14 +297,24 @@ def build(reads_batches, k: int, ncols: int = 1,
     compares, no device watchdog exposure).
     """
     stack = []  # [(level, keys, covg, edges)] — at most one per level
-    for bases, colour in reads_batches:
-        keys, covg, edges, nu = count_batch_best(
-            jnp.asarray(bases), k, ncols, colour)
-        item = _compact_item(keys, covg, edges, int(nu))
+    pending = None   # 1-deep pipeline: dispatch batch i+1 before the
+    #                  live-count of batch i is fetched, so the ~RPC
+    #                  round-trip of int(nu) overlaps the next epoch
+
+    def fold(item):
         while stack and stack[-1][0] == item[0]:
-            prev = stack.pop()
-            item = _merge_items(item, prev)
+            item = _merge_items(item, stack.pop())
         stack.append(item)
+
+    for bases, colour in reads_batches:
+        out = count_batch_best(jnp.asarray(bases), k, ncols, colour)
+        if pending is not None:
+            keys, covg, edges, nu = pending
+            fold(_compact_item(keys, covg, edges, int(nu)))
+        pending = out
+    if pending is not None:
+        keys, covg, edges, nu = pending
+        fold(_compact_item(keys, covg, edges, int(nu)))
     if not stack:
         return gstore.empty(k, capacity or 1024, ncols)
     item = stack.pop()

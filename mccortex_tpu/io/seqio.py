@@ -200,26 +200,46 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
         import threading
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         SENTINEL = object()
+        stop = threading.Event()
         err = []
 
         def produce():
             try:
                 for item in read_batches_native(
                         paths, batch_size, max_len, colour, prefetch=0):
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:      # surfaced on the consumer
                 err.append(e)
             finally:
-                q.put(SENTINEL)
+                try:
+                    q.put_nowait(SENTINEL)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                yield item
+        finally:
+            # generator abandoned or exhausted: terminate the producer
+            # (a blocked put would otherwise leak the thread + buffers)
+            stop.set()
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5)
         if err:
             raise err[0]
         return
