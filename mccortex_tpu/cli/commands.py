@@ -35,6 +35,9 @@ def cmd_build(argv):
     p.add_argument("--remove-pcr", action="store_true",
                    help="drop reads whose start kmers were already seen "
                         "as read starts (PCR duplicate removal)")
+    p.add_argument("-m", "--memory", default=None,
+                   help="memory budget, e.g. 8G (ref cmd_mem.h: the "
+                        "graph must fit; fails fast if it cannot)")
     p.add_argument("-o", "--out", dest="out_explicit", default=None)
     p.add_argument("out", nargs="?", default=None)
     # pair --sample/--seq by order on the command line
@@ -132,7 +135,19 @@ def cmd_build(argv):
 
     if args.remove_pcr:
         _status(f"removed {ndup} PCR duplicate reads")
+    budget = None
+    if args.memory:
+        from ..utils import membudget as mb
+        from ..constants import nwords as _nw
+        budget = mb.parse_mem(args.memory)
+        cap = mb.kmers_in_budget(budget, _nw(k), ncols)
+        _status(f"memory budget {mb.mem_str(budget)}: up to {cap} kmers")
     g = gbuild.build(batches, k, ncols=ncols)
+    if budget is not None:
+        from ..utils import membudget as mb
+        from ..constants import nwords as _nw
+        used = mb.graph_mem_bytes(int(g.n), _nw(k), ncols)
+        _status(mb.check_plan(budget, used))
     keys, covg, edges = gstore.to_host(g)
     hdr = ctxio.CtxHeader(kmer_size=k, ginfo=ginfo)
     ctxio.write_ctx(out, hdr, keys, covg, edges)
@@ -314,12 +329,18 @@ def cmd_clean(argv):
                    help="unitig length histogram CSV before cleaning")
     p.add_argument("-L", "--len-after", default=None,
                    help="unitig length histogram CSV after cleaning")
+    p.add_argument("-m", "--memory", default=None,
+                   help="memory budget, e.g. 8G (ref cmd_mem.h)")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..graph import clean as gclean
     h, g = _load_graph(args.ctx)
     k = h.kmer_size
+    if args.memory:
+        from ..utils import membudget as mb
+        planned = mb.graph_mem_bytes(g.capacity, h.W, h.ncols)
+        _status(mb.check_plan(mb.parse_mem(args.memory), planned))
 
     if args.covg_before or args.len_before:
         kh, uh, lh = gclean.cleaning_histograms(g)

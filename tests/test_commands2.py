@@ -234,3 +234,34 @@ def test_join_intersect(tmp_path):
     assert len(keys) >= 80 - k + 1
     ha, ka, _, _ = ictx.read_ctx(ca)
     assert len(keys) < len(ka)
+
+
+def test_memory_budget_flag(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from util import random_dna
+    from test_ctx_io import write_fasta
+    import pytest as _pytest
+    k = 11
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, [random_dna(300, seed=1600)])
+    ctx = str(tmp_path / "g.ctx")
+    # generous budget: fine
+    assert mctx(["build", "-k", str(k), "--sample", "s", "-m", "1G",
+                 "--seq", fa, ctx]) == 0
+    # tiny budget: the built graph cannot fit -> hard failure
+    with _pytest.raises(MemoryError):
+        mctx(["build", "-k", str(k), "--sample", "s", "-m", "1K",
+              "--seq", fa, str(tmp_path / "g2.ctx")])
+    # clean honours -m too
+    out = str(tmp_path / "c.ctx")
+    assert mctx(["clean", "--unitigs", "0", "-m", "1G", "-o", out,
+                 ctx]) == 0
+
+
+def test_parse_mem_strings():
+    from mccortex_tpu.utils import membudget as mb
+    assert mb.parse_mem("8G") == 8 << 30
+    assert mb.parse_mem("500M") == 500 << 20
+    assert mb.parse_mem("4GB") == 4 << 30
+    assert mb.parse_mem("1024") == 1024
+    assert mb.kmers_in_budget(13 * 100, 1, 1) == 100
