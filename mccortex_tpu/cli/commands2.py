@@ -578,3 +578,89 @@ register("rmsubstr", cmd_rmsubstr, "remove duplicate/substring seqs")
 register("popbubbles", cmd_popbubbles, "pop simple bubbles")
 register("server", cmd_server, "interactive kmer query server")
 register("uniqkmers", cmd_uniqkmers, "emit unique kmers / flank seqs")
+
+
+# ---------------------------------------------------------------------------
+# exp_abc (hidden; ref ctx_exp_abc.c): traversal-consistency experiment
+# ---------------------------------------------------------------------------
+
+def cmd_exp_abc(argv):
+    """Measures how often `if A->B and A->B->C then B->C` holds
+    (ref ctx_exp_abc.c:14-20): walk from a random node A; take B
+    mid-path and C at the end; re-walk from B and compare against the
+    A-walk's suffix.  Result classes mirror RES_* (ctx_exp_abc.c:52)."""
+    p = argparse.ArgumentParser(prog="mctx exp_abc")
+    p.add_argument("-p", "--paths", action="append", default=[])
+    p.add_argument("-N", "--repeat", type=int, default=2000)
+    p.add_argument("-M", "--max-AB-dist", type=int, dest="maxab",
+                   default=1000)
+    p.add_argument("-P", "--print", dest="print_failed",
+                   action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("ctx")
+    args = p.parse_args(argv)
+    import jax.numpy as jnp
+    from ..links import store as lstore, walk as lwalk
+    from ..utils.text import kmers_to_strings
+    h, g = _load_graph(args.ctx)
+    links = lstore.empty(g.capacity, g.ncols)
+    if args.paths:
+        from ..io import ctp as ctpio
+        links = ctpio.load_link_store(args.paths, g)
+    rng = np.random.default_rng(args.seed)
+    N = args.repeat
+    rows = rng.integers(0, int(g.n), N).astype(np.int32)
+    orients = rng.integers(0, 2, N).astype(np.uint8)
+    cap = min(2 * args.maxab + 2, 4096)
+    st = lwalk.linked_init(g, links, jnp.asarray(rows),
+                           jnp.asarray(orients), cap)
+    st = lwalk.walk_linked(g, links, st, 0, max_steps=cap)
+    pv = np.asarray(st.base.out_vert)
+    pl_ = np.asarray(st.base.out_len)
+    # B at the midpoint of each A-walk
+    res = {"RES_ABC_SUCCESS": 0, "RES_BC_WRONG": 0,
+           "RES_BC_OVERSHOT": 0, "RES_NO_TRAVERSAL": 0,
+           "RES_AB_FAILED": 0}
+    bsel = []
+    for i in range(N):
+        if pl_[i] < 2:
+            res["RES_AB_FAILED"] += 1
+            continue
+        mid = min(args.maxab, int(pl_[i]) // 2)
+        bsel.append((i, mid))
+    if bsel:
+        bi = np.array([v >> 1 for _i, m in bsel
+                       for v in [pv[_i, m - 1]]], np.int32)
+        bo = np.array([v & 1 for _i, m in bsel
+                       for v in [pv[_i, m - 1]]], np.uint8)
+        st2 = lwalk.linked_init(g, links, jnp.asarray(bi),
+                                jnp.asarray(bo), cap)
+        st2 = lwalk.walk_linked(g, links, st2, 0, max_steps=cap)
+        qv = np.asarray(st2.base.out_vert)
+        ql = np.asarray(st2.base.out_len)
+        for j, (i, mid) in enumerate(bsel):
+            want = pv[i, mid:pl_[i]]
+            got = qv[j, :ql[j]]
+            nw_ = len(want)
+            if ql[j] == 0 and nw_ > 0:
+                res["RES_NO_TRAVERSAL"] += 1
+            elif len(got) >= nw_ and (got[:nw_] == want).all():
+                if len(got) > nw_:
+                    res["RES_BC_OVERSHOT"] += 1
+                else:
+                    res["RES_ABC_SUCCESS"] += 1
+            else:
+                res["RES_BC_WRONG"] += 1
+                if args.print_failed:
+                    krow = pv[i, mid - 1] >> 1
+                    ks = kmers_to_strings(
+                        np.asarray(g.keys)[krow:krow + 1], g.k)[0]
+                    print(f">failed_B_{i}\n{ks}")
+    total = max(N, 1)
+    for name, cnt in res.items():
+        _status(f"{name}: {cnt} / {N} ({100.0 * cnt / total:.2f}%)")
+    return 0
+
+
+register("exp_abc", cmd_exp_abc,
+         "traversal consistency experiment (hidden)")

@@ -265,3 +265,25 @@ def test_parse_mem_strings():
     assert mb.parse_mem("4GB") == 4 << 30
     assert mb.parse_mem("1024") == 1024
     assert mb.kmers_in_budget(13 * 100, 1, 1) == 100
+
+
+def test_exp_abc(tmp_path, capsys):
+    from mccortex_tpu.cli.main import main as mctx
+    from util import random_dna
+    from test_ctx_io import write_fasta
+    k = 11
+    genome = random_dna(400, seed=1700)
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, [genome] * 2)
+    ctx = str(tmp_path / "g.ctx")
+    ctp = str(tmp_path / "l.ctp.gz")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--seq", fa, ctx]) == 0
+    assert mctx(["thread", "--seq", fa, "-o", ctp, ctx]) == 0
+    assert mctx(["exp_abc", "-N", "50", "-p", ctp, ctx]) == 0
+    err = capsys.readouterr().err
+    assert "RES_ABC_SUCCESS" in err
+    # a linear genome with links must be highly consistent
+    import re
+    m = re.search(r"RES_ABC_SUCCESS: (\d+) / 50", err)
+    assert m and int(m.group(1)) >= 40
