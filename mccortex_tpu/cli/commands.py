@@ -38,6 +38,12 @@ def cmd_build(argv):
     p.add_argument("-m", "--memory", default=None,
                    help="memory budget, e.g. 8G (ref cmd_mem.h: the "
                         "graph must fit; fails fast if it cannot)")
+    p.add_argument("--keep-pcr", action="store_true",
+                   help="no PCR duplicate removal (default; parity flag "
+                        "with ref ctx_build.c)")
+    p.add_argument("--intersect", default=None,
+                   help="only keep kmers also present in this graph "
+                        "(ref ctx_build.c --intersect)")
     p.add_argument("-o", "--out", dest="out_explicit", default=None)
     p.add_argument("out", nargs="?", default=None)
     # pair --sample/--seq by order on the command line
@@ -133,6 +139,8 @@ def cmd_build(argv):
         _status(f"colour {colour} '{sample}': {nreads} reads, "
                 f"{total_seq} bases")
 
+    if args.keep_pcr and args.remove_pcr:
+        p.error("--keep-pcr conflicts with --remove-pcr")
     if args.remove_pcr:
         _status(f"removed {ndup} PCR duplicate reads")
     budget = None
@@ -143,6 +151,22 @@ def cmd_build(argv):
         cap = mb.kmers_in_budget(budget, _nw(k), ncols)
         _status(f"memory budget {mb.mem_str(budget)}: up to {cap} kmers")
     g = gbuild.build(batches, k, ncols=ncols)
+    if args.intersect:
+        from ..ops import sorted as _sops
+        hi_, ikeys, _ic, _ie = ctxio.read_ctx(args.intersect)
+        if hi_.kmer_size != k:
+            p.error(f"--intersect kmer size {hi_.kmer_size} != {k}")
+        _idx, found = _sops.lookup(jnp.asarray(ikeys), g.keys)
+        live = ~_sops.is_sentinel(g.keys)
+        keep = np.asarray(found) & np.asarray(live)
+        g = gstore.from_records(
+            k, jnp.asarray(np.asarray(g.keys)[keep]),
+            jnp.asarray(np.asarray(g.covg)[keep]),
+            jnp.asarray(np.asarray(g.edges)[keep]))
+        for gi in ginfo:
+            gi.cleaning.is_graph_intersection = True
+            gi.cleaning.intersection_name = args.intersect
+        _status(f"intersected with {args.intersect}: {int(g.n)} kmers")
     if budget is not None:
         from ..utils import membudget as mb
         from ..constants import nwords as _nw

@@ -289,3 +289,28 @@ def test_build_seqi_pair_aware_pcr(tmp_path):
     kk1, _, _ = npk.seq_canonical_keys(r1[:k], k)
     row = np.nonzero((keys == kk1[0]).all(axis=1))[0]
     assert covg[row[0], 0] == 2
+
+
+def test_build_intersect(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from mccortex_tpu.io import ctx as ictx
+    from util import random_dna
+    from test_ctx_io import write_fasta
+    k = 11
+    shared = random_dna(60, seed=1800)
+    a = random_dna(60, seed=1801) + shared
+    b = random_dna(60, seed=1802) + shared
+    fa_a = str(tmp_path / "a.fa"); write_fasta(fa_a, [a])
+    fa_b = str(tmp_path / "b.fa"); write_fasta(fa_b, [b])
+    cb = str(tmp_path / "b.ctx")
+    out = str(tmp_path / "ab.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "b",
+                 "--seq", fa_b, cb]) == 0
+    assert mctx(["build", "-k", str(k), "--sample", "a",
+                 "--intersect", cb, "--seq", fa_a, out]) == 0
+    h, keys, covg, edges = ictx.read_ctx(out)
+    hb, kb, _, _ = ictx.read_ctx(cb)
+    kbs = set(map(tuple, kb.tolist()))
+    assert len(keys) >= 60 - k + 1
+    assert all(tuple(x) in kbs for x in keys.tolist())
+    assert h.ginfo[0].cleaning.is_graph_intersection
