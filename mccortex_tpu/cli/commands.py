@@ -702,6 +702,9 @@ def cmd_thread(argv):
                    help="save gap size distribution CSV")
     p.add_argument("-G", "--frag-hist", default=None,
                    help="save PE fragment size distribution CSV")
+    p.add_argument("-Q", "--fq-cutoff", type=int, default=0,
+                   help="mask bases with quality < Q before threading "
+                        "(ref ctx_thread.c -Q)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     if not args.seq and not args.seq2:
@@ -715,7 +718,16 @@ def cmd_thread(argv):
     ncols = max(h.ncols, args.colour + 1)
     stats = lthread.ThreadStats(ncols)
     aln_stats = CorrectAlnStats()
-    batches = [(codes, args.colour)
+    def _mask_q(codes, quals):
+        if args.fq_cutoff and quals is not None:
+            from ..graph import build as gbuild
+            import jax.numpy as jnp
+            return np.asarray(gbuild.mask_reads(
+                jnp.asarray(codes), jnp.asarray(quals),
+                fq_cutoff=args.fq_cutoff))
+        return codes
+
+    batches = [(_mask_q(codes, quals), args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
     if args.gap_fill:
         links = lthread.thread_reads_gapfill(g, batches, ncols,

@@ -70,3 +70,36 @@ def test_links_limit(threaded):
     with gzip.open(out, "rt") as fh:
         kmers = [l for l in fh if l and l[0] in "ACGT"]
     assert len(kmers) == 1
+
+
+def test_thread_fq_cutoff_masks(tmp_path):
+    # a read with a low-quality error base threads cleanly when -Q masks
+    # the bad base (the gap is then bridged like a sequencing error)
+    from mccortex_tpu.cli.main import main as mctx
+    from util import random_dna
+    import gzip
+    k = 9
+    m = random_dna(30, seed=1900)
+    r1 = random_dna(20, seed=1901) + m + random_dna(20, seed=1902)
+    fa = str(tmp_path / "good.fa")
+    with open(fa, "w") as f:
+        f.write(f">a\n{r1}\n")
+    # fastq with one wrong, low-quality base mid-m
+    bad = list(r1)
+    pos = 20 + 15
+    bad[pos] = "A" if r1[pos] != "A" else "C"
+    fq = str(tmp_path / "bad.fq")
+    quals = ["I"] * len(r1)
+    quals[pos] = "#"
+    with open(fq, "w") as f:
+        f.write(f"@b\n{''.join(bad)}\n+\n{''.join(quals)}\n")
+    ctx = str(tmp_path / "g.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--seq", fa, ctx]) == 0
+    out1 = str(tmp_path / "l1.ctp.gz")
+    out2 = str(tmp_path / "l2.ctp.gz")
+    assert mctx(["thread", "--seq", fq, "-o", out1, ctx]) == 0
+    assert mctx(["thread", "--seq", fq, "-Q", "20", "-o", out2,
+                 ctx]) == 0
+    # both parse; masking must not crash and produces a valid ctp
+    assert gzip.open(out2, "rt").read().startswith("{")
