@@ -13,12 +13,10 @@ allele does not break the exclusive-kmer sets.
 
 from __future__ import annotations
 
-import itertools
 
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import sorted as sops
 from ..ops import hashidx
 from ..graph import store as gstore
 

@@ -17,8 +17,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import kmer as kops
-from ..ops import sorted as sops
 from . import store as gstore
 
 

@@ -21,7 +21,6 @@ from flax import struct
 
 from ..constants import CHAR_TO_BASE
 from ..ops import kmer as kops
-from ..ops import sorted as sops
 from ..ops import hashidx
 from . import store as gstore
 

@@ -6,13 +6,11 @@ clear any edge bits that point at deleted kmers (in every colour).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import kmer as kops
 from ..ops import sorted as sops
 from . import store as gstore
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..constants import nwords, check_k
-from ..ops import kmer as kops
 from ..ops import sorted as sops
 
 

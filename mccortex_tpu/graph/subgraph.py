@@ -9,7 +9,6 @@ marked kmer at once (dist iterations of vector ops).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

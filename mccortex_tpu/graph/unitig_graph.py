@@ -12,7 +12,6 @@ import jax.numpy as jnp
 
 from ..constants import CHAR_TO_BASE
 from ..ops import kmer as kops
-from ..ops import sorted as sops
 from . import store as gstore
 from . import edges as E
 

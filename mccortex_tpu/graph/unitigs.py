@@ -14,7 +14,6 @@ db_unitig.c:100-120).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax

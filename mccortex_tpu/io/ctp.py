@@ -23,7 +23,6 @@ from __future__ import annotations
 import gzip
 import json
 import os
-import sys
 import time
 
 import numpy as np

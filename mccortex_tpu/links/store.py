@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops import kmer as kops
-from ..ops import sorted as sops
 
 
 @struct.dataclass

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import kmer as kops
-from ..ops import sorted as sops
 from ..graph import edges as E
 from ..graph import store as gstore
 from . import store as lstore

@@ -18,7 +18,6 @@ unlikely at 2x mean).
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
