@@ -14,7 +14,7 @@ import sys
 
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "libmctxio.so")
-_SRC = os.path.join(_DIR, "seqio.cpp")
+_SRCS = [os.path.join(_DIR, f) for f in ("seqio.cpp", "merge.cpp")]
 
 _lib = None
 _tried = False
@@ -23,10 +23,11 @@ _tried = False
 def build(force: bool = False) -> bool:
     """Compile the native library.  Returns True on success."""
     if os.path.exists(_SO) and not force and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+            all(os.path.getmtime(_SO) >= os.path.getmtime(src)
+                for src in _SRCS):
         return True
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           _SRC, "-o", _SO, "-lz"]
+           *_SRCS, "-o", _SO, "-lz"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True,
                            timeout=120)

@@ -314,3 +314,42 @@ def test_build_intersect(tmp_path):
     assert len(keys) >= 60 - k + 1
     assert all(tuple(x) in kbs for x in keys.tolist())
     assert h.ginfo[0].cleaning.is_graph_intersection
+
+
+def test_native_merge_matches_numpy():
+    from mccortex_tpu.graph import build as gb
+    from mccortex_tpu.ops import sorted as sops
+    rng = np.random.default_rng(31)
+
+    def mk(n_live, cap, C, seed):
+        r = np.random.default_rng(seed)
+        keys = np.sort(np.unique(
+            r.integers(0, 1 << 44, n_live).astype(np.uint64)))
+        n_live = keys.shape[0]
+        out_k = np.full((cap, 1), np.uint64(0xFFFFFFFFFFFFFFFF))
+        out_k[:n_live, 0] = keys
+        covg = np.zeros((cap, C), np.uint32)
+        covg[:n_live] = r.integers(1, 1 << 30, (n_live, C))
+        edges = np.zeros((cap, C), np.uint8)
+        edges[:n_live] = r.integers(0, 256, (n_live, C))
+        return out_k, covg, edges
+
+    for C in (1, 3):
+        a = mk(900, 1200, C, 300 + C)
+        b = mk(700, 1200, C, 400 + C)
+        nat = gb._merge2_native(*a, *b)
+        assert nat is not None
+        # numpy reference path (bypass the native shortcut)
+        import unittest.mock as mock
+        with mock.patch.object(gb, "_merge2_native",
+                               lambda *args: None):
+            ref = gb._merge2_np(*a, *b)
+        for x, y in zip(nat, ref):
+            np.testing.assert_array_equal(x, y)
+    # covg saturation at u32 max
+    a = mk(10, 16, 1, 500)
+    b = (a[0].copy(), a[1].copy(), a[2].copy())
+    a[1][:10] = 0xFFFFFFF0
+    b[1][:10] = 0x20
+    nat = gb._merge2_native(*a, *b)
+    assert (nat[1][:10] == 0xFFFFFFFF).all()
