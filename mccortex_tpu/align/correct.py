@@ -184,6 +184,8 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   frag_len_min: int = FRAG_LEN_MIN,
                   frag_len_max: int = FRAG_LEN_MAX,
                   one_way: bool = True,
+                  gap_variance: float = GAP_VARIANCE,
+                  gap_wiggle: float = GAP_WIGGLE,
                   aln_stats: CorrectAlnStats | None = None):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
     for reads with no aligned kmer).
@@ -233,7 +235,7 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
             is_ins = mate_col is not None and l < mate_col <= r
             if is_ins:
                 ge = max(0, n - k)
-                wig = int(ge * GAP_VARIANCE + GAP_WIGGLE)
+                wig = int(ge * gap_variance + gap_wiggle)
                 adj_min = frag_len_min - int(sum_bases[b]) + k - 1
                 adj_max = frag_len_max - int(sum_bases[b]) + k - 1
                 lo_l = ge - wig + adj_min
@@ -241,7 +243,7 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                 aln_stats.num_ins_gaps += 1
             else:
                 ge = n
-                wig = int(ge * GAP_VARIANCE + GAP_WIGGLE)
+                wig = int(ge * gap_variance + gap_wiggle)
                 lo_l = ge - wig
                 hi_l = ge + wig
                 aln_stats.num_mid_gaps += 1

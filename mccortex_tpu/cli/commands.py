@@ -705,6 +705,11 @@ def cmd_thread(argv):
     p.add_argument("-Q", "--fq-cutoff", type=int, default=0,
                    help="mask bases with quality < Q before threading "
                         "(ref ctx_thread.c -Q)")
+    p.add_argument("-d", "--gap-diff-const", type=float, default=5,
+                   help="allowable gap: |exp-seen| <= exp*D + d "
+                        "(ref ctx_thread.c -d)")
+    p.add_argument("-D", "--gap-diff-coeff", type=float, default=0.1,
+                   help="gap tolerance coefficient (ref -D)")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     if not args.seq and not args.seq2:
@@ -730,10 +735,10 @@ def cmd_thread(argv):
     batches = [(_mask_q(codes, quals), args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
     if args.gap_fill:
-        links = lthread.thread_reads_gapfill(g, batches, ncols,
-                                             stats=stats,
-                                             one_way=args.one_way,
-                                             aln_stats=aln_stats)
+        links = lthread.thread_reads_gapfill(
+            g, batches, ncols, stats=stats, one_way=args.one_way,
+            gap_variance=args.gap_diff_coeff,
+            gap_wiggle=args.gap_diff_const, aln_stats=aln_stats)
     elif batches:
         links = lthread.thread_reads(g, batches, ncols, stats=stats)
     else:

@@ -245,6 +245,10 @@ def cmd_correct(argv):
                    help="save gap size distribution CSV")
     p.add_argument("-G", "--frag-hist", default=None,
                    help="save PE fragment size distribution CSV")
+    p.add_argument("-d", "--gap-diff-const", type=float, default=5,
+                   help="allowable gap: |exp-seen| <= exp*D + d")
+    p.add_argument("-D", "--gap-diff-coeff", type=float, default=0.1,
+                   help="gap tolerance coefficient")
     p.add_argument("ctx")
     args = p.parse_args(argv)
     from ..align import correct as acorrect
@@ -268,10 +272,11 @@ def cmd_correct(argv):
             for i, s in enumerate(seqs):
                 arr[i, :len(s)] = CHAR_TO_BASE[
                     np.frombuffer(s.encode(), np.uint8)]
-            res = acorrect.correct_batch(g, links, arr,
-                                         colour=args.colour,
-                                         one_way=args.one_way,
-                                         aln_stats=aln_stats)
+            res = acorrect.correct_batch(
+                g, links, arr, colour=args.colour,
+                one_way=args.one_way,
+                gap_variance=args.gap_diff_coeff,
+                gap_wiggle=args.gap_diff_const, aln_stats=aln_stats)
             for name, cr in zip(names, res):
                 out.write(f">{name}\n{cr.display}\n")
                 nreads += 1

@@ -248,6 +248,8 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
 def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                          links_prev=None, edge_colour: int = 0,
                          stats=None, one_way: bool = True,
+                         gap_variance: float = 0.1,
+                         gap_wiggle: float = 5,
                          aln_stats=None):
     """Threading with gap filling: bridge read gaps through the graph
     first (ref generate_paths.c uses correct_alignment), then extract
@@ -258,6 +260,8 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
         corrected = acorrect.correct_batch(g, links_prev, bases,
                                            colour=edge_colour,
                                            one_way=one_way,
+                                           gap_variance=gap_variance,
+                                           gap_wiggle=gap_wiggle,
                                            aln_stats=aln_stats)
         # re-pack bridged paths into arrays
         paths = [c.verts for c in corrected if len(c.verts)]
