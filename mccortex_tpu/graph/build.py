@@ -422,11 +422,20 @@ def merge_sorted_fused(ak, ac, ae, bk, bc, be, interpret: bool = False):
     segment-sum pipeline, whose element-granular scatters dominate
     end-to-end build wall-clock at genome scale (they are ~25x slower
     than sort+kernel at the same record count on v5e)."""
+    return reduce_records_fused(
+        jnp.concatenate([ak, bk]), jnp.concatenate([ac, bc]),
+        jnp.concatenate([ae, be]), interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reduce_records_fused(keys, covg, edges, interpret: bool = False):
+    """Sort + aggregate one unaggregated record array on the Pallas
+    kernel: (keys (M,W), covg (M,C), edges (M,C)) -> same shapes,
+    sorted unique records at the front + live count.  The device
+    replacement for sops.sort_by_key + unique_reduce everywhere a store
+    is (re)built (graph/store.from_records / merge_records)."""
     from ..ops.pallas import segreduce as _sr
 
-    keys = jnp.concatenate([ak, bk])
-    covg = jnp.concatenate([ac, bc])
-    edges = jnp.concatenate([ae, be])
     M, W = keys.shape
     C = covg.shape[1]
     bc_ = jax.lax.bitcast_convert_type

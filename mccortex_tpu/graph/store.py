@@ -64,10 +64,36 @@ def from_records(k: int, keys: jnp.ndarray, covg: jnp.ndarray,
     """
     N = keys.shape[0]
     capacity = capacity or N
-    skeys, scovg, sedges = sops.sort_by_key(keys, covg, edges)
-    okeys, ocovg, oedges, n = sops.unique_reduce(skeys, scovg, sedges, capacity)
+    okeys, ocovg, oedges, n = _reduce_records_best(keys, covg, edges,
+                                                   capacity)
     return DBGraph(keys=okeys, covg=ocovg, edges=oedges,
                    n=n.astype(jnp.int64), k=k)
+
+
+def _reduce_records_best(keys, covg, edges, capacity: int):
+    """sort+aggregate records: the Pallas fused path on TPU (the XLA
+    scatter reduce is element-latency-bound; see ops/pallas/segreduce),
+    the XLA path on CPU or under an outer jit."""
+    import jax.core as _core
+    traced = any(isinstance(x, _core.Tracer) for x in (keys, covg, edges))
+    if traced or jax.default_backend() == "cpu":
+        skeys, scovg, sedges = sops.sort_by_key(keys, covg, edges)
+        return sops.unique_reduce(skeys, scovg, sedges, capacity)
+    from . import build as _gb
+    ok, oc, oe, n = _gb.reduce_records_fused(
+        keys, covg.astype(jnp.uint32), edges)
+    N = keys.shape[0]
+    if capacity == N:
+        return ok, oc.astype(covg.dtype), oe, n
+    if capacity > N:
+        pad = capacity - N
+        W, C = keys.shape[1], covg.shape[1]
+        ok = jnp.concatenate([ok, sops.sentinel((pad,), W)])
+        oc = jnp.concatenate([oc, jnp.zeros((pad, C), oc.dtype)])
+        oe = jnp.concatenate([oe, jnp.zeros((pad, C), oe.dtype)])
+        return ok, oc.astype(covg.dtype), oe, n
+    return (ok[:capacity], oc[:capacity].astype(covg.dtype),
+            oe[:capacity], n)
 
 
 def lookup(g: DBGraph, query_keys: jnp.ndarray):
@@ -89,18 +115,17 @@ def lookup(g: DBGraph, query_keys: jnp.ndarray):
     return hashidx.lookup(g.keys, query_keys)
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
 def merge_records(g: DBGraph, keys: jnp.ndarray, covg: jnp.ndarray,
                   edges: jnp.ndarray, capacity: int | None = None) -> DBGraph:
     """Merge unaggregated records into the store (find-or-insert epoch,
     replacing ref hash_table_find_or_insert_mt).  Returns a new store of
-    `capacity` (default: same as g)."""
+    `capacity` (default: same as g).  NOT jitted so host-level calls
+    take the Pallas fused reduce on TPU (see _reduce_records_best)."""
     cap = capacity or g.capacity
     allk = jnp.concatenate([g.keys, keys], axis=0)
     allc = jnp.concatenate([g.covg, covg.astype(jnp.uint32)], axis=0)
     alle = jnp.concatenate([g.edges, edges], axis=0)
-    skeys, scovg, sedges = sops.sort_by_key(allk, allc, alle)
-    okeys, ocovg, oedges, n = sops.unique_reduce(skeys, scovg, sedges, cap)
+    okeys, ocovg, oedges, n = _reduce_records_best(allk, allc, alle, cap)
     return DBGraph(keys=okeys, covg=ocovg, edges=oedges,
                    n=n.astype(jnp.int64), k=g.k)
 
