@@ -186,7 +186,8 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   one_way: bool = True,
                   gap_variance: float = GAP_VARIANCE,
                   gap_wiggle: float = GAP_WIGGLE,
-                  aln_stats: CorrectAlnStats | None = None):
+                  aln_stats: CorrectAlnStats | None = None,
+                  _return_parts: bool = False):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
     for reads with no aligned kmer).
 
@@ -334,61 +335,134 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
         jnp.asarray(orient.reshape(-1).astype(np.uint8)), k))
     basechars = np.array(list("ACGT"))
     lastb = basechars[(okm_all[:, -1] & 3).astype(int)].reshape(B, P)
-    from ..utils.text import kmers_to_strings
+    if _return_parts:
+        return idx, orient, runs_by_read, fills, lastb, okm_all, P
     out = []
     for b in range(B):
-        runs = runs_by_read[b]
-        if not runs:
-            raw = _codes_to_str(bases[b])
-            out.append(CorrectedRead(np.zeros(0, np.int64), raw,
-                                     raw.lower(), 0, 0))
-            continue
-        verts_out = []
-        seq_parts = []
-        disp_parts = []
-        ngaps = nfixed = 0
-        s0 = runs[0][0]
-        lead = _codes_to_str(bases[b][:s0])
-        first_kmer = kmers_to_strings(
-            okm_all[b * P + s0][None], k)[0]
-        seq_parts.append(first_kmer)
-        disp_parts.append(lead.lower() + first_kmer)
-        verts_out.append([idx[b, s0] * 2 + orient[b, s0]])
-        for ri, (s, e) in enumerate(runs):
-            if ri > 0:
-                ngaps += 1
-                fill = fills.get((b, runs[ri - 1][1]))
-                if fill is not None:
-                    nfixed += 1
-                    fv, fb = fill
-                    fseq = "".join("ACGT"[x] for x in fb)
-                    seq_parts.append(fseq)
-                    disp_parts.append(fseq)
-                    verts_out.append(fv.tolist())
-                else:
-                    gap_seq = _codes_to_str(
-                        bases[b][runs[ri - 1][1] + k: s + k - 1])
-                    seq_parts.append(gap_seq)
-                    disp_parts.append(gap_seq.lower())
-                    verts_out.append([-1] * len(gap_seq))
-            rng = range(s + 1, e + 1) if ri == 0 else range(s, e + 1)
-            if ri > 0 and fills.get((b, runs[ri - 1][1])) is not None:
-                # the fill ends just before the right anchor; include it
-                rng = range(s, e + 1)
-            rb = "".join(lastb[b, i] for i in rng)
-            verts_out.append(
-                [idx[b, i] * 2 + orient[b, i] for i in rng])
-            seq_parts.append(rb)
-            disp_parts.append(rb)
-        e_last = runs[-1][1]
-        tail = _codes_to_str(bases[b][e_last + k:])
-        disp_parts.append(tail.lower())
-        seq = "".join(seq_parts)
-        disp = "".join(disp_parts)
-        verts = np.array([v for sub in verts_out for v in sub], np.int64)
-        aln_stats.add_contig(len(seq))
-        out.append(CorrectedRead(verts, seq, disp, ngaps, nfixed))
+        out.append(_splice_read(g, k, bases[b], runs_by_read[b], fills,
+                                idx, orient, lastb, okm_all, b, P,
+                                aln_stats))
     return out
+
+
+def _splice_read(g, k, bases_row, runs, fills, idx, orient, lastb,
+                 okm_all, b, P, aln_stats, p_lo=0, p_hi=None,
+                 col_lo=0, col_hi=None):
+    """Assemble the corrected sequence/display for kmer positions in
+    [p_lo, p_hi) and base columns [col_lo, col_hi) of row b.  The
+    default range covers the whole row; correct_pairs restricts it per
+    mate (gaps spanning the range boundary — the PE insert — are
+    excluded from the output)."""
+    from ..utils.text import kmers_to_strings
+    if p_hi is None:
+        p_hi = P
+    if col_hi is None:
+        col_hi = len(bases_row)
+    runs = [(max(s, p_lo), min(e, p_hi - 1)) for s, e in runs
+            if e >= p_lo and s < p_hi]
+    if not runs:
+        raw = _codes_to_str(bases_row[col_lo:col_hi])
+        return CorrectedRead(np.zeros(0, np.int64), raw, raw.lower(),
+                             0, 0)
+    verts_out = []
+    seq_parts = []
+    disp_parts = []
+    ngaps = nfixed = 0
+    s0 = runs[0][0]
+    lead = _codes_to_str(bases_row[col_lo:s0])
+    first_kmer = kmers_to_strings(okm_all[b * P + s0][None], k)[0]
+    seq_parts.append(first_kmer)
+    disp_parts.append(lead.lower() + first_kmer)
+    verts_out.append([idx[b, s0] * 2 + orient[b, s0]])
+    for ri, (s, e) in enumerate(runs):
+        if ri > 0:
+            ngaps += 1
+            fill = fills.get((b, runs[ri - 1][1]))
+            if fill is not None:
+                nfixed += 1
+                fv, fb = fill
+                fseq = "".join("ACGT"[x] for x in fb)
+                seq_parts.append(fseq)
+                disp_parts.append(fseq)
+                verts_out.append(fv.tolist())
+            else:
+                gap_seq = _codes_to_str(
+                    bases_row[runs[ri - 1][1] + k: s + k - 1])
+                seq_parts.append(gap_seq)
+                disp_parts.append(gap_seq.lower())
+                verts_out.append([-1] * len(gap_seq))
+        rng = range(s + 1, e + 1) if ri == 0 else range(s, e + 1)
+        if ri > 0 and fills.get((b, runs[ri - 1][1])) is not None:
+            # the fill ends just before the right anchor; include it
+            rng = range(s, e + 1)
+        rb = "".join(lastb[b, i] for i in rng)
+        verts_out.append(
+            [idx[b, i] * 2 + orient[b, i] for i in rng])
+        seq_parts.append(rb)
+        disp_parts.append(rb)
+    e_last = runs[-1][1]
+    tail = _codes_to_str(bases_row[e_last + k:col_hi])
+    disp_parts.append(tail.lower())
+    seq = "".join(seq_parts)
+    disp = "".join(disp_parts)
+    verts = np.array([v for sub in verts_out for v in sub], np.int64)
+    aln_stats.add_contig(len(seq))
+    return CorrectedRead(verts, seq, disp, ngaps, nfixed)
+
+
+def correct_pairs(g: gstore.DBGraph, links, codes1: np.ndarray,
+                  codes2: np.ndarray, colour: int | None = 0,
+                  frag_len_min: int = FRAG_LEN_MIN,
+                  frag_len_max: int = FRAG_LEN_MAX,
+                  one_way: bool = True,
+                  aln_stats: CorrectAlnStats | None = None):
+    """Paired-end correction (ref ctx_correct --seq2): mates are laid
+    out as one fragment row (r1 + break + revcmp(r2)) so gap bridging
+    can use pair context across the insert, then each mate's corrected
+    sequence is spliced back out of its own half (the insert bridge is
+    used for anchoring but not emitted).  Returns (mates1, mates2) with
+    mate 2 restored to its original (reverse-strand) orientation."""
+    from ..utils.dna import revcomp
+    rows, mate_col = lthread.pair_to_rows(codes1, codes2)
+    if aln_stats is None:
+        aln_stats = CorrectAlnStats()
+    # run the shared alignment+fill machinery, then re-splice per mate
+    res = correct_batch(g, links, rows, colour=colour,
+                        mate_col=mate_col, frag_len_min=frag_len_min,
+                        frag_len_max=frag_len_max, one_way=one_way,
+                        aln_stats=aln_stats, _return_parts=True)
+    idx, orient, runs_by_read, fills, lastb, okm_all, P = res
+    B = rows.shape[0]
+    k = g.k
+    out1, out2 = [], []
+    for b in range(B):
+        runs = runs_by_read[b]
+        r1 = _splice_read(g, k, rows[b], runs, fills, idx, orient,
+                          lastb, okm_all, b, P, aln_stats,
+                          p_lo=0, p_hi=mate_col - k + 1,
+                          col_lo=0, col_hi=mate_col)
+        r2f = _splice_read(g, k, rows[b], runs, fills, idx, orient,
+                           lastb, okm_all, b, P, aln_stats,
+                           p_lo=mate_col + 1, p_hi=P,
+                           col_lo=mate_col + 1, col_hi=len(rows[b]))
+        out1.append(r1)
+        # mate 2 was reverse-complemented into the row; restore
+        v2 = r2f.verts[::-1].copy()
+        v2[v2 >= 0] ^= 1
+        out2.append(CorrectedRead(
+            verts=v2, seq=revcomp(r2f.seq),
+            display=_rc_display(r2f.display),
+            ngaps=r2f.ngaps, nfixed=r2f.nfixed))
+    return out1, out2
+
+
+def _rc_display(disp: str) -> str:
+    """Reverse-complement a display string, preserving per-base case."""
+    from ..utils.dna import revcomp
+    rc = revcomp(disp.upper())
+    cases = [c.islower() for c in disp][::-1]
+    return "".join(ch.lower() if lo else ch
+                   for ch, lo in zip(rc, cases))
 
 
 def _codes_to_str(codes):

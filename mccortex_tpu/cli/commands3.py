@@ -231,7 +231,13 @@ register("vcfgeno", cmd_vcfgeno, "genotype VCF from kmer coverage")
 
 def cmd_correct(argv):
     p = argparse.ArgumentParser(prog="mctx correct")
-    p.add_argument("--seq", action="append", required=True)
+    p.add_argument("--seq", action="append", default=[])
+    p.add_argument("-2", "--seq2", action="append", nargs=2, default=[],
+                   metavar=("R1", "R2"),
+                   help="paired-end inputs: mates corrected with pair "
+                        "context across the insert (ref ctx_correct)")
+    p.add_argument("-l", "--min-frag-len", type=int, default=0)
+    p.add_argument("-L", "--max-frag-len", type=int, default=1000)
     p.add_argument("-p", "--paths", action="append", default=[])
     p.add_argument("-o", "--out", required=True, help="output FASTA")
     p.add_argument("--colour", type=int, default=0)
@@ -251,6 +257,8 @@ def cmd_correct(argv):
                    help="gap tolerance coefficient")
     p.add_argument("ctx")
     args = p.parse_args(argv)
+    if not args.seq and not args.seq2:
+        p.error("at least one --seq/--seq2 required")
     from ..align import correct as acorrect
     from ..io import ctp as ctpio
     from ..io import seqio
@@ -282,6 +290,19 @@ def cmd_correct(argv):
                 nreads += 1
                 ngaps += cr.ngaps
                 nfixed += cr.nfixed
+        for r1, r2 in args.seq2:
+            for c1, c2, _ in seqio.read_batches_pe(r1, r2):
+                m1, m2 = acorrect.correct_pairs(
+                    g, links, c1, c2, colour=args.colour,
+                    frag_len_min=args.min_frag_len,
+                    frag_len_max=args.max_frag_len,
+                    one_way=args.one_way, aln_stats=aln_stats)
+                for i, (a, b) in enumerate(zip(m1, m2)):
+                    out.write(f">pair{nreads}/1\n{a.display}\n")
+                    out.write(f">pair{nreads}/2\n{b.display}\n")
+                    nreads += 1
+                    ngaps += a.ngaps + b.ngaps
+                    nfixed += a.nfixed + b.nfixed
     _status(f"corrected {nreads} reads: {nfixed}/{ngaps} gaps bridged")
     if aln_stats.num_gap_attempts:
         _status("[CorrectAln] " + aln_stats.summary())

@@ -188,3 +188,48 @@ def test_cli_thread_two_way_and_hists(tmp_path):
     total = sum(int(x) for ln in lines[1:]
                 for x in ln.split("\t")[1:])
     assert total == 1
+
+
+def test_correct_pairs_fixes_both_mates():
+    from util import seq_to_codes, revcomp_str
+    k = 11
+    genome = random_dna(260, seed=2000)
+    g = build_g([(genome, 0)] * 2, k)
+    r1 = genome[:80]
+    r2raw = revcomp_str(genome[160:240])
+    # one substitution in each mate
+    b1 = _alt(r1[40]); r1e = r1[:40] + b1 + r1[41:]
+    b2 = _alt(r2raw[30]); r2e = r2raw[:30] + b2 + r2raw[31:]
+    c1 = seq_to_codes(r1e)[None]
+    c2 = seq_to_codes(r2e)[None]
+    m1, m2 = AC.correct_pairs(g, None, c1, c2, frag_len_max=400)
+    assert m1[0].seq == r1
+    assert m2[0].seq == r2raw
+    assert m1[0].nfixed >= 1 and m2[0].nfixed >= 1
+    # mate lengths preserved; display uppercase where corrected
+    assert len(m1[0].display) == len(r1)
+    assert len(m2[0].display) == len(r2raw)
+
+
+def test_cli_correct_seq2(tmp_path):
+    from mccortex_tpu.cli.main import main as mctx
+    from test_ctx_io import write_fasta
+    from util import revcomp_str
+    k = 11
+    genome = random_dna(260, seed=2100)
+    fa = str(tmp_path / "good.fa")
+    write_fasta(fa, [genome] * 2)
+    ctx = str(tmp_path / "g.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--seq", fa, ctx]) == 0
+    r1 = genome[:80]
+    r2 = revcomp_str(genome[160:240])
+    r1e = r1[:40] + _alt(r1[40]) + r1[41:]
+    fa1 = str(tmp_path / "r1.fa"); write_fasta(fa1, [r1e])
+    fa2 = str(tmp_path / "r2.fa"); write_fasta(fa2, [r2])
+    out = str(tmp_path / "fixed.fa")
+    assert mctx(["correct", "--seq2", fa1, fa2, "-o", out,
+                 "-L", "400", ctx]) == 0
+    seqs = [l.strip() for l in open(out) if not l.startswith(">")]
+    assert seqs[0] == r1            # mate 1 corrected
+    assert seqs[1].upper() == r2    # mate 2 unchanged content
