@@ -82,3 +82,27 @@ def test_check_with_links(tmp_path, capsys):
     from mccortex_tpu.cli.main import main as mctx
     ctx, ctp, _ = _setup(tmp_path)
     assert mctx(["check", "-p", ctp, ctx]) == 0
+
+
+def test_disk_reader_k63_two_words(tmp_path):
+    # multi-word keys: memcmp order of big-endian void rows must equal
+    # multiword lexicographic key order
+    from mccortex_tpu.cli.main import main as mctx
+    from mccortex_tpu.io import ctx as ictx
+    from util import random_dna
+    from test_ctx_io import write_fasta
+    k = 63
+    fa = str(tmp_path / "r.fa")
+    write_fasta(fa, [random_dna(400, seed=2200)])
+    ctx = str(tmp_path / "g.ctx")
+    assert mctx(["build", "-k", str(k), "--sample", "s",
+                 "--seq", fa, ctx]) == 0
+    assert mctx(["index", ctx]) == 0
+    h, keys, covg, edges = ictx.read_ctx(ctx)
+    assert keys.shape[1] == 2
+    dg = ictx.DiskGraphReader(ctx)
+    rng = np.random.default_rng(4)
+    for i in rng.integers(0, len(keys), 12):
+        hit = dg.lookup(keys[int(i)])
+        assert hit is not None and hit[0] == int(i)
+    dg.close()
