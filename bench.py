@@ -40,8 +40,46 @@ import numpy as np
 CPU_BASELINE_KMERS_PER_S = 4.0e6  # mccortex hash insert, 1 core (see above)
 
 
+def _wait_for_backend(max_wait_s=360.0):
+    """Retry jax backend init with backoff (the axon tunnel can take a
+    while to hand out a TPU lease, and a transient init failure is
+    cached by jax — clear it between attempts).  Returns the device
+    list, or raises the last error after max_wait_s."""
+    import jax
+
+    t0 = time.monotonic()
+    delay = 5.0
+    while True:
+        try:
+            devs = jax.devices()
+            print("bench: backend up: %s" % (devs[0].platform,),
+                  file=sys.stderr)
+            return devs
+        except RuntimeError as e:
+            waited = time.monotonic() - t0
+            if waited > max_wait_s:
+                raise
+            print("bench: backend init failed (%.0fs in), retrying in "
+                  "%.0fs: %s" % (waited, delay, str(e)[:200]),
+                  file=sys.stderr)
+            # jax caches the failed init; drop it so the retry is real
+            from jax._src import xla_bridge as xb
+            try:
+                xb._clear_backends()
+            except Exception:
+                pass
+            try:
+                xb._backend_errors.clear()
+            except Exception:
+                pass
+            time.sleep(delay)
+            delay = min(delay * 1.7, 45.0)
+
+
 def main():
     import jax
+
+    _wait_for_backend()
     import jax.numpy as jnp
     import mccortex_tpu  # noqa: F401
     from mccortex_tpu.graph.build import (count_batch_best,
@@ -178,4 +216,16 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # never emit a bare traceback: one JSON line
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "build_kmers_per_s_per_chip",
+            "value": 0,
+            "unit": "kmers/s",
+            "vs_baseline": 0.0,
+            "error": "%s: %s" % (type(e).__name__, str(e)[:500]),
+        }))
+        sys.exit(1)

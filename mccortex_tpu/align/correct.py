@@ -76,6 +76,8 @@ class CorrectAlnStats:
     num_end_gaps: int = 0          # read-end extension gaps: not traversed
     num_end_traversed: int = 0
     num_missing_edges: int = 0
+    num_link_drops: int = 0        # link pickups dropped (bounded CMAX
+    #                                slots; ref lists are unbounded)
 
     def update(self, traversed: bool, too_short: bool = False):
         self.num_gap_attempts += 1
@@ -126,7 +128,9 @@ class CorrectAlnStats:
                 f"({100.0 * self.num_gap_successes / a:.1f}%), "
                 f"too short {self.num_gaps_too_short}; "
                 f"mid {self.num_mid_traversed}/{self.num_mid_gaps}, "
-                f"insert {self.num_ins_traversed}/{self.num_ins_gaps}")
+                f"insert {self.num_ins_traversed}/{self.num_ins_gaps}"
+                + (f"; link pickups dropped {self.num_link_drops}"
+                   if self.num_link_drops else ""))
 
 
 @dataclasses.dataclass
@@ -261,8 +265,11 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
         st = lwalk.linked_init(g, links, jnp.asarray(seed_rows),
                                jnp.asarray(seed_or), max_steps,
                                ctpcol=ctpcol)
+        from ..graph import adjacency as adjmod
         st = lwalk.walk_linked(g, links, st, colour, max_steps=max_steps,
-                               ctpcol=ctpcol)
+                               ctpcol=ctpcol,
+                               adj=adjmod.get_adjacency(g))
+        aln_stats.num_link_drops += lwalk.report_drops(st, "correct")
         wverts = np.asarray(st.base.out_vert)
         wlens = np.asarray(st.base.out_len)
         for gi, (b, l, r) in enumerate(gaps):

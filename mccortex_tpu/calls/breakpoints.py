@@ -119,13 +119,17 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
                            jnp.asarray(meta[:, 1].astype(np.uint8)),
                            jnp.asarray(meta[:, 2].astype(np.int32)))
     outs = {}
+    from ..graph import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)  # one row gather per step, not log2(N)
     for c in set(meta[:, 2].tolist()):
         sel = np.nonzero(meta[:, 2] == c)[0]
         sub = _take_walkers(st, sel)
         sub = lwalk.walk_linked(g, links, sub, int(c),
                                 max_steps=max_steps,
                                 ctpcol=min(int(c),
-                                           links.nseen.shape[1] - 1))
+                                           links.nseen.shape[1] - 1),
+                                adj=adj)
+        lwalk.report_drops(sub, "breakpoints")
         outs[c] = (sel, sub)
 
     vert_paths = np.full((B, max_steps), -1, np.int32)

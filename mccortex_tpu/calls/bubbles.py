@@ -105,13 +105,17 @@ def _branch_walks(g, links, fork_verts, max_allele, ncols):
     # with colour=None but mask candidates by covg of that colour via the
     # generic walk (we run one walk per colour group to keep colours static)
     out = []
+    from ..graph import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)  # one row gather per step, not log2(N)
     for c in range(C):
         sel = np.nonzero(meta[:, 2] == c)[0]
         if len(sel) == 0:
             continue
         sub = _take_walkers(st, sel)
         sub = lwalk.walk_linked(g, links, sub, c, max_steps=max_allele,
-                                ctpcol=min(c, links.nseen.shape[1] - 1))
+                                ctpcol=min(c, links.nseen.shape[1] - 1),
+                                adj=adj)
+        lwalk.report_drops(sub, "bubbles")
         out.append((sel, sub))
     return meta, out, B
 

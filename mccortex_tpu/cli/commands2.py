@@ -513,7 +513,7 @@ def cmd_server(argv):
                 juncs = "".join(
                     "ACGT"[int(np.asarray(lstore.unpack_junc(
                         links.seq[jnp.asarray([lid])],
-                        jnp.asarray([j]))))]
+                        jnp.asarray([j]))).reshape(-1)[0])]
                     for j in range(int(nj[lid])))
                 out.append({"forward": o == 0, "juncs": juncs,
                             "colours": [int(x) for x in nseen[lid]]})
@@ -615,6 +615,7 @@ def cmd_exp_abc(argv):
     st = lwalk.linked_init(g, links, jnp.asarray(rows),
                            jnp.asarray(orients), cap)
     st = lwalk.walk_linked(g, links, st, 0, max_steps=cap)
+    lwalk.report_drops(st, "exp_abc")
     pv = np.asarray(st.base.out_vert)
     pl_ = np.asarray(st.base.out_len)
     # B at the midpoint of each A-walk
@@ -636,6 +637,7 @@ def cmd_exp_abc(argv):
         st2 = lwalk.linked_init(g, links, jnp.asarray(bi),
                                 jnp.asarray(bo), cap)
         st2 = lwalk.walk_linked(g, links, st2, 0, max_steps=cap)
+        lwalk.report_drops(st2, "exp_abc")
         qv = np.asarray(st2.base.out_vert)
         ql = np.asarray(st2.base.out_len)
         for j, (i, mid) in enumerate(bsel):

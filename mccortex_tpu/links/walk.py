@@ -42,6 +42,30 @@ CMAX = 64   # cursor slots per walker
 CMAX2 = 32  # counter-path slots per walker (missing-info check)
 SMAX = 32   # graph-segment window per walker (ref gsegs; age window)
 
+# cumulative dropped-pickup counts per walk context, surfaced so every
+# entry point (contigs, bubbles, breakpoints, correct, server) reports
+# bounded-slot honesty, not just contigs (ref lists are unbounded)
+DROP_COUNTS: dict = {}
+
+
+def report_drops(st: "LinkedWalkState", context: str) -> int:
+    """Warn about link pickups dropped by the bounded cursor slots.
+
+    Returns the drop count for this walk and accumulates it into
+    DROP_COUNTS[context] so callers (e.g. CorrectAlnStats) can surface
+    totals.  The reference keeps unbounded per-walker link lists; CMAX
+    and the 16-pickups/node cap are capacity knobs, so any drop is a
+    potential behavioural difference and must never be silent."""
+    import sys
+    nd = int(np.asarray(st.n_drop).sum())
+    if nd:
+        DROP_COUNTS[context] = DROP_COUNTS.get(context, 0) + nd
+        print(f"[mctx] warning: {nd} link pickups dropped during "
+              f"{context} (cursor slots full / >16 links per node) — "
+              f"results may differ from the unbounded-list reference",
+              file=sys.stderr)
+    return nd
+
 
 @struct.dataclass
 class LinkedWalkState:
@@ -558,13 +582,7 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         halves.append((np.asarray(st.base.out_bases),
                        np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
-        ndrop = int(np.asarray(st.n_drop).sum())
-        if ndrop:
-            import sys
-            print(f"[mctx] warning: {ndrop} link pickups dropped "
-                  f"(cursor slots full / >16 links per node) — results "
-                  f"may differ from the unbounded-list reference",
-                  file=sys.stderr)
+        report_drops(st, "contigs")
     seed_strs = kmers_to_strings(np.asarray(g.keys)[seed_rows], g.k)
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     basechars = "ACGT"

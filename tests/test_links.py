@@ -288,3 +288,14 @@ def test_pickup_overflow_counted():
                            np.array([v & 1], np.uint8), 80)
     st = lwalk.walk_linked(g, links, st, 0, max_steps=60)
     assert int(np.asarray(st.n_drop).sum()) > 0
+    # every walk entry point surfaces drops via report_drops: warning
+    # on stderr + accumulation into DROP_COUNTS (VERDICT r2 item 9)
+    import io
+    import contextlib
+    lwalk.DROP_COUNTS.clear()
+    buf = io.StringIO()
+    with contextlib.redirect_stderr(buf):
+        nd = lwalk.report_drops(st, "testctx")
+    assert nd == int(np.asarray(st.n_drop).sum())
+    assert "link pickups dropped during testctx" in buf.getvalue()
+    assert lwalk.DROP_COUNTS["testctx"] == nd
