@@ -117,9 +117,17 @@ def load_flank_sam(path: str, ref: KO.RefGenome, min_mapq: int = 30):
                         (flag >> 4) & 1, mapq)
 
     if _is_bam(path):
-        raise NotImplementedError(
-            "-F with BAM: convert to SAM (sequence-only BAM parsing is "
-            "supported for build; flank placement needs CIGAR/RNAME)")
+        from ..io.seqio import parse_bam_alignments
+        for name, flag, rname, pos0, mapq, ref_len in \
+                parse_bam_alignments(path):
+            if flag & (0x4 | 0x100 | 0x800) or mapq < min_mapq:
+                continue
+            ci = name_to_ci.get(rname)
+            if ci is None:
+                continue
+            places[name] = (ci, pos0, pos0 + ref_len,
+                            (flag >> 4) & 1, mapq)
+        return places
     with _openseq(path) as fh:
         for line in fh:
             if line.startswith("@") or not line.strip():

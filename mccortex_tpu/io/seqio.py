@@ -144,6 +144,52 @@ def _parse_bam(path: str) -> Iterator[Read]:
             yield Read(name, seq, quals)
 
 
+def parse_bam_alignments(path: str):
+    """Yield (name, flag, rname, pos0, mapq, ref_len) per mapped BAM
+    record — the alignment fields (RNAME via the header ref table, POS,
+    MAPQ, reference span from the CIGAR) that sequence-only _parse_bam
+    skips.  Used by calls2vcf -F to accept BAM flank files directly
+    (ref ctx_calls2vcf.c:24-46 reads SAM or BAM via htslib)."""
+    import struct
+    # ref-consuming CIGAR ops: M=0, D=2, N=3, '='=7, X=8
+    _ref_consumes = (1, 0, 1, 1, 0, 0, 0, 1, 1)
+    with gzip.open(path, "rb") as g:
+        if g.read(4) != b"BAM\x01":
+            raise ValueError(f"{path}: bad BAM magic")
+        (l_text,) = struct.unpack("<i", g.read(4))
+        g.read(l_text)
+        (n_ref,) = struct.unpack("<i", g.read(4))
+        ref_names = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", g.read(4))
+            nm = g.read(l_name)[:-1].decode()
+            g.read(4)  # l_ref
+            ref_names.append(nm)
+        while True:
+            bs = g.read(4)
+            if len(bs) < 4:
+                return
+            (block_size,) = struct.unpack("<i", bs)
+            rec = g.read(block_size)
+            if len(rec) < block_size:
+                raise ValueError(f"{path}: truncated BAM record")
+            ref_id, pos0 = struct.unpack("<ii", rec[0:8])
+            l_read_name = rec[8]
+            mapq = rec[9]
+            n_cigar, flag = struct.unpack("<HH", rec[12:16])
+            name = rec[32:32 + l_read_name - 1].decode()
+            coff = 32 + l_read_name
+            ref_len = 0
+            for ci in range(n_cigar):
+                (cv,) = struct.unpack("<I", rec[coff + 4 * ci:
+                                                coff + 4 * ci + 4])
+                op = cv & 0xF
+                if op < 9 and _ref_consumes[op]:
+                    ref_len += cv >> 4
+            rname = ref_names[ref_id] if 0 <= ref_id < n_ref else "*"
+            yield (name, flag, rname, pos0, mapq, ref_len)
+
+
 def read_batches(paths, batch_size: int = 512, max_len: int | None = None,
                  colour: int = 0) -> Iterator[tuple]:
     """Group reads into (codes (B, L) uint8, quals (B, L) uint8 | None,

@@ -133,3 +133,71 @@ def test_calls2vcf_sam_flank_recovers_repetitive_flank(tmp_path):
                       len(uniq1) + len(dup) + len(mid) + 1, 5,
                       f"{len(dup)}M", f5, "I" * len(dup))])
     assert c2v.load_flank_sam(sam2, ref, min_mapq=30) == {}
+
+
+def write_bam_aln(path, reads, chrom="chr1"):
+    """Full-alignment BAM writer: reads = (name, flag, pos1, mapq,
+    cigar_ops, seq) with cigar_ops a list of (length, opchar)."""
+    code = "=ACMGRSVTWYHKDBN"
+    ops = "MIDNSHP=X"
+    out = b"BAM\x01"
+    text = b"@HD\tVN:1.6\n"
+    out += struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", 1)
+    name = chrom.encode() + b"\x00"
+    out += struct.pack("<i", len(name)) + name + struct.pack("<i", 100000)
+    for qname, flag, pos1, mapq, cigar_ops, seq in reads:
+        s4 = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = code.index(seq[i])
+            lo = code.index(seq[i + 1]) if i + 1 < len(seq) else 0
+            s4.append((hi << 4) | lo)
+        qn = qname.encode() + b"\x00"
+        body = struct.pack("<iiBBHHHiiii", 0, pos1 - 1, len(qn), mapq,
+                           0, len(cigar_ops), flag, len(seq), -1, -1, 0)
+        body += qn
+        for ln, opc in cigar_ops:
+            body += struct.pack("<I", (ln << 4) | ops.index(opc))
+        body += bytes(s4) + bytes([30] * len(seq))
+        out += struct.pack("<i", len(body)) + body
+    with gzip.open(path, "wb") as f:
+        f.write(out)
+
+
+def test_calls2vcf_bam_flank_round_trip(tmp_path):
+    """-F accepts BAM directly (ref ctx_calls2vcf.c:24-46 reads SAM or
+    BAM via htslib): same repetitive-flank scenario as the SAM test,
+    flank placements from a BAM must produce the identical VCF record."""
+    from mccortex_tpu.calls import calls2vcf as c2v
+    from mccortex_tpu.graph import kmer_occur as KO
+    k = 11
+    dup = random_dna(40, seed=960)
+    uniq1 = random_dna(60, seed=961)
+    mid = random_dna(30, seed=962)
+    tail = random_dna(60, seed=963)
+    ref_seq = uniq1 + dup + mid + dup + "A" + tail
+    ref = KO.RefGenome(names=["chr1"], seqs=[ref_seq])
+    var_pos = len(uniq1) + len(dup) + len(mid) + len(dup)
+    f5 = dup
+    call = {"name": "call0", "flank5p": f5, "flank3p": tail[:30],
+            "branches": [("b0", "A"), ("b1", "C")]}
+    pos1 = len(uniq1) + len(dup) + len(mid) + 1
+    bam = str(tmp_path / "flanks.bam")
+    write_bam_aln(bam, [("call0", 0, pos1, 60, [(len(dup), "M")], f5)])
+    places = c2v.load_flank_sam(bam, ref, min_mapq=30)
+    assert places["call0"] == (0, pos1 - 1, pos1 - 1 + len(dup), 0, 60)
+    recs, dropped = c2v.bubbles_to_vcf([call], ref, k,
+                                       sam_places=places)
+    assert dropped == 0 and len(recs) == 1
+    assert recs[0].pos == var_pos and recs[0].ref == "A" \
+        and recs[0].alts == ["C"]
+    # MAPQ filter applies to BAM records too (-Q)
+    bam2 = str(tmp_path / "lowq.bam")
+    write_bam_aln(bam2, [("call0", 0, pos1, 5, [(len(dup), "M")], f5)])
+    assert c2v.load_flank_sam(bam2, ref, min_mapq=30) == {}
+    # soft-clip + deletion CIGAR: ref span counts M/D/N/=/X only
+    bam3 = str(tmp_path / "clip.bam")
+    write_bam_aln(bam3, [("call0", 0, pos1, 60,
+                          [(5, "S"), (len(dup) - 5, "M"), (3, "D")], f5)])
+    pl = c2v.load_flank_sam(bam3, ref, min_mapq=30)
+    assert pl["call0"][2] - pl["call0"][1] == len(dup) - 5 + 3
