@@ -49,6 +49,7 @@ def _wait_for_backend(max_wait_s=360.0):
 
     t0 = time.monotonic()
     delay = 5.0
+    attempts = 0
     while True:
         try:
             devs = jax.devices()
@@ -56,8 +57,11 @@ def _wait_for_backend(max_wait_s=360.0):
                   file=sys.stderr)
             return devs
         except RuntimeError as e:
+            attempts += 1
             waited = time.monotonic() - t0
-            if waited > max_wait_s:
+            # a single attempt can itself hang for many minutes before
+            # raising — always grant at least 3 real attempts
+            if waited > max_wait_s and attempts >= 3:
                 raise
             print("bench: backend init failed (%.0fs in), retrying in "
                   "%.0fs: %s" % (waited, delay, str(e)[:200]),

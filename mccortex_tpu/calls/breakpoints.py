@@ -35,11 +35,17 @@ DEFAULT_MAX_REF = 1000  # ref breakpoint_caller.h:14
 @dataclasses.dataclass
 class Breakpoint:
     flank5p_seq: str
-    flank5p_run: dict      # colinear ref run leading into the break
+    flank5p_run: dict      # primary colinear ref run leading into the break
     flank3p_seq: str
-    flank3p_run: dict      # ref re-contact run
+    flank3p_run: dict      # primary ref re-contact run
     allele_seq: str        # bases strictly between the flanks
     cols: list
+    # FULL colinear run lists per flank (ref breakpoint_caller.c:534-570
+    # koruns_gzprint emits every run with its qoffset; the primary above
+    # is the largest-match choice).  qoffset is in kmers, 0-based,
+    # relative to the flank's own sequence.
+    flank5p_runs: list = dataclasses.field(default_factory=list)
+    flank3p_runs: list = dataclasses.field(default_factory=list)
 
 
 def find_break_sites(g: gstore.DBGraph, ko: KO.KOGraph):
@@ -165,8 +171,7 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
         runs = KO.runs_of_path(ko, path_v, min_len=min_ref)
         if not runs:
             continue
-        # earliest qualifying re-contact run
-        runs.sort(key=lambda r: r["qoffset"])
+        # earliest qualifying re-contact run (already qoffset-sorted)
         r3 = runs[0]
         if r3["qoffset"] > max_ref:
             continue
@@ -179,16 +184,20 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
         back_path = np.concatenate(
             [[int(verts[si]) ^ 1], bverts[bi, :bL]])
         b_runs = KO.runs_of_path(ko, back_path, min_len=1)
-        if not b_runs:
+        # runs contacting the break (qoffset 0 going backward) — a
+        # repetitive flank yields several (ref picks up 5' runs only at
+        # the first unitig, breakpoint_caller.c:254-263)
+        r5bs = [r for r in b_runs if r["qoffset"] == 0]
+        if not r5bs:
             continue
-        b_runs.sort(key=lambda r: r["qoffset"])
-        r5b = b_runs[0]  # run starting at the site going backward
-        if r5b["qoffset"] != 0:
-            continue
-        # convert backward run to forward orientation
-        r5 = {"chrom": r5b["chrom"], "first": r5b["last"],
-              "last": r5b["first"], "strand": 1 - r5b["strand"],
-              "len": r5b["len"]}
+        # convert backward runs to forward orientation; primary = the
+        # longest (the reference consumer's largest-match rule)
+        r5bs.sort(key=lambda r: -r["len"])
+        r5s = [{"chrom": r["chrom"], "first": r["last"],
+                "last": r["first"], "strand": 1 - r["strand"],
+                "len": r["len"]} for r in r5bs]
+        r5b = r5bs[0]
+        r5 = r5s[0]
         # sequences
         site_kmer = kmers_to_strings(
             np.asarray(kops.oriented(
@@ -203,6 +212,11 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
         flank3p = "".join(
             "ACGT"[x] for x in
             base_paths[w, r3["qoffset"]:r3["qoffset"] + f3len])
+        # full run lists with qoffsets relative to each flank's sequence
+        flen5 = len(flank5p) - g.k + 1
+        runs5 = [dict(r, qoffset=max(flen5 - r["len"], 0)) for r in r5s]
+        runs3 = [dict(r, qoffset=r["qoffset"] - r3["qoffset"])
+                 for r in runs]
         keyid = (int(si), int(n), allele, r3["chrom"], r3["first"])
         if keyid in calls:
             calls[keyid].cols.append(int(c))
@@ -210,5 +224,6 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
             calls[keyid] = Breakpoint(
                 flank5p_seq=flank5p, flank5p_run=r5,
                 flank3p_seq=flank3p, flank3p_run=r3,
-                allele_seq=allele, cols=[int(c)])
+                allele_seq=allele, cols=[int(c)],
+                flank5p_runs=runs5, flank3p_runs=runs3)
     return list(calls.values())

@@ -35,7 +35,7 @@ def cmd_breakpoints(argv):
                                 max_ref=args.maxref)
     hdr = {
         "file_format": "CtxBreakpoints",
-        "format_version": 3,
+        "format_version": 4,
         "ncols": h.ncols,
         "kmer_size": g.k,
         "generator": f"mccortex_tpu {mccortex_tpu.__version__}",
@@ -47,11 +47,10 @@ def cmd_breakpoints(argv):
         fh.write(json.dumps(hdr, indent=2))
         fh.write("\n\n# generated with mccortex_tpu\n\n")
         for i, bp in enumerate(calls):
-            r5, r3 = bp.flank5p_run, bp.flank3p_run
-            c5 = f"{ref.names[r5['chrom']]}:{r5['first'] + 1}-" \
-                 f"{r5['last'] + 1}:{'+' if r5['strand'] == 0 else '-'}"
-            c3 = f"{ref.names[r3['chrom']]}:{r3['first'] + 1}-" \
-                 f"{r3['last'] + 1}:{'+' if r3['strand'] == 0 else '-'}"
+            runs5 = bp.flank5p_runs or [dict(bp.flank5p_run, qoffset=0)]
+            runs3 = bp.flank3p_runs or [dict(bp.flank3p_run, qoffset=0)]
+            c5 = ",".join(_run_str(ref, r, g.k) for r in runs5)
+            c3 = ",".join(_run_str(ref, r, g.k) for r in runs3)
             cols = ",".join(map(str, sorted(set(bp.cols))))
             fh.write(f">brkpnt.call{i}.5pflank chr={c5}\n{bp.flank5p_seq}\n")
             fh.write(f">brkpnt.call{i}.3pflank chr={c3}\n{bp.flank3p_seq}\n")
@@ -99,6 +98,20 @@ def cmd_calls2vcf(argv):
     return 0
 
 
+def _run_str(ref, r, k):
+    """One colinear ref-run annotation 'chrom:start-end:strand:qoffset'
+    in the reference's korun_gzprint format (kmer_occur.c): 1-based
+    INCLUSIVE base coordinates (end covers the last kmer's final base;
+    start > end on the minus strand), qoffset 1-based in kmers."""
+    if r["strand"] == 0:
+        s, e = r["first"] + 1, r["last"] + k
+    else:
+        s, e = r["first"] + k, r["last"] + 1
+    return (f"{ref.names[r['chrom']]}:{s}-{e}:"
+            f"{'+' if r['strand'] == 0 else '-'}:"
+            f"{int(r.get('qoffset', 0)) + 1}")
+
+
 def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
     """Adapt text breakpoint calls (with chr= annotations) into the
     direct decomposition path."""
@@ -109,8 +122,13 @@ def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
     records, dropped = [], 0
     for call in calls:
         try:
-            r5 = _parse_chr(call, "flank5p", name_idx)
-            r3 = _parse_chr(call, "flank3p", name_idx)
+            # largest-match run choice per flank (ref decomp_brkpt_call:
+            # 5' prefers the run nearest the break among the longest,
+            # 3' the earliest re-contact among the longest)
+            r5 = _largest_run(_parse_chr_runs(call, "flank5p",
+                                              name_idx, k), False)
+            r3 = _largest_run(_parse_chr_runs(call, "flank3p",
+                                              name_idx, k), True)
             allele = call["branches"][0][1] if call["branches"] else ""
         except (KeyError, ValueError):
             dropped += 1
@@ -136,20 +154,56 @@ def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
     return c2v._dedup(records), dropped
 
 
-def _parse_chr(call, which, name_idx):
-    """Parse 'chr=name:first-last:strand' from a flank header line."""
+def _parse_chr_runs(call, which, name_idx, k):
+    """Parse the comma-separated colinear-run list
+    'chr=name:start-end:strand:qoffset,...' from a flank header (ref
+    chrom_pos_list_parse, chrom_pos_list.c).  Coordinates are the
+    1-based inclusive BASE range of _run_str; converted back to 0-based
+    kmer-start first/last.  The legacy 3-field round-2 form (kmer-start
+    coords, no qoffset) is still accepted."""
     hdr = call.get(which + "_hdr", "")
     for tok in hdr.split():
-        if tok.startswith("chr="):
-            body = tok[4:]
-            name, rng, strand = body.rsplit(":", 2)
-            first, last = rng.split("-")
+        if not tok.startswith("chr="):
+            continue
+        runs = []
+        for body in tok[4:].split(","):
+            parts = body.rsplit(":", 3)
+            legacy = len(parts) < 4 or not parts[-1].isdigit() or \
+                parts[-2] not in ("+", "-")
+            if legacy:
+                name, rng, strand = body.rsplit(":", 2)
+                qoff = 1
+            else:
+                name, rng, strand, q = parts
+                qoff = int(q)
             if name not in name_idx:
-                return None
-            return {"chrom": name_idx[name], "first": int(first) - 1,
-                    "last": int(last) - 1,
-                    "strand": 0 if strand == "+" else 1}
-    return None
+                continue
+            s, e = (int(x) for x in rng.split("-"))
+            if legacy:
+                first, last = s - 1, e - 1
+            elif strand == "+":
+                first, last = s - 1, e - k
+            else:
+                first, last = s - k, e - 1
+            runs.append({"chrom": name_idx[name], "first": first,
+                         "last": last,
+                         "strand": 0 if strand == "+" else 1,
+                         "qoffset": qoff - 1,
+                         "len": abs(last - first) + 1})
+        return runs
+    return []
+
+
+def _largest_run(runs, use_first):
+    """ref chrom_pos_list_get_largest: the longest run; ties broken by
+    the lowest qoffset (use_first, 3' flank) or the highest (5')."""
+    best = None
+    for r in runs:
+        if best is None or r["len"] > best["len"] or (
+                r["len"] == best["len"]
+                and (use_first == (r["qoffset"] < best["qoffset"]))):
+            best = r
+    return best
 
 
 def cmd_vcfcov(argv):

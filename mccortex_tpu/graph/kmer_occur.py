@@ -112,10 +112,12 @@ def runs_of_path(ko: KOGraph, verts: np.ndarray, min_len: int = 1):
     chrom = np.asarray(ko.chrom)
     pos = np.asarray(ko.pos)
     kor = np.asarray(ko.orient)
-    runs = []
-    active = {}  # (chrom, strand, expected_next_pos) -> run start info
     out = []
-    prev = {}
+    # active runs keyed by (chrom, strand, EXPECTED next ref pos) so
+    # multiple concurrent runs on the same chrom+strand coexist — a
+    # repetitive flank occurs at several ref positions at once (ref
+    # kograph_filter_extend tracks each run individually)
+    prev = {}  # key -> (q0, p_start)
     for qi, v in enumerate(verts):
         row, vo = v >> 1, v & 1
         cur = {}
@@ -124,26 +126,22 @@ def runs_of_path(ko: KOGraph, verts: np.ndarray, min_len: int = 1):
             # occurrence orient is canonical-key vs ref; vo is key vs path
             strand = int(kor[e]) ^ int(vo)
             c, p0 = int(chrom[e]), int(pos[e])
-            keyp = (c, strand)
-            expect = prev.get(keyp)
-            if expect is not None and expect[0] == (p0 - 1 if strand == 0
-                                                   else p0 + 1):
-                start_q, start_p = expect[1], expect[2]
-                cur[keyp] = (p0, start_q, start_p)
+            ext = prev.pop((c, strand, p0), None)
+            nxt = p0 + 1 if strand == 0 else p0 - 1
+            if ext is not None:
+                cur[(c, strand, nxt)] = ext          # extend
             else:
-                if expect is not None:
-                    # discontinuity: close the old run before restarting
-                    p_last, q0, p_start = expect
-                    out.append(_mk_run(keyp, p_start, p_last, q0, qi - q0))
-                    del prev[keyp]
-                cur[keyp] = (p0, qi, p0)
-        # close finished runs
-        for keyp, (p_last, q0, p_start) in prev.items():
-            if keyp not in cur:
-                out.append(_mk_run(keyp, p_start, p_last, q0, qi - q0))
+                cur[(c, strand, nxt)] = (qi, p0)     # start new run
+        # close runs not extended at this vertex
+        for (c, strand, expect), (q0, p_start) in prev.items():
+            p_last = expect - 1 if strand == 0 else expect + 1
+            out.append(_mk_run((c, strand), p_start, p_last, q0, qi - q0))
         prev = cur
-    for keyp, (p_last, q0, p_start) in prev.items():
-        out.append(_mk_run(keyp, p_start, p_last, q0, len(verts) - q0))
+    for (c, strand, expect), (q0, p_start) in prev.items():
+        p_last = expect - 1 if strand == 0 else expect + 1
+        out.append(_mk_run((c, strand), p_start, p_last, q0,
+                           len(verts) - q0))
+    out.sort(key=lambda r: (r["qoffset"], r["chrom"], r["first"]))
     return [r for r in out if r["len"] >= min_len]
 
 

@@ -188,3 +188,88 @@ def test_vcfgeno_het():
     VG.genotype_record(vcf.records[0], 11, [20.0], [0.01], [2], [90],
                        "K11R", "K11A")
     assert vcf.records[0].samples[0]["GT"] == "0/0"
+
+
+def test_breakpoint_repetitive_flank_run_lists(tmp_path):
+    """A 5' flank occurring at two ref positions must list BOTH colinear
+    runs in the call file (ref breakpoint_caller.c:534-570 emits every
+    KOccurRun per flank), each with a 1-based qoffset field."""
+    from mccortex_tpu.cli.main import main as mctx
+    k = 11
+    dup = random_dna(40, seed=710)
+    a = random_dna(80, seed=711)
+    b = random_dna(80, seed=712)
+    tail = random_dna(80, seed=713)
+    ins = random_dna(30, seed=714)
+    # dup appears twice; the sample inserts right after the SECOND copy
+    ref_seq = a + dup + b + dup + tail
+    sample = a + dup + b + dup + ins + tail
+    ref_fa = str(tmp_path / "ref.fa")
+    s_fa = str(tmp_path / "s.fa")
+    write_fasta(ref_fa, [ref_seq])
+    write_fasta(s_fa, [sample])
+    ctx = str(tmp_path / "g.ctx")
+    calls = str(tmp_path / "bk.txt.gz")
+    assert mctx(["build", "-k", str(k), "--sample", "ref", "--seq",
+                 ref_fa, "--sample", "s", "--seq", s_fa, ctx]) == 0
+    assert mctx(["breakpoints", "--seq", ref_fa, "-o", calls, ctx]) == 0
+    hdr, parsed = callfile.read_call_file(calls)
+    assert hdr["format_version"] == 4
+    multi = [c for c in parsed
+             if c["flank5p_hdr"].split("chr=")[1].count(",") >= 1]
+    assert multi, [c["flank5p_hdr"] for c in parsed]
+    # every run annotation has the 4-field form name:start-end:strand:qoff
+    for c in multi:
+        for body in c["flank5p_hdr"].split("chr=")[1].split()[0].split(","):
+            parts = body.rsplit(":", 3)
+            assert len(parts) == 4 and parts[2] in "+-" \
+                and parts[3].isdigit(), body
+
+
+def test_calls2vcf_largest_run_choice():
+    """Run choice changes the VCF position: the consumer must pick the
+    LONGEST run per flank (ties: 5' highest qoffset, 3' lowest), not the
+    first listed (ref decomp_brkpt_call + chrom_pos_list_get_largest)."""
+    from mccortex_tpu.cli.commands3 import (_breakpoint_calls_to_vcf,
+                                            _largest_run,
+                                            _parse_chr_runs)
+    from mccortex_tpu.calls import calls2vcf as c2v
+    k = 11
+    dup = random_dna(40, seed=720)
+    a = random_dna(60, seed=721)
+    b = random_dna(49, seed=722)
+    tail = random_dna(80, seed=723)
+    # copy 1 of dup at 60..99; copy 2 (with 11 bases of shared left
+    # context) at 120..159; deletion of 20 ref bases after copy 2
+    ext = b[-k:]
+    ref_seq = a + dup + b + ext + dup + random_dna(20, seed=724) + tail
+    ref = KO.RefGenome(["chr1"], [ref_seq])
+    flank5 = ext + dup    # matches copy 2 for 51bp, copy 1 for 40bp
+    p1 = len(a)                      # copy-1 kmer-start of dup
+    p2 = len(a) + len(dup) + len(b)  # ext start before copy 2
+    # 5' header lists the SHORT (wrong, copy-1) run first
+    run_short = f"chr1:{p1 + 1}-{p1 + len(dup)}:+:{len(ext) + 1}"
+    run_long = f"chr1:{p2 + 1}-{p2 + len(ext) + len(dup)}:+:1"
+    t3 = p2 + len(ext) + len(dup) + 20   # 3' contact after deletion
+    run3 = f"chr1:{t3 + 1}-{t3 + 40}:+:1"
+    call = {"name": "brkpnt.call0",
+            "flank5p_hdr": f"brkpnt.call0.5pflank chr={run_short},{run_long}",
+            "flank3p_hdr": f"brkpnt.call0.3pflank chr={run3}",
+            "flank5p": flank5, "flank3p": ref_seq[t3:t3 + 40],
+            "branches": [("path", "")]}
+    name_idx = {"chr1": 0}
+    runs5 = _parse_chr_runs(call, "flank5p", name_idx, k)
+    assert len(runs5) == 2
+    chosen = _largest_run(runs5, use_first=False)
+    assert chosen["len"] == len(ext) + len(dup) - k + 1  # the long run
+    records, dropped = _breakpoint_calls_to_vcf([call], ref, k, c2v)
+    assert dropped == 0 and records
+    # deletion called AFTER copy 2 (ref pos ~ p2+ext+dup), not copy 1
+    assert records[0].pos >= p2, (records[0].pos, p2)
+    # tie-break: equal lengths -> 5' prefers the higher qoffset,
+    # 3' the lower
+    ra = {"chrom": 0, "first": 10, "last": 20, "strand": 0,
+          "qoffset": 0, "len": 11}
+    rb = dict(ra, first=50, last=60, qoffset=5)
+    assert _largest_run([ra, rb], use_first=False) is rb
+    assert _largest_run([ra, rb], use_first=True) is ra
