@@ -1,0 +1,86 @@
+"""Differential fuzzing vs the independent python references (VERDICT r2
+weak item 6 mitigation: goldens lock byte-stability only; these fuzz
+framework-vs-python-ref over many random genomes).
+
+CI runs a bounded sample; scripts/fuzz_lossless.py runs the full 100+
+genome sweep (results documented in ROUND3.md).
+"""
+
+import numpy as np
+import pytest
+
+from graph_ref import build_ref_graph
+from test_graph_build import batchify, graph_to_dict
+from util import random_dna
+
+from mccortex_tpu.graph import build as gbuild
+from mccortex_tpu.links import walk as lwalk
+
+
+def canon(s):
+    from util import revcomp_str
+    return min(s, revcomp_str(s))
+
+
+@pytest.mark.parametrize("k", [9, 21])
+def test_fuzz_graph_vs_pyref(k):
+    """Graph store (keys, per-colour covg, edge bytes) must equal the
+    string-level python reference on random multi-colour inputs.  Fixed
+    shapes per k so the compiled programs are reused across genomes."""
+    rng = np.random.default_rng(9000 + k)
+    for it in range(12):
+        ncols = int(rng.integers(1, 3))
+        inputs = []
+        for c in range(ncols):
+            nseq = int(rng.integers(1, 3))
+            for _ in range(nseq):
+                seq = random_dna(240, seed=int(rng.integers(1 << 30)))
+                if rng.random() < 0.3:   # inject Ns (contig splits)
+                    p = int(rng.integers(0, len(seq)))
+                    seq = seq[:p] + "N" + seq[p + 1:]
+                inputs.append((seq, c))
+        # duplicate one sequence sometimes (coverage aggregation)
+        if rng.random() < 0.5:
+            inputs.append(inputs[0])
+        ref = build_ref_graph(inputs, k, ncols=ncols)
+        g = gbuild.build(batchify(inputs, pad_to=241), k, ncols=ncols)
+        got = graph_to_dict(g, k)
+        assert got == ref, (it, len(got), len(ref))
+
+
+@pytest.mark.parametrize("k", [9, 31, 63])
+def test_fuzz_lossless_multi_k(k):
+    """The reference's signature lossless property (tests/lossless) over
+    several random genomes at several k, including two-word k=63."""
+    from test_links import build_g, thread_all, row_of, flanked
+    rng = np.random.default_rng(7100 + k)
+    n_iter = 6 if k < 63 else 3
+    for it in range(n_iter):
+        seq = random_dna(300, seed=int(rng.integers(1 << 30)))
+        full = flanked(seq, k, seed=int(rng.integers(1 << 30)))
+        g = build_g([(full, 0)], k)
+        links = thread_all(g, [(full, 0)])
+        seed_row = row_of(g, full[:k])
+        contigs, stats = lwalk.assemble_contigs_linked(
+            g, links, np.array([seed_row]), colour=0,
+            max_len=len(full) + 100)
+        assert canon(contigs[0]) == canon(full), (k, it, len(contigs[0]),
+                                                  len(full), stats)
+
+
+def test_fuzz_unitigs_vs_pyref():
+    """Unitig decomposition equals the python reference walker on random
+    genomes (same total sequence content, same unitig multiset)."""
+    from graph_ref import ref_unitigs
+    from mccortex_tpu.graph import unitigs as U
+    from test_links import build_g
+    rng = np.random.default_rng(7300)
+    k = 11
+    for it in range(8):
+        seqs = [(random_dna(200, seed=int(rng.integers(1 << 30))), 0)
+                for _ in range(int(rng.integers(1, 4)))]
+        g = build_g(seqs, k)
+        ref = build_ref_graph(seqs, k)
+        want = sorted(canon(u) for u in ref_unitigs(ref, k))
+        got = sorted(canon(s) for s in U.extract_unitigs(g))
+        assert got == want, (it, len(got), len(want))
