@@ -117,9 +117,10 @@ def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "ncols", "colour",
-                                             "interpret"))
+                                             "interpret", "sort_impl"))
 def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      sort_impl: str | None = None):
     """count_batch with the aggregation on the Pallas segreduce kernel.
 
     Pipeline: rolling extraction -> 32-bit-plane key sort (the edge byte
@@ -152,10 +153,12 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
             ops += ((flat[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
                     flat[:, w].astype(jnp.uint32))
         ops += (ebyte.reshape(M).astype(jnp.uint32),)
-    sorted_ops = jax.lax.sort(ops, num_keys=2 * W)
+    sorted_ops = _sort_planes32(ops, num_keys=2 * W, impl=sort_impl,
+                                interpret=interpret)
+    Ms = sorted_ops[0].shape[0]          # >= M when the bitonic path pads
     bc = jax.lax.bitcast_convert_type
     kp = tuple(bc(p, jnp.int32) for p in sorted_ops[:2 * W])
-    pad = (-M) % _sr.BLK
+    pad = (-Ms) % _sr.BLK
     if pad:
         kp = tuple(jnp.concatenate([p, jnp.full(pad, -1, jnp.int32)])
                    for p in kp)
@@ -178,7 +181,34 @@ def count_batch_best(bases, k: int, ncols: int, colour: int):
     """count_batch via the Pallas kernel on TPU, XLA elsewhere."""
     if jax.default_backend() == "cpu":
         return count_batch(bases, k, ncols, colour)
-    return count_batch_fused(bases, k, ncols, colour)
+    return count_batch_fused(bases, k, ncols, colour,
+                             sort_impl=SORT_IMPL)
+
+
+# Sort backend for the fused device paths: "lax" = jax.lax.sort,
+# "bitonic" = ops/pallas/bitonic (fused-VMEM bitonic network).  Module
+# global read at TRACE time — flip before the first call (bench A/Bs
+# both; MCTX_SORT env overrides).
+SORT_IMPL = __import__("os").environ.get("MCTX_SORT", "lax")
+
+
+def _sort_planes32(ops, num_keys: int, impl: str | None = None,
+                   interpret: bool = False):
+    """Sort u32 planes by the first num_keys planes.  The bitonic path
+    pads to a power-of-two multiple of its block (key pad = sentinel
+    0xFFFFFFFF sorts last; value pad = 0) and returns the padded length
+    — callers slice; the sorted live prefix is unaffected."""
+    if (impl or "lax") != "bitonic":
+        return jax.lax.sort(ops, num_keys=num_keys)
+    from ..ops.pallas import bitonic as _bt
+    M = ops[0].shape[0]
+    Mp = max(_bt.BLK, 1 << (M - 1).bit_length())
+    if Mp != M:
+        ops = tuple(jnp.concatenate(
+            [x, jnp.full(Mp - M,
+                         0xFFFFFFFF if i < num_keys else 0, jnp.uint32)])
+            for i, x in enumerate(ops))
+    return _bt.sort_planes(ops, num_keys=num_keys, interpret=interpret)
 
 
 def _merge2(ak, ac, ae, bk, bc, be):
@@ -408,37 +438,57 @@ def _merge_items(a, b):
         return (mk.shape[0], mk, mc, me)
     if jax.default_backend() != "cpu":
         mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
-                                           b[1], b[2], b[3])
+                                           b[1], b[2], b[3],
+                                           sort_impl=SORT_IMPL)
         return _compact_item(mk, mc, me, int(n))
     mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
     return (mk.shape[0], mk, mc, me)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def merge_sorted_fused(ak, ac, ae, bk, bc, be, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
+def merge_sorted_fused(ak, ac, ae, bk, bc, be, interpret: bool = False,
+                       sort_impl: str | None = None):
     """Device merge of two sorted sentinel-padded record arrays via
     concat -> 32-bit-plane sort -> Pallas segreduce (covg summed per
     colour, edges OR-ed).  Replaces _merge2's rank-scatter +
     segment-sum pipeline, whose element-granular scatters dominate
     end-to-end build wall-clock at genome scale (they are ~25x slower
-    than sort+kernel at the same record count on v5e)."""
+    than sort+kernel at the same record count on v5e).
+
+    With SORT_IMPL == "bitonic" the inputs' sortedness is EXPLOITED: one
+    bitonic clean stage (ops/pallas/bitonic.merge_planes, log(M) passes)
+    replaces the full re-sort of the concatenation."""
+    if sort_impl == "bitonic":
+        from ..ops.pallas import bitonic as _bt
+        Ma, Mb = ak.shape[0], bk.shape[0]
+        Mp = max(_bt.BLK, 1 << (max(Ma, Mb) - 1).bit_length())
+        W, C = ak.shape[1], ac.shape[1]
+
+        def planes_padded(k_, c_, e_):
+            ops = _record_planes(k_, c_, e_)
+            n = ops[0].shape[0]
+            if n == Mp:
+                return ops
+            return tuple(jnp.concatenate(
+                [x, jnp.full(Mp - n,
+                             0xFFFFFFFF if i < 2 * W else 0, jnp.uint32)])
+                for i, x in enumerate(ops))
+
+        merged = _bt.merge_planes(planes_padded(ak, ac, ae),
+                                  planes_padded(bk, bc, be),
+                                  num_keys=2 * W, interpret=interpret)
+        return _aggregate_sorted(merged, W, C, Ma + Mb,
+                                 interpret=interpret)
     return reduce_records_fused(
         jnp.concatenate([ak, bk]), jnp.concatenate([ac, bc]),
-        jnp.concatenate([ae, be]), interpret=interpret)
+        jnp.concatenate([ae, be]), interpret=interpret,
+        sort_impl=sort_impl)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def reduce_records_fused(keys, covg, edges, interpret: bool = False):
-    """Sort + aggregate one unaggregated record array on the Pallas
-    kernel: (keys (M,W), covg (M,C), edges (M,C)) -> same shapes,
-    sorted unique records at the front + live count.  The device
-    replacement for sops.sort_by_key + unique_reduce everywhere a store
-    is (re)built (graph/store.from_records / merge_records)."""
-    from ..ops.pallas import segreduce as _sr
-
-    M, W = keys.shape
-    C = covg.shape[1]
-    bc_ = jax.lax.bitcast_convert_type
+def _record_planes(keys, covg, edges):
+    """(M,W) u64 keys + (M,C) covg/edges -> tuple of u32 planes
+    (key planes most significant first, then covg, then edges)."""
+    W, C = keys.shape[1], covg.shape[1]
     ops = ()
     for w in range(W):
         ops += ((keys[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
@@ -447,28 +497,56 @@ def reduce_records_fused(keys, covg, edges, interpret: bool = False):
         ops += (covg[:, c],)
     for c in range(C):
         ops += (edges[:, c].astype(jnp.uint32),)
-    sorted_ops = jax.lax.sort(ops, num_keys=2 * W)
-    pad = (-M) % _sr.BLK
+    return ops
+
+
+def _aggregate_sorted(sorted_ops, W, C, M_out, interpret=False):
+    """Shared tail of reduce_records_fused/merge_sorted_fused: Pallas
+    segreduce over already-sorted u32 planes, reassembled to (M_out, W)
+    keys + (M_out, C) covg/edges + live count."""
+    from ..ops.pallas import segreduce as _sr
+
+    bc_ = jax.lax.bitcast_convert_type
+    Ms = sorted_ops[0].shape[0]
+    pad = (-Ms) % _sr.BLK
+
     def p32(x, fill):
         y = bc_(x, jnp.int32)
         if pad:
             y = jnp.concatenate([y, jnp.full(pad, fill, jnp.int32)])
         return y
+
     kp = tuple(p32(x, -1) for x in sorted_ops[:2 * W])
     sums = tuple(p32(x, 0) for x in sorted_ops[2 * W:2 * W + C])
     ors = tuple(p32(x, 0) for x in sorted_ops[2 * W + C:])
     okeys, _cnt, osums, oors, n = _sr.segreduce_compact_multi(
         kp, sums, ors, interpret=interpret)
     keys_out = jnp.stack(
-        [bc_(okeys[2 * w], jnp.uint32)[:M].astype(jnp.uint64)
+        [bc_(okeys[2 * w], jnp.uint32)[:M_out].astype(jnp.uint64)
          << jnp.uint64(32)
-         | bc_(okeys[2 * w + 1], jnp.uint32)[:M].astype(jnp.uint64)
+         | bc_(okeys[2 * w + 1], jnp.uint32)[:M_out].astype(jnp.uint64)
          for w in range(W)], axis=-1)
     covg_out = jnp.stack(
-        [bc_(osums[c], jnp.uint32)[:M] for c in range(C)], axis=-1)
+        [bc_(osums[c], jnp.uint32)[:M_out] for c in range(C)], axis=-1)
     edges_out = jnp.stack(
-        [oors[c][:M].astype(jnp.uint8) for c in range(C)], axis=-1)
+        [oors[c][:M_out].astype(jnp.uint8) for c in range(C)], axis=-1)
     return keys_out, covg_out, edges_out, n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
+def reduce_records_fused(keys, covg, edges, interpret: bool = False,
+                         sort_impl: str | None = None):
+    """Sort + aggregate one unaggregated record array on the Pallas
+    kernel: (keys (M,W), covg (M,C), edges (M,C)) -> same shapes,
+    sorted unique records at the front + live count.  The device
+    replacement for sops.sort_by_key + unique_reduce everywhere a store
+    is (re)built (graph/store.from_records / merge_records)."""
+    M, W = keys.shape
+    C = covg.shape[1]
+    sorted_ops = _sort_planes32(_record_planes(keys, covg, edges),
+                                num_keys=2 * W, impl=sort_impl,
+                                interpret=interpret)
+    return _aggregate_sorted(sorted_ops, W, C, M, interpret=interpret)
 
 
 class PcrDupFilter:

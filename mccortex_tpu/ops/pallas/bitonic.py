@@ -217,13 +217,14 @@ def _from_sortable(planes, nk):
 
 @functools.partial(jax.jit,
                    static_argnames=("num_keys", "r_blk", "interpret"))
-def sort_planes(planes, num_keys: int, r_blk: int = R_BLK,
+def sort_planes(planes, num_keys: int, r_blk: int | None = None,
                 interpret: bool = False):
     """Sort u32 planes by the first num_keys planes (unsigned, most
     significant first); remaining planes ride along.  len(planes[0])
     must be a power of two and a multiple of r_blk*LANES (pad with
     0xFFFFFFFF sentinels).  Drop-in for
     jax.lax.sort(planes, num_keys=num_keys) up to ties."""
+    r_blk = r_blk or R_BLK
     np_ = len(planes)
     M = planes[0].shape[0]
     blk = r_blk * LANES
@@ -246,12 +247,13 @@ def sort_planes(planes, num_keys: int, r_blk: int = R_BLK,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_keys", "r_blk", "interpret"))
-def merge_planes(planes_a, planes_b, num_keys: int, r_blk: int = R_BLK,
-                 interpret: bool = False):
+def merge_planes(planes_a, planes_b, num_keys: int,
+                 r_blk: int | None = None, interpret: bool = False):
     """Merge two individually sorted plane tuples into one sorted tuple
     of length Ma+Mb: ONE bitonic merge stage (flip B, clean network) —
     log(M) passes instead of a full re-sort.  Ma and Mb must be equal
     powers of two, multiples of r_blk*LANES."""
+    r_blk = r_blk or R_BLK
     np_ = len(planes_a)
     Ma, Mb = planes_a[0].shape[0], planes_b[0].shape[0]
     assert Ma == Mb, (Ma, Mb)
