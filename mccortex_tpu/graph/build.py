@@ -135,16 +135,16 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
     B, L = bases.shape
     M = B * L
     W = nwords(k)
-    if W == 1:
+    if W <= 2:
         # fused Pallas front-end: rolling pack + canonicalise + edges
-        # in one VMEM pass (ops/pallas/frontend.py)
+        # in one VMEM pass (ops/pallas/frontend.py); limb planes for
+        # k <= 63
         from ..ops.pallas import frontend as _fe
-        khi, klo, eb, _valid = _fe.records_fused(bases, k,
-                                                 interpret=interpret)
+        planes = _fe.records_fused(bases, k, interpret=interpret)
         bc0 = jax.lax.bitcast_convert_type
-        ops = (bc0(khi.reshape(M), jnp.uint32),
-               bc0(klo.reshape(M), jnp.uint32),
-               bc0(eb.reshape(M), jnp.uint32))
+        ops = tuple(bc0(p.reshape(M), jnp.uint32)
+                    for p in planes[:2 * W])
+        ops += (bc0(planes[2 * W].reshape(M), jnp.uint32),)
     else:
         keys, ebyte, valid = reads_to_records(bases, k)
         flat = keys.reshape(M, W)

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused build front-end for k <= 31.
+"""Pallas TPU kernel: fused build front-end for k <= 63 (W <= 2).
 
 One VMEM pass turns a read batch (B, L) of base codes into canonical
 kmer key planes + edge bytes + validity — the fusion of
@@ -6,11 +6,15 @@ ops/kmer.rolling_kmers + canonical + graph/build.reads_to_records'
 edge derivation (ref build_graph.c:122 shift-append loop; SURVEY.md §7
 mapping 2).  The XLA version materialises ~log2(k) (B, L) uint64
 intermediates in HBM per doubling pass; here everything lives in VMEM
-as explicit (hi, lo) u32 pairs (Mosaic has no 64-bit integers).
+as explicit u32 limbs (Mosaic has no 64-bit integers): 2 limbs for
+k <= 31, 4 limbs for k <= 63 (VERDICT r2 item 8 — large k was
+second-class on the TPU front-end).
 
-Layout notes: kmers occupy the LOW 2k bits of the 64-bit pair with the
-first base most significant — identical to ops/kmer.py, so the planes
-feed count_batch's 32-bit-plane sort unchanged.
+Layout notes: kmers occupy the LOW 2k bits of the W*64-bit value with
+the first base most significant, word 0 most significant — identical to
+ops/kmer.py, so the planes feed count_batch's 32-bit-plane sort
+unchanged.  Limbs inside the kernel are least-significant-first;
+returned key planes are most-significant-first.
 """
 
 from __future__ import annotations
@@ -34,21 +38,44 @@ def _u32(v):
     return jnp.uint32(v)
 
 
-def _shl64(hi, lo, s: int):
-    """(hi, lo) << s for static s."""
+def _shl(limbs, s: int):
+    """limbs (LSB-first u32 list) << s for static s >= 0."""
+    NL = len(limbs)
     if s == 0:
-        return hi, lo
-    if s >= 32:
-        return lo << _u32(s - 32) if s > 32 else lo, jnp.zeros_like(lo)
-    return (hi << _u32(s)) | (lo >> _u32(32 - s)), lo << _u32(s)
+        return list(limbs)
+    words, bits = s // 32, s % 32
+    zero = jnp.zeros_like(limbs[0])
+    out = []
+    for i in range(NL):
+        src = i - words
+        v = limbs[src] if 0 <= src < NL else zero
+        if bits:
+            lo = limbs[src - 1] if 0 <= src - 1 < NL else zero
+            v = (v << _u32(bits)) | (lo >> _u32(32 - bits))
+        out.append(v)
+    return out
 
 
-def _shr64(hi, lo, s: int):
+def _shr(limbs, s: int):
+    """limbs (LSB-first u32 list) >> s for static s >= 0."""
+    NL = len(limbs)
     if s == 0:
-        return hi, lo
-    if s >= 32:
-        return jnp.zeros_like(hi), hi >> _u32(s - 32) if s > 32 else hi
-    return hi >> _u32(s), (lo >> _u32(s)) | (hi << _u32(32 - s))
+        return list(limbs)
+    words, bits = s // 32, s % 32
+    zero = jnp.zeros_like(limbs[0])
+    out = []
+    for i in range(NL):
+        src = i + words
+        v = limbs[src] if src < NL else zero
+        if bits:
+            hi = limbs[src + 1] if src + 1 < NL else zero
+            v = (v >> _u32(bits)) | (hi << _u32(32 - bits))
+        out.append(v)
+    return out
+
+
+def _or(a, b):
+    return [x | y for x, y in zip(a, b)]
 
 
 def _from_right_L(x, d: int, fill):
@@ -73,21 +100,35 @@ def _rev2bits_u32(x):
     return x
 
 
-def _make_kernel(k: int, L: int):
-    def kernel(bases_ref, khi_ref, klo_ref, eb_ref, valid_ref):
-        b = bases_ref[:]                       # (TILE_B, L) int32
-        col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+def _lt(a, b):
+    """Lexicographic unsigned a < b over LSB-first limb lists."""
+    lt = jnp.zeros_like(a[0], jnp.bool_)
+    eq = jnp.ones_like(a[0], jnp.bool_)
+    for x, y in zip(reversed(a), reversed(b)):   # MSB first
+        lt = lt | (eq & (x < y))
+        eq = eq & (x == y)
+    return lt
 
-        # rolling pack via width doubling on (hi, lo) u32 pairs
+
+def _make_kernel(k: int, L: int, nl: int):
+    """nl = number of u32 limbs (2 for W=1, 4 for W=2)."""
+    def kernel(*refs):
+        bases_ref = refs[0]
+        key_refs = refs[1:1 + nl]            # MSB-first outputs
+        eb_ref, valid_ref = refs[1 + nl], refs[2 + nl]
+        b = bases_ref[:]                     # (TILE_B, L) int32
+        col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
+        zero = jnp.zeros_like(b, jnp.uint32)
+
+        # rolling pack via width doubling on u32 limb lists
         code = (b & 3).astype(jnp.uint32)
-        pows = {1: (jnp.zeros_like(code), code)}
+        pows = {1: [code] + [zero] * (nl - 1)}
         m = 1
         while m * 2 <= k:
-            hi, lo = pows[m]
-            hi2, lo2 = _shl64(hi, lo, 2 * m)
-            hi_r = _from_right_L(hi, m, 0)
-            lo_r = _from_right_L(lo, m, 0)
-            pows[m * 2] = (hi2 | hi_r, lo2 | lo_r)
+            limbs = pows[m]
+            shifted = _shl(limbs, 2 * m)
+            rolled = [_from_right_L(x, m, 0) for x in limbs]
+            pows[m * 2] = _or(shifted, rolled)
             m *= 2
         acc = None
         acc_w = 0
@@ -98,15 +139,17 @@ def _make_kernel(k: int, L: int):
                 if acc is None:
                     acc, acc_w = piece, m
                 else:
-                    hi, lo = _shl64(*acc, 2 * m)
-                    acc = (hi | _from_right_L(piece[0], acc_w, 0),
-                           lo | _from_right_L(piece[1], acc_w, 0))
+                    acc = _or(_shl(acc, 2 * m),
+                              [_from_right_L(x, acc_w, 0) for x in piece])
                     acc_w += m
-        fhi, flo = acc
-        if 2 * k > 32:
-            fhi = fhi & _u32((1 << (2 * k - 32)) - 1)
-        else:
-            fhi = jnp.zeros_like(fhi)
+        fwd = acc
+        # mask bits above 2k
+        for i in range(nl):
+            lo_bit = 32 * i
+            if 2 * k <= lo_bit:
+                fwd[i] = jnp.zeros_like(fwd[i])
+            elif 2 * k < lo_bit + 32:
+                fwd[i] = fwd[i] & _u32((1 << (2 * k - lo_bit)) - 1)
 
         # validity: window fits and contains no invalid base
         inval = (b >= 4).astype(jnp.int32)
@@ -118,23 +161,20 @@ def _make_kernel(k: int, L: int):
             d += step
         valid = (win_bad == 0) & (col + k <= L)
 
-        # reverse complement of the 2k-bit pair
-        chi = ~fhi
-        clo = ~flo
-        rhi = _rev2bits_u32(clo)
-        rlo = _rev2bits_u32(chi)
-        rhi, rlo = _shr64(rhi, rlo, 64 - 2 * k)
+        # reverse complement: complement, reverse 2-bit groups across
+        # the whole 32*nl-bit value, shift down to the low 2k bits
+        comp = [~x for x in fwd]
+        rev = [_rev2bits_u32(x) for x in reversed(comp)]
+        rev = _shr(rev, 32 * nl - 2 * k)
 
-        rc_lt = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
-        khi = jnp.where(rc_lt, rhi, fhi)
-        klo = jnp.where(rc_lt, rlo, flo)
+        rc_lt = _lt(rev, fwd)
+        key = [jnp.where(rc_lt, r, f) for r, f in zip(rev, fwd)]
         orient = rc_lt.astype(jnp.int32)
 
         # edge byte (ref db_node.h nuc_orient_to_edge; build.py
         # reads_to_records): following base fw bit + preceding base rv
         # bit, gated on the neighbour window being valid
         nxt = _from_right_L(b, k, 4)
-        # prev base: shift left by 1 (b[:, i-1]); col 0 invalid
         prv = pltpu.roll(b, _i32(1), 1)
         prv = jnp.where(col == 0, _i32(4), prv)
         valid_i = valid.astype(jnp.int32)
@@ -147,9 +187,11 @@ def _make_kernel(k: int, L: int):
         ebyte = jnp.where(vnext == 1, fw_bit, _i32(0)) | \
             jnp.where(vprev == 1, rv_bit, _i32(0))
 
-        # sentinel-fill invalid windows so outputs feed the sort as-is
-        khi_ref[:] = jnp.where(valid, khi.astype(jnp.int32), _i32(-1))
-        klo_ref[:] = jnp.where(valid, klo.astype(jnp.int32), _i32(-1))
+        # sentinel-fill invalid windows so outputs feed the sort as-is;
+        # key planes MSB-first (limb list is LSB-first)
+        for p in range(nl):
+            key_refs[p][:] = jnp.where(
+                valid, key[nl - 1 - p].astype(jnp.int32), _i32(-1))
         eb_ref[:] = jnp.where(valid, ebyte, _i32(0))
         valid_ref[:] = valid.astype(jnp.int32)
 
@@ -158,10 +200,13 @@ def _make_kernel(k: int, L: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False):
-    """bases (B, L) uint8 -> (key_hi, key_lo, ebyte, valid): (B, L) i32
+    """bases (B, L) uint8 -> (*key_planes, ebyte, valid): (B, L) i32
     planes, invalid windows sentinel-filled (-1 keys, 0 edges).
-    k <= 31 (W = 1) only."""
-    assert k <= 31
+
+    key_planes are most-significant-first u32 halves of the canonical
+    key words: 2 planes for k <= 31, 4 planes for 31 < k <= 63."""
+    assert k <= 63
+    nl = 2 if k <= 31 else 4
     B, L = bases.shape
     pad = (-B) % TILE_B
     b32 = bases.astype(jnp.int32)
@@ -178,17 +223,18 @@ def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False):
             axis=1)
     NB = b32.shape[0] // TILE_B
     zero = np.int32(0)
+    n_out = nl + 2
     outs = pl.pallas_call(
-        _make_kernel(k, Lp),
+        _make_kernel(k, Lp, nl),
         grid=(NB,),
         in_specs=[pl.BlockSpec((TILE_B, Lp), lambda i: (i, zero),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(pl.BlockSpec((TILE_B, Lp), lambda i: (i, zero),
                                      memory_space=pltpu.VMEM)
-                        for _ in range(4)),
+                        for _ in range(n_out)),
         out_shape=tuple(jax.ShapeDtypeStruct((NB * TILE_B, Lp),
                                              jnp.int32)
-                        for _ in range(4)),
+                        for _ in range(n_out)),
         interpret=interpret,
     )(b32)
     return tuple(o[:B, :L] for o in outs)
