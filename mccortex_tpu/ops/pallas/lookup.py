@@ -1,0 +1,210 @@
+"""Pallas TPU kernel: fused batched lookup (VERDICT r2 item 4).
+
+The planar hashed-bucket index (ops/hashidx.py) answers a batched
+lookup with one XLA row gather of a (P*EPR)-lane bucket row per query —
+measured 57M lookups/s on v5e.  This kernel replaces the XLA gather
+with an explicit DMA pipeline: each query's 128-lane bucket row is
+fetched with one dynamic-offset async copy (512B), 128 copies
+outstanding per wave, and the compare runs as one (128, 128) VPU block
+per wave — queries live on the sublane axis (pre-transposed by XLA), so
+no in-kernel transpose is ever needed.
+
+Table layout (one 128-lane row per bucket, P = 2W+1 logical planes):
+    [w0_hi x S | w0_lo x S | ... | row_idx x S | pad]
+with S = 128 // P slots per bucket; empty/pad slots hold 0xFFFFFFFF in
+the w0_hi section, which no canonical kmer can have (k odd => word 0
+carries at most 62 payload bits).  bucket(key) = kmer_hash(key) >>
+(64 - b_bits); the host build retries with twice the buckets if any
+bucket overflows S, so the index is exact.
+
+Reference role: hash_table_find's single-probe bucket scan
+(/root/reference/src/graph/hash_table.c:84-121) — one memory
+transaction plus an in-bucket vector compare per query.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import kmer as kops
+from ..hashidx import _hash_np
+
+LANES = 128
+NWQ = 16                  # waves (of 128 queries) per grid step
+QB = LANES * NWQ          # queries per grid step
+_EMPTY = np.uint32(0xFFFFFFFF)
+
+
+def _i32(v):
+    return jnp.int32(v)
+
+
+def slots_for(W: int) -> int:
+    return LANES // (2 * W + 1)
+
+
+def build_table128(keys_np: np.ndarray, occ: float = 0.35,
+                   b_bits: int | None = None):
+    """Build the 128-lane-row table from live (n, W) uint64 keys.
+
+    Returns (table (B, 128) uint32, b_bits).  occ = target mean
+    occupancy fraction of the S slots; grows b_bits until no bucket
+    overflows."""
+    n, W = keys_np.shape
+    S = slots_for(W)
+    P = 2 * W + 1
+    if b_bits is None:
+        target = max(1.0, n / max(S * occ, 1.0))
+        b_bits = max(1, int(np.ceil(np.log2(target))))
+    h = _hash_np(keys_np)
+    while True:
+        B = 1 << b_bits
+        bucket = (h >> np.uint64(64 - b_bits)).astype(np.int64)
+        occ_cnt = np.bincount(bucket, minlength=B)
+        if occ_cnt.max() <= S:
+            break
+        b_bits += 1
+    order = np.argsort(bucket, kind="stable")
+    sb = bucket[order]
+    start = np.searchsorted(sb, np.arange(B))
+    rank = (np.arange(n) - start[sb]).astype(np.int64)
+    table = np.full((B, LANES), _EMPTY, np.uint32)
+    for w in range(W):
+        kw = keys_np[order, w]
+        table[sb, (2 * w) * S + rank] = (kw >> np.uint64(32)).astype(
+            np.uint32)
+        table[sb, (2 * w + 1) * S + rank] = kw.astype(np.uint32)
+    table[sb, 2 * W * S + rank] = order.astype(np.uint32)
+    return table, b_bits
+
+
+def _make_kernel(W: int):
+    S = slots_for(W)
+    NQP = 2 * W           # query planes (hi/lo per word)
+
+    def kernel(*refs):
+        # inputs: table (ANY), bkt (SMEM (QB,)), NQP query planes
+        # (VMEM (LANES, NWQ) transposed); outputs: idxT, foundT
+        # (VMEM (LANES, NWQ)); scratch: rows (2, LANES, LANES) + sems
+        table = refs[0]
+        bkt = refs[1]
+        qrefs = refs[2:2 + NQP]
+        idx_ref = refs[2 + NQP]
+        fnd_ref = refs[3 + NQP]
+        rows = refs[4 + NQP]
+        sems = refs[5 + NQP]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+
+        def issue(w: int, buf: int):
+            base = _i32(w * LANES)
+
+            def body(q, _):
+                cp = pltpu.make_async_copy(
+                    table.at[pl.ds(bkt[base + q], 1), :],
+                    rows.at[_i32(buf), pl.ds(q, 1), :],
+                    sems.at[_i32(buf)])
+                cp.start()
+                return 0
+
+            jax.lax.fori_loop(0, LANES, body, 0)
+
+        def wait(buf: int):
+            def body(q, _):
+                pltpu.make_async_copy(
+                    rows.at[_i32(buf), pl.ds(q, 1), :],
+                    rows.at[_i32(buf), pl.ds(q, 1), :],
+                    sems.at[_i32(buf)]).wait()
+                return 0
+
+            jax.lax.fori_loop(0, LANES, body, 0)
+
+        issue(0, 0)
+        # waves unrolled: static lane-dim slices (dynamic lane slicing
+        # is off Mosaic's vector path)
+        for w in range(NWQ):
+            buf = w & 1
+            if w + 1 < NWQ:
+                issue(w + 1, 1 - buf)     # overlap next wave's DMAs
+            wait(buf)
+            blk = rows[_i32(buf)]         # (LANES, LANES) u32
+            # align every section to lanes [0, S): after rolling section
+            # p left by p*S, lane s holds that section's slot-s value,
+            # so slot s matches iff ALL rolled planes equal the query
+            eq = (lane < _i32(S)).astype(jnp.int32)
+            for p in range(NQP):
+                sh = (LANES - p * S) % LANES
+                rp = pltpu.roll(blk, _i32(sh), 1) if sh else blk
+                qv = qrefs[p][:, w:w + 1]          # (LANES, 1) u32
+                eq = eq * (rp == qv).astype(jnp.int32)
+            idx_sec = pltpu.roll(blk, _i32(LANES - NQP * S), 1)
+            fnd = jnp.max(eq, axis=1, keepdims=True)
+            idxv = jnp.max(eq * idx_sec.astype(jnp.int32), axis=1,
+                           keepdims=True)
+            idx_ref[:, w:w + 1] = idxv
+            fnd_ref[:, w:w + 1] = fnd
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("b_bits", "W", "interpret"))
+def lookup_fused(table: jnp.ndarray, queries: jnp.ndarray, b_bits: int,
+                 W: int, interpret: bool = False):
+    """(idx, found) per query key (..., W): Pallas DMA-pipelined probe.
+
+    Same contract as hashidx.lookup_planar.  Query count is padded to a
+    multiple of QB with sentinel queries."""
+    S = slots_for(W)
+    qshape = queries.shape[:-1]
+    q = queries.reshape((-1, W))
+    Q = q.shape[0]
+    pad = (-Q) % QB
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.full((pad, W), 0xFFFFFFFFFFFFFFFF, jnp.uint64)])
+    Qp = q.shape[0]
+    h = kops.kmer_hash(q)
+    bkt = (h >> jnp.uint64(64 - b_bits)).astype(jnp.int32)
+    # sentinel queries would match empty slots: probe bucket 0 and mask
+    valid = ~jnp.all(q == jnp.uint64(0xFFFFFFFFFFFFFFFF), axis=-1)
+    # w0_hi of a valid canonical kmer is < 2**30, so EMPTY never matches
+    # a valid query; invalid queries masked below.
+    qplanes = []
+    for w in range(W):
+        qplanes.append((q[:, w] >> jnp.uint64(32)).astype(jnp.uint32))
+        qplanes.append(q[:, w].astype(jnp.uint32))
+    # transpose to (LANES, Qp/LANES): query i -> [i % 128, i // 128]
+    qT = [x.reshape(-1, LANES).T for x in qplanes]
+
+    NB = Qp // QB
+    zero = np.int32(0)
+    vspec = pl.BlockSpec((LANES, NWQ), lambda i: (zero, i),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel(W),
+        grid=(NB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((QB,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)]
+        + [vspec] * (2 * W),
+        out_specs=(vspec, vspec),
+        out_shape=(jax.ShapeDtypeStruct((LANES, Qp // LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((LANES, Qp // LANES), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((2, LANES, LANES), jnp.uint32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(table, bkt, *qT)
+    idxT, fndT = outs
+    idx = idxT.T.reshape(-1)[:Qp]
+    fnd = fndT.T.reshape(-1)[:Qp] != 0
+    fnd = fnd & valid
+    idx = jnp.where(fnd, idx, 0)
+    return (idx[:Q].reshape(qshape) if pad else idx.reshape(qshape),
+            (fnd[:Q] if pad else fnd).reshape(qshape))
