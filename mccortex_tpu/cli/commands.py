@@ -44,6 +44,11 @@ def cmd_build(argv):
     p.add_argument("--intersect", default=None,
                    help="only keep kmers also present in this graph "
                         "(ref ctx_build.c --intersect)")
+    p.add_argument("--ref", default=None,
+                   help="reference FASTA for mapped-CRAM inputs "
+                        "(htslib resolves it via REF_PATH/M5; here "
+                        "explicit; unmapped/embedded-ref CRAMs need "
+                        "none)")
     p.add_argument("-o", "--out", dest="out_explicit", default=None)
     p.add_argument("out", nargs="?", default=None)
     # pair --sample/--seq by order on the command line
@@ -58,6 +63,10 @@ def cmd_build(argv):
     from ..graph import store as gstore
     from ..io import ctx as ctxio
     from ..io import seqio
+    if args.ref:
+        from ..graph import kmer_occur as _KO
+        _rg = _KO.RefGenome.from_fasta(args.ref)
+        seqio.CRAM_REF = {n: s for n, s in zip(_rg.names, _rg.seqs)}
     import jax.numpy as jnp
 
     k = args.kmer

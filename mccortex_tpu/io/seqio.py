@@ -32,10 +32,26 @@ def _openseq(path):
     return open(path, "rt")
 
 
+# Optional reference for mapped-CRAM decoding ({name: seq} dict or a
+# RefGenome), set by `mctx build --ref` (htslib finds it via REF_PATH;
+# here it is explicit).
+CRAM_REF = None
+
+
+def _is_cram(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"CRAM"
+
+
 def parse_reads(path: str) -> Iterator[Read]:
-    """Yield reads from FASTA/FASTQ/SAM/BAM (gz/BGZF ok); format
+    """Yield reads from FASTA/FASTQ/SAM/BAM/CRAM (gz/BGZF ok); format
     auto-detected (ref ctx_build.c:29 input formats, via libs/seq_file).
     Secondary/supplementary alignments are skipped."""
+    if _is_cram(path):
+        from .cram import parse_cram
+        for name, seq, quals in parse_cram(path, ref=CRAM_REF):
+            yield Read(name, seq.upper(), quals)
+        return
     if _is_bam(path):
         yield from _parse_bam(path)
         return
@@ -297,6 +313,9 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
         yield from read_batches(paths, batch_size, max_len, colour)
         return
     for path in paths:
+        if _is_cram(path):       # CRAM decodes in python (io/cram.py)
+            yield from read_batches([path], batch_size, max_len, colour)
+            continue
         h = lib.mctx_seq_open(path.encode())
         if not h:
             raise FileNotFoundError(path)
