@@ -206,6 +206,81 @@ def main():
     assert all(v > 0 for v in vals)
     lookups_per_s = Q / dt_lk
 
+    extras = {}
+
+    # A/B: bitonic Pallas sort vs lax.sort in the same epoch
+    try:
+        @jax.jit
+        def epoch_bt(bases, salt):
+            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                               axis=0)
+            from mccortex_tpu.graph.build import count_batch_fused
+            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
+                                              sort_impl="bitonic")
+            return n
+
+        n = epoch_bt(bases, jnp.int64(0))
+        int(n)
+        n = epoch_bt(bases, n)
+        int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = epoch_bt(bases, n)
+        int(n)
+        extras["build_bitonic_kmers_per_s"] = round(
+            kmers / ((time.perf_counter() - t0) / iters))
+    except Exception as e:
+        extras["build_bitonic_error"] = str(e)[:200]
+        print("bench: bitonic A/B failed: %s" % e, file=sys.stderr)
+
+    # k=63 epoch (two-word keys through the W=2 fused front-end)
+    try:
+        @jax.jit
+        def epoch63(bases, salt):
+            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                               axis=0)
+            keys, covg, edges, n = count_batch_best(shifted, 63, 1, 0)
+            return n
+
+        n = epoch63(bases, jnp.int64(0))
+        int(n)
+        n = epoch63(bases, n)
+        int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = epoch63(bases, n)
+        int(n)
+        kmers63 = B * (L - 63 + 1)
+        extras["build_k63_kmers_per_s"] = round(
+            kmers63 / ((time.perf_counter() - t0) / iters))
+    except Exception as e:
+        extras["build_k63_error"] = str(e)[:200]
+        print("bench: k63 failed: %s" % e, file=sys.stderr)
+
+    # A/B: Pallas DMA lookup vs the XLA planar row gather
+    try:
+        from mccortex_tpu.ops.pallas import lookup as PLK
+        keys_live = np.asarray(store_keys)
+        t128, bb128 = PLK.build_table128(keys_live)
+        t128j = jnp.asarray(t128)
+
+        @jax.jit
+        def lkp(tbl, qk):
+            idx, found = PLK.lookup_fused(tbl, qk, bb128, 1)
+            return (idx * found).astype(jnp.int64).sum()
+
+        np.asarray(lkp(t128j, qks[0]))
+        np.asarray(lkp(t128j, qks[1]))
+        t0 = time.perf_counter()
+        outs2 = [lkp(t128j, q) for q in qks]
+        vals2 = [np.asarray(o) for o in outs2]
+        dt2 = (time.perf_counter() - t0) / nbuf
+        assert all(v > 0 for v in vals2)
+        extras["lookup_fused_kmers_per_s"] = round(Q / dt2)
+    except Exception as e:
+        extras["lookup_fused_error"] = str(e)[:200]
+        print("bench: fused lookup failed: %s" % e, file=sys.stderr)
+
     out = {
         "metric": "build_kmers_per_s_per_chip",
         "value": round(kmers_per_s),
@@ -214,7 +289,14 @@ def main():
         "build_cov_kmers_per_s": round(cov_kmers_per_s),
         "lookup_kmers_per_s": round(lookups_per_s),
         "breakdown_ms": bd,
+        **extras,
     }
+    # headline = the best exact build path measured this run
+    if extras.get("build_bitonic_kmers_per_s", 0) > out["value"]:
+        out["value"] = extras["build_bitonic_kmers_per_s"]
+        out["vs_baseline"] = round(
+            out["value"] / CPU_BASELINE_KMERS_PER_S, 3)
+        out["sort_impl"] = "bitonic"
     print(json.dumps(out))
     return 0
 

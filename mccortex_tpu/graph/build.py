@@ -367,25 +367,34 @@ def build(reads_batches, k: int, ncols: int = 1,
     programs; levels above SPILL_LEVEL merge on host (native u64
     compares, no device watchdog exposure).
     """
+    from collections import deque
+
     stack = []  # [(level, keys, covg, edges)] — at most one per level
-    pending = None   # 1-deep pipeline: dispatch batch i+1 before the
-    #                  live-count of batch i is fetched, so the ~RPC
-    #                  round-trip of int(nu) overlaps the next epoch
+    # BUILD_DEPTH-deep dispatch pipeline: batches i+1..i+D are enqueued
+    # before batch i's live count is consumed, and every count is
+    # host-fetched ASYNCHRONOUSLY right after dispatch — on the axon
+    # tunnel each blocking int(n) is a full RPC round trip, so the
+    # fetches now overlap later epochs instead of serialising them
+    # (VERDICT r2 item 3: close the end-to-end vs epoch gap).
+    pending: deque = deque()
 
     def fold(item):
         while stack and stack[-1][0] == item[0]:
             item = _merge_items(item, stack.pop())
         stack.append(item)
 
+    def drain_one():
+        keys, covg, edges, nu = pending.popleft()
+        fold(_compact_item(keys, covg, edges, int(nu)))
+
     for bases, colour in reads_batches:
         out = count_batch_best(jnp.asarray(bases), k, ncols, colour)
-        if pending is not None:
-            keys, covg, edges, nu = pending
-            fold(_compact_item(keys, covg, edges, int(nu)))
-        pending = out
-    if pending is not None:
-        keys, covg, edges, nu = pending
-        fold(_compact_item(keys, covg, edges, int(nu)))
+        _async_fetch(out[3])
+        pending.append(out)
+        if len(pending) >= BUILD_DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
     if not stack:
         return gstore.empty(k, capacity or 1024, ncols)
     item = stack.pop()
@@ -411,6 +420,16 @@ def build(reads_batches, k: int, ncols: int = 1,
 
 
 MIN_LEVEL = 1 << 15
+BUILD_DEPTH = 3   # epochs in flight before a live count is consumed
+
+
+def _async_fetch(n):
+    """Start the device->host copy of a scalar without blocking; the
+    later int(n) then completes from the in-flight transfer."""
+    try:
+        n.copy_to_host_async()
+    except Exception:
+        pass
 
 
 def _compact_item(keys, covg, edges, n_live: int):
@@ -440,6 +459,7 @@ def _merge_items(a, b):
         mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
                                            b[1], b[2], b[3],
                                            sort_impl=SORT_IMPL)
+        _async_fetch(n)
         return _compact_item(mk, mc, me, int(n))
     mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
     return (mk.shape[0], mk, mc, me)
