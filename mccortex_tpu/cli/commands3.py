@@ -134,17 +134,53 @@ def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
             dropped += 1
             continue
         if r5 is None or r3 is None or r5["chrom"] != r3["chrom"] or \
-           r5["strand"] != 0 or r3["strand"] != 0:
-            dropped += 1
+           r5["strand"] != r3["strand"]:
+            dropped += 1     # unmapped / diff chrom / diff strands
             continue
         ci = r5["chrom"]
         cseq = ref.seqs[ci]
-        ref_start = r5["last"] + k
-        ref_end = r3["first"] + k - 1
+        fw = r5["strand"] == 0
+        f5seq = call.get("flank5p", "")
+        f3seq = call.get("flank3p", "")
+        # footprints in forward ref coords (runs are kmer starts;
+        # minus runs have first > last)
+        f5lo, f5hi = (min(r5["first"], r5["last"]),
+                      max(r5["first"], r5["last"]) + k)
+        f3lo, f3hi = (min(r3["first"], r3["last"]),
+                      max(r3["first"], r3["last"]) + k)
+        # our 3' flank sequence starts AT the re-contact kmer, so the
+        # allele/ref boundary sits k-1 bases into the 3' footprint
+        if fw:
+            ref_start, ref_end = f5hi, f3lo + (k - 1)
+        else:
+            ref_start, ref_end = f3hi - (k - 1), f5lo
+        # flank bases beyond the matched runs join the allele (ref
+        # decomp_brkpt_call flank trims); with our caller's runs these
+        # are zero, but foreign files may differ
+        trim5 = max(len(f5seq) - (r5["qoffset"] + (f5hi - f5lo)), 0)
+        trim3 = min(max(r3["qoffset"], 0), len(f3seq))
         if ref_end < ref_start:
-            dropped += 1
-            continue
-        recs = nw.decompose(cseq[ref_start:ref_end], allele, ref_start,
+            # overlapping flank mappings: trim flanks into the allele
+            diff = ref_start - ref_end
+            t5 = min(diff, len(f5seq) - trim5)
+            trim5 += t5
+            diff -= t5
+            t3 = min(diff, len(f3seq) - trim3)
+            trim3 += t3
+            diff -= t3
+            if diff > 0:
+                dropped += 1     # flanks overlap too much (ref -4)
+                continue
+            if fw:
+                ref_start, ref_end = ref_start - t5, ref_end + t3
+            else:
+                ref_start, ref_end = ref_start - t3, ref_end + t5
+        branch = ((f5seq[len(f5seq) - trim5:] if trim5 else "")
+                  + allele + f3seq[:trim3])
+        if not fw:
+            from ..utils.dna import revcomp
+            branch = revcomp(branch)
+        recs = nw.decompose(cseq[ref_start:ref_end], branch, ref_start,
                             cseq)
         for (p0, r, a) in recs:
             if r != a:

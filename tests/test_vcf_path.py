@@ -273,3 +273,58 @@ def test_calls2vcf_largest_run_choice():
     rb = dict(ra, first=50, last=60, qoffset=5)
     assert _largest_run([ra, rb], use_first=False) is rb
     assert _largest_run([ra, rb], use_first=True) is ra
+
+
+def test_breakpoint_minus_strand_call_decomposes(tmp_path):
+    """A call whose flanks map to the minus strand must decompose to
+    the same variant as its plus-strand twin (ref decomp_brkpt_call
+    revcomps the branch and swaps the flank roles)."""
+    from mccortex_tpu.cli.main import main as mctx
+    import gzip
+    k = 11
+    ref_seq = random_dna(400, seed=610)
+    sample = ref_seq[:170] + ref_seq[230:]       # 60bp deletion
+    ref_fa = str(tmp_path / "ref.fa")
+    s_fa = str(tmp_path / "s.fa")
+    write_fasta(ref_fa, [ref_seq])
+    write_fasta(s_fa, [sample])
+    ctx = str(tmp_path / "g.ctx")
+    calls = str(tmp_path / "bk.txt.gz")
+    assert mctx(["build", "-k", str(k), "--sample", "ref", "--seq",
+                 ref_fa, "--sample", "s", "--seq", s_fa, ctx]) == 0
+    assert mctx(["breakpoints", "--seq", ref_fa, "-o", calls, ctx]) == 0
+    text = gzip.open(calls, "rt").read()
+    assert ":-:" in text, "expected a minus-strand call"
+    # keep ONLY minus-strand calls in the file
+    lines = text.split("\n")
+    out_lines, keep, block = [], False, []
+    hdr_done = False
+    for ln in lines:
+        if ln.startswith(">") and ln.split()[0].endswith("5pflank"):
+            block = [ln]
+            keep = ":-:" in ln
+        elif block:
+            block.append(ln)
+            if ln == "" and len(block) > 5:
+                if keep:
+                    out_lines.extend(block)
+                block = []
+        elif not ln.startswith(">"):
+            out_lines.append(ln)      # JSON header + comments
+    minus_calls = str(tmp_path / "minus.txt.gz")
+    with gzip.open(minus_calls, "wt") as fh:
+        fh.write("\n".join(out_lines) + "\n")
+    out_vcf = str(tmp_path / "minus.vcf")
+    assert mctx(["calls2vcf", "-o", out_vcf, minus_calls, ref_fa]) == 0
+    vcf = vcfio.read_vcf(out_vcf)
+    dels = [r for r in vcf.records
+            if len(r.ref) - len(r.alts[0]) == 60]
+    assert dels, [(r.pos, len(r.ref), len(r.alts[0]))
+                  for r in vcf.records]
+    # and the full file (both strands) dedups to one deletion record
+    all_vcf = str(tmp_path / "all.vcf")
+    assert mctx(["calls2vcf", "-o", all_vcf, calls, ref_fa]) == 0
+    vcf2 = vcfio.read_vcf(all_vcf)
+    dels2 = [r for r in vcf2.records
+             if len(r.ref) - len(r.alts[0]) == 60]
+    assert len(dels2) == 1 and dels2[0].pos == dels[0].pos
