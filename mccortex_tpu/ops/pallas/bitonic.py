@@ -52,14 +52,19 @@ def _i32(v):
     return jnp.int32(v)
 
 
-def _key_lt(a, b, nk):
-    """Lexicographic a < b over the first nk planes (i32 masks)."""
+def _key_lt_eq(a, b, nk):
+    """Lexicographic (a < b, a == b) over the first nk planes
+    (i32 masks); one pass yields both <= and >= for free."""
     lt = jnp.zeros_like(a[0], jnp.int32)
     eq = jnp.ones_like(a[0], jnp.int32)
     for p in range(nk):
         lt = lt | (eq * (a[p] < b[p]).astype(jnp.int32))
         eq = eq * (a[p] == b[p]).astype(jnp.int32)
-    return lt
+    return lt, eq
+
+
+def _key_lt(a, b, nk):
+    return _key_lt_eq(a, b, nk)[0]
 
 
 def _partner(x, j, r_blk):
@@ -89,8 +94,9 @@ def _cmpx(planes, j, dir_asc_i32, nk, r_blk):
     else:
         pos = jax.lax.broadcasted_iota(jnp.int32, planes[0].shape, 0)
         low = ((pos & _i32(j // LANES)) == 0).astype(jnp.int32)
-    le = 1 - _key_lt(partners, planes, nk)       # self <= partner
-    ge = 1 - _key_lt(planes, partners, nk)       # self >= partner
+    lt, eq = _key_lt_eq(planes, partners, nk)    # self < / == partner
+    le = lt | eq                                 # self <= partner
+    ge = 1 - lt                                  # self >= partner
     want_min = 1 - (low ^ dir_asc_i32)           # low==dir -> keep min
     take_self = jnp.where(want_min != 0, le, ge)
     return [jnp.where(take_self != 0, x, p)
