@@ -154,6 +154,31 @@ def get_index_for(keys: jnp.ndarray):
     return table_j, b_bits
 
 
+# "planar" = XLA bucket-row gather (lookup_planar); "fused" = the
+# Pallas DMA-pipelined kernel (ops/pallas/lookup.py).  Module global
+# read per call (host level, never inside jit).
+LOOKUP_IMPL = __import__("os").environ.get("MCTX_LOOKUP", "planar")
+
+_cache128: dict = {}
+
+
+def get_index128_for(keys: jnp.ndarray):
+    """Cached (table128, b_bits) for the Pallas lookup kernel."""
+    ck = (id(keys), keys.shape)
+    hit = _cache128.get(ck)
+    if hit is not None and hit[0] is keys:
+        return hit[1], hit[2]
+    from .pallas import lookup as PLK
+    keys_np = np.asarray(keys)
+    live = ~np.all(keys_np == np.uint64(0xFFFFFFFFFFFFFFFF), axis=-1)
+    table, b_bits = PLK.build_table128(keys_np[:int(live.sum())])
+    table_j = jnp.asarray(table)
+    if len(_cache128) > 4:
+        _cache128.clear()
+    _cache128[ck] = (keys, table_j, b_bits)
+    return table_j, b_bits
+
+
 def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     """Drop-in replacement for host-level sops.lookup(keys, queries):
     builds/fetches the planar index for `keys` and answers the batch in
@@ -161,6 +186,22 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     chunking are host-side); inside jit use sops.lookup or the
     adjacency cache."""
     W = keys.shape[1]
+    if LOOKUP_IMPL == "fused":
+        from .pallas import lookup as PLK
+        table, b_bits = get_index128_for(keys)
+        qshape = queries.shape[:-1]
+        q = queries.reshape((-1, W))
+        N = q.shape[0]
+        if N <= HCHUNK:
+            idx, found = PLK.lookup_fused(table, q, b_bits, W)
+            return idx.reshape(qshape), found.reshape(qshape)
+        idxs, founds = [], []
+        for s in range(0, N, HCHUNK):
+            i, f = PLK.lookup_fused(table, q[s:s + HCHUNK], b_bits, W)
+            idxs.append(i)
+            founds.append(f)
+        return (jnp.concatenate(idxs).reshape(qshape),
+                jnp.concatenate(founds).reshape(qshape))
     table, b_bits = get_index_for(keys)
     qshape = queries.shape[:-1]
     q = queries.reshape((-1, W))

@@ -64,8 +64,11 @@ def main(n_genomes: int = 100) -> int:
             fails.append((it, k, "unitigs"))
             continue
 
-        # (c) lossless reconstruction (clean single sequence)
-        seq = random_dna(max(glen, 3 * k), seed=int(rng.integers(1 << 30)))
+        # (c) lossless reconstruction (clean single sequence).
+        # FIXED length per k: varying shapes would compile a fresh XLA
+        # program per genome, and XLA:CPU dies after ~1000 in-process
+        # executables (CLAUDE.md landmine)
+        seq = random_dna(320, seed=int(rng.integers(1 << 30)))
         try:
             full = flanked(seq, k, seed=int(rng.integers(1 << 30)))
         except RuntimeError:
@@ -80,6 +83,7 @@ def main(n_genomes: int = 100) -> int:
         if (it + 1) % 10 == 0:
             print(f"[fuzz] {it + 1}/{n_genomes} ok so far "
                   f"({len(fails)} failures)", flush=True)
+            jax.clear_caches()   # XLA:CPU in-process compile cap
 
     print(f"[fuzz] {n_genomes} genomes, k in {ks}: "
           f"{n_genomes - len(fails)} passed, {len(fails)} failed"
