@@ -47,6 +47,7 @@ GAP_VARIANCE = 0.1   # ref correct_alignment.h:18 DEFAULT_CRTALN_GAP_VARIANCE
 GAP_WIGGLE = 5       # ref correct_alignment.h:19 DEFAULT_CRTALN_GAP_WIGGLE
 FRAG_LEN_MIN = 0     # ref correct_alignment.h DEFAULT_CRTALN_FRAGLEN_MIN
 FRAG_LEN_MAX = 1000  # ref correct_alignment.h:15 DEFAULT_CRTALN_FRAGLEN_MAX
+MAX_CONTEXT = 200    # ref correct_alignment.h:21 DEFAULT_CRTALN_MAX_CONTEXT
 
 MAX_GAP_HIST = 128      # ref correct_aln_stats.h:7 ALN_STATS_MAX_GAP
 MAX_FRAGLEN_HIST = 1024  # ref correct_aln_stats.h:8 ALN_STATS_MAX_FRAGLEN
@@ -190,6 +191,7 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   one_way: bool = True,
                   gap_variance: float = GAP_VARIANCE,
                   gap_wiggle: float = GAP_WIGGLE,
+                  max_context: int = MAX_CONTEXT,
                   aln_stats: CorrectAlnStats | None = None,
                   _return_parts: bool = False):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
@@ -254,21 +256,64 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                 aln_stats.num_mid_gaps += 1
             gap_bounds.append((max(0, lo_l), max(0, hi_l), hi_l < 0,
                                is_ins, ge))
+        # context priming (ref graph_walker_prime + traverse,
+        # DEFAULT_CRTALN_MAX_CONTEXT=200): each gap walker starts up to
+        # max_context aligned kmers BEFORE its anchor and takes forced
+        # steps along the read, picking up links on the way — without
+        # this, walkers enter gaps with empty cursors and in-gap forks
+        # that upstream links would resolve halt the walk
+        end_to_run = {}
+        start_to_run = {}
+        for b in range(B):
+            for (rs, re_) in runs_by_read[b]:
+                end_to_run[(b, re_)] = rs
+                start_to_run[(b, rs)] = re_
+        ctxs = []
+        for b, l, r in gaps:
+            cl = min(l - end_to_run[(b, l)], max_context)
+            cr = min(start_to_run[(b, r)] - r, max_context)
+            ctxs.append((cl, cr))
+        CTX = max(max(cl, cr) for cl, cr in ctxs)
+
+        def _last_bases(b, ps, flip):
+            rows = idx[b, ps].astype(np.int64)
+            ors = (orient[b, ps] ^ flip).astype(np.uint8)
+            return _verts_bases(g, rows * 2 + ors, k)
+
+        forced = np.zeros((2 * G, max(CTX, 1)), np.uint8)
+        forced_n = np.zeros(2 * G, np.int32)
+        for gi, (b, l, r) in enumerate(gaps):
+            cl, cr = ctxs[gi]
+            if cl:
+                ps = np.arange(l - cl + 1, l + 1)
+                forced[gi, :cl] = _last_bases(b, ps, 0)
+                forced_n[gi] = cl
+            if cr:
+                ps = np.arange(r + cr - 1, r - 1, -1)
+                forced[G + gi, :cr] = _last_bases(b, ps, 1)
+                forced_n[G + gi] = cr
+
         max_steps = int(min(max(hi for _, hi, _, _, _ in gap_bounds)
-                            + 2, 4096))
+                            + 2 + CTX, 4096 + CTX))
         # two walkers per gap: [0:G) left-forward, [G:2G) right-backward
-        seed_rows = np.array([idx[b, l] for b, l, _ in gaps]
-                             + [idx[b, r] for b, _, r in gaps], np.int32)
+        seed_rows = np.array(
+            [idx[b, l - ctxs[gi][0]] for gi, (b, l, _) in enumerate(gaps)]
+            + [idx[b, r + ctxs[gi][1]]
+               for gi, (b, _, r) in enumerate(gaps)], np.int32)
         seed_or = np.array(
-            [orient[b, l] for b, l, _ in gaps]
-            + [orient[b, r] ^ 1 for b, _, r in gaps], np.uint8)
+            [orient[b, l - ctxs[gi][0]]
+             for gi, (b, l, _) in enumerate(gaps)]
+            + [orient[b, r + ctxs[gi][1]] ^ 1
+               for gi, (b, _, r) in enumerate(gaps)], np.uint8)
         st = lwalk.linked_init(g, links, jnp.asarray(seed_rows),
                                jnp.asarray(seed_or), max_steps,
                                ctpcol=ctpcol)
         from ..graph import adjacency as adjmod
         st = lwalk.walk_linked(g, links, st, colour, max_steps=max_steps,
                                ctpcol=ctpcol,
-                               adj=adjmod.get_adjacency(g))
+                               adj=adjmod.get_adjacency(g),
+                               forced=jnp.asarray(forced),
+                               forced_n=jnp.asarray(forced_n))
         aln_stats.num_link_drops += lwalk.report_drops(st, "correct")
         wverts = np.asarray(st.base.out_vert)
         wlens = np.asarray(st.base.out_len)
@@ -277,10 +322,11 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
             if dead:
                 aln_stats.update(False)
                 continue
+            cl, cr = ctxs[gi]
             l_anchor = int(idx[b, l]) * 2 + int(orient[b, l])
             r_anchor = int(idx[b, r]) * 2 + int(orient[b, r])
-            Lw = wverts[gi, :int(wlens[gi])]
-            Rw = wverts[G + gi, :int(wlens[G + gi])]
+            Lw = wverts[gi, cl:int(wlens[gi])]
+            Rw = wverts[G + gi, cr:int(wlens[G + gi])]
             fill_verts = None
             act = 0
             if one_way:

@@ -349,7 +349,16 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 adj: jnp.ndarray | None = None,
                 conf_table: jnp.ndarray | None = None,
                 min_step: float = -1.0, min_cumul: float = -1.0,
-                track_used: bool = False) -> LinkedWalkState:
+                track_used: bool = False,
+                forced: jnp.ndarray | None = None,
+                forced_n: jnp.ndarray | None = None) -> LinkedWalkState:
+    """forced/forced_n: per-walker context priming (ref
+    graph_walker_prime + graph_walker_traverse): for the first
+    forced_n[i] steps, walker i takes forced[i, step] regardless of the
+    choose outcome — links are picked up and cursors consumed/killed
+    exactly as on a free walk (force_jump semantics).  The forced path
+    must exist in the graph (callers prime along aligned read kmers);
+    callers skip the first forced_n outputs."""
     start = st.base.nsteps
 
     def cond(st):
@@ -362,6 +371,18 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
         nuc, go, status, path_gap = _choose_linked(
             g, links, st, pop_nib, col_nib, missing_check)
         is_fork = status == T.USELINKS
+        if forced is not None:
+            fstep = b.nsteps - start
+            take = b.active & (fstep < forced_n)
+            fn = forced[jnp.arange(b.idx.shape[0]),
+                        jnp.clip(fstep, 0, forced.shape[1] - 1)]
+            nuc = jnp.where(take, fn, nuc).astype(jnp.uint8)
+            go = go | take
+            # cursors are consumed at in-colour forks on forced steps
+            # too (ref _graph_walker_force_jump is_fork argument)
+            cnt = ((col_nib & 1) + ((col_nib >> 1) & 1)
+                   + ((col_nib >> 2) & 1) + ((col_nib >> 3) & 1))
+            is_fork = jnp.where(take, cnt > 1, is_fork)
         adv = b.active & go
         lost_nuc = kops.first_base(b.okm, g.k)
         nxt_okm = kops.shift_append(b.okm, nuc, g.k)

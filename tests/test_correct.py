@@ -120,3 +120,57 @@ def test_cli_links_clean(tmp_path):
     after = ctpio.load_ctp(cleaned, g)
     assert after.nlinks < before.nlinks
     assert (np.asarray(after.nseen).sum(axis=1) >= 2).all()
+
+
+def test_gap_fill_context_priming_resolves_fork():
+    """A gap whose in-gap fork is resolvable ONLY by a link picked up
+    upstream of the gap (ref graph_walker_prime, max_context=200).
+
+    Links attach just outside junctions (fw at merge-1, rv at fork+1),
+    so to defeat the un-primed walkers BOTH gap-edge attach nodes must
+    carry tied (conflicting, same pickup age) links while an older
+    resolving link sits further upstream:
+
+      s1 = u + S + z1     (the read's true route)
+      s2 = v + S + z2     (ties the fw links at the in-S attach node)
+      s4 = w + S[3:] + z1 (creates merge M2 at S[3]; ties the rv links
+                           at fork+1)
+
+    err = M2 + k - 1 = the S-exit fork position: the free forward
+    walker seeds at M2-1 holding only the {z1,z2} tie; the free
+    backward walker seeds at fork+1 holding only the tied rv links.
+    The primed forward walker also carries s1's OLDER link from
+    merge1-1 (unique u context) and the oldest-age vote resolves z1."""
+    from util import random_dna, seq_to_codes
+    from test_links import build_g, thread_all
+    from mccortex_tpu.align import correct as C
+    k = 11
+    S = random_dna(24, seed=901)
+    u = random_dna(60, seed=902)[:-1] + "G"
+    v = random_dna(60, seed=903)[:-1] + "T"
+    z1 = "A" + random_dna(59, seed=904)
+    z2 = "C" + random_dna(59, seed=905)
+    w4 = random_dna(60, seed=906)[:-1] + "C"
+    S = S[:2] + "A" + S[3:]          # S[2] != w4[-1] (real merge M2)
+    s1 = u + S + z1
+    s2 = v + S + z2
+    s4 = w4 + S[3:] + z1
+    g = build_g([(s1, 0), (s2, 0), (s4, 0)], k)
+    links = thread_all(g, [(s1, 0), (s2, 0), (s4, 0)])
+
+    err_pos = len(u) + 13            # = M2 + k - 1 = S-exit fork
+    base = s1[err_pos]
+    alt = "ACGT"[("ACGT".index(base) + 1) % 4]
+    read = s1[:err_pos] + alt + s1[err_pos + 1:]
+    codes = seq_to_codes(read)[None, :]
+
+    stats = C.CorrectAlnStats()
+    out = C.correct_batch(g, links, codes, colour=None,
+                          aln_stats=stats)
+    assert stats.num_mid_traversed == 1, stats.summary()
+    assert out[0].seq == s1          # corrected onto the z1 branch
+
+    stats0 = C.CorrectAlnStats()
+    C.correct_batch(g, links, codes, colour=None, max_context=0,
+                    aln_stats=stats0)
+    assert stats0.num_mid_traversed == 0, stats0.summary()
