@@ -68,7 +68,7 @@ class CorrectAlnStats:
     contig_histgrm: dict = dataclasses.field(default_factory=dict)
     num_gap_attempts: int = 0
     num_gap_successes: int = 0
-    num_paths_disagreed: int = 0   # no end-check walker here; stays 0
+    num_paths_disagreed: int = 0   # end-check rejections (use_end_check)
     num_gaps_too_short: int = 0
     num_ins_gaps: int = 0
     num_ins_traversed: int = 0
@@ -80,10 +80,12 @@ class CorrectAlnStats:
     num_link_drops: int = 0        # link pickups dropped (bounded CMAX
     #                                slots; ref lists are unbounded)
 
-    def update(self, traversed: bool, too_short: bool = False):
+    def update(self, traversed: bool, too_short: bool = False,
+               disagreed: bool = False):
         self.num_gap_attempts += 1
         self.num_gap_successes += traversed
         self.num_gaps_too_short += too_short
+        self.num_paths_disagreed += disagreed
 
     def add_gap(self, exp_seq_gap: int, act_gap: int):
         """Sequencing-error gap (ref correct_aln_stats_add)."""
@@ -130,6 +132,8 @@ class CorrectAlnStats:
                 f"too short {self.num_gaps_too_short}; "
                 f"mid {self.num_mid_traversed}/{self.num_mid_gaps}, "
                 f"insert {self.num_ins_traversed}/{self.num_ins_gaps}"
+                + (f"; end-check rejected {self.num_paths_disagreed}"
+                   if self.num_paths_disagreed else "")
                 + (f"; link pickups dropped {self.num_link_drops}"
                    if self.num_link_drops else ""))
 
@@ -192,6 +196,7 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                   gap_variance: float = GAP_VARIANCE,
                   gap_wiggle: float = GAP_WIGGLE,
                   max_context: int = MAX_CONTEXT,
+                  end_check: bool = True,
                   aln_stats: CorrectAlnStats | None = None,
                   _return_parts: bool = False):
     """Gap-fill a read batch.  Returns list[CorrectedRead] (empty entry
@@ -293,8 +298,13 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                 forced[G + gi, :cr] = _last_bases(b, ps, 1)
                 forced_n[G + gi] = cr
 
+        # end-check margin: after bridging, the walk continues freely;
+        # those post-anchor choices are compared against the read's
+        # aligned nodes (ref graph_walker_agrees_contig via
+        # use_end_check, default on) — a disagreement rejects the bridge
+        ec_win = 32 if end_check else 0
         max_steps = int(min(max(hi for _, hi, _, _, _ in gap_bounds)
-                            + 2 + CTX, 4096 + CTX))
+                            + 2 + CTX, 4096 + CTX)) + ec_win
         # two walkers per gap: [0:G) left-forward, [G:2G) right-backward
         seed_rows = np.array(
             [idx[b, l - ctxs[gi][0]] for gi, (b, l, _) in enumerate(gaps)]
@@ -329,17 +339,40 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
             Rw = wverts[G + gi, cr:int(wlens[G + gi])]
             fill_verts = None
             act = 0
+
+            def _exp_fwd(d):
+                # post-gap aligned nodes r+1..run_end, the walker's
+                # continued free output must agree with them (ref
+                # graph_walker_agrees_contig; halting early = agree)
+                re_ = start_to_run[(b, r)]
+                tail = Lw[d + 1:].astype(np.int64)
+                ps = np.arange(r + 1, re_ + 1)
+                exp = idx[b, ps].astype(np.int64) * 2 + orient[b, ps]
+                n = min(len(tail), len(exp))
+                return bool((tail[:n] == exp[:n]).all())
+
+            def _exp_bwd(d):
+                rs = end_to_run[(b, l)]
+                tail = Rw[d + 1:].astype(np.int64)
+                ps = np.arange(l - 1, rs - 1, -1)
+                exp = (idx[b, ps].astype(np.int64) * 2
+                       + orient[b, ps]) ^ 1
+                n = min(len(tail), len(exp))
+                return bool((tail[:n] == exp[:n]).all())
+
             if one_way:
                 # forward: first re-acquisition of the right anchor
                 hit = np.nonzero(Lw[:hi + 1] == r_anchor)[0]
                 if hit.size:
                     d = int(hit[0])
-                    if d >= lo:
+                    if d < lo:
+                        aln_stats.update(False, too_short=True)
+                    elif end_check and not _exp_fwd(d):
+                        aln_stats.update(False, disagreed=True)
+                    else:
                         fill_verts = Lw[:d].astype(np.int64)
                         act = d
                         aln_stats.update(True)
-                    else:
-                        aln_stats.update(False, too_short=True)
                 else:
                     aln_stats.update(False)
                 if fill_verts is None:
@@ -347,13 +380,15 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                     hit = np.nonzero(Rw[:hi + 1] == (l_anchor ^ 1))[0]
                     if hit.size:
                         d = int(hit[0])
-                        if d >= lo:
+                        if d < lo:
+                            aln_stats.update(False, too_short=True)
+                        elif end_check and not _exp_bwd(d):
+                            aln_stats.update(False, disagreed=True)
+                        else:
                             fill_verts = (Rw[:d].astype(np.int64)
                                           ^ 1)[::-1]
                             act = d
                             aln_stats.update(True)
-                        else:
-                            aln_stats.update(False, too_short=True)
                     else:
                         aln_stats.update(False)
             else:
@@ -468,6 +503,8 @@ def correct_pairs(g: gstore.DBGraph, links, codes1: np.ndarray,
                   frag_len_min: int = FRAG_LEN_MIN,
                   frag_len_max: int = FRAG_LEN_MAX,
                   one_way: bool = True,
+                  max_context: int = MAX_CONTEXT,
+                  end_check: bool = True,
                   aln_stats: CorrectAlnStats | None = None):
     """Paired-end correction (ref ctx_correct --seq2): mates are laid
     out as one fragment row (r1 + break + revcmp(r2)) so gap bridging
@@ -483,6 +520,7 @@ def correct_pairs(g: gstore.DBGraph, links, codes1: np.ndarray,
     res = correct_batch(g, links, rows, colour=colour,
                         mate_col=mate_col, frag_len_min=frag_len_min,
                         frag_len_max=frag_len_max, one_way=one_way,
+                        max_context=max_context, end_check=end_check,
                         aln_stats=aln_stats, _return_parts=True)
     idx, orient, runs_by_read, fills, lastb, okm_all, P = res
     B = rows.shape[0]

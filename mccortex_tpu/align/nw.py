@@ -17,6 +17,14 @@ GAP_OPEN = -4
 GAP_EXTEND = -1
 
 
+def set_scoring(match: int = 1, mismatch: int = -2, gap_open: int = -4,
+                gap_extend: int = -1) -> None:
+    """Override the alignment scores (ref ctx_calls2vcf -m/-M/-g/-G)."""
+    global MATCH, MISMATCH, GAP_OPEN, GAP_EXTEND
+    MATCH, MISMATCH = int(match), int(mismatch)
+    GAP_OPEN, GAP_EXTEND = int(gap_open), int(gap_extend)
+
+
 def align(a: str, b: str):
     """Global affine-gap alignment; returns (a_aln, b_aln) with '-' gaps."""
     n, m = len(a), len(b)

@@ -152,8 +152,13 @@ def _sam_place5(f5, sam_entry, ref, k):
     return (ci, pos, 0 if km <= revcomp(km) else 1)
 
 
-def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int, sam_places=None):
+def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int, sam_places=None,
+                   max_align: int = 500, max_allele: int = 500):
     """Returns (records, n_dropped).  calls from callfile.read_call_file.
+
+    max_align: skip alignments longer than this (ref ctx_calls2vcf -A,
+    DEFAULT_MAX_ALIGN); max_allele: drop records whose REF or ALT
+    allele exceeds this many bases (-L, DEFAULT_MAX_ALLELE).
 
     If the 5' flank places on the reverse strand, the whole call is
     flipped to the forward strand first (swap + revcomp flanks and
@@ -211,9 +216,11 @@ def bubbles_to_vcf(calls, ref: KO.RefGenome, k: int, sam_places=None):
         ref_slice = cseq[ref_start:ref_end]
         hit = False
         for bi, branch in enumerate(branches):
+            if max(len(ref_slice), len(branch)) > max_align:
+                continue   # alignment too long to attempt (ref -A)
             recs = nw.decompose(ref_slice, branch, ref_start, cseq)
             for (p, r, a) in recs:
-                if r != a:
+                if r != a and max(len(r), len(a)) <= max_allele:
                     records.append(vcfio.VcfRecord(
                         chrom=ref.names[ci], pos=p, vid=call["name"],
                         ref=r, alts=[a]))

@@ -45,15 +45,23 @@ def _lookup_covg(g: gstore.DBGraph, key_void: np.ndarray) -> np.ndarray:
     return cov
 
 
-def vcfcov(vcf, ref, g: gstore.DBGraph, max_nvars: int = 8):
+def vcfcov(vcf, ref, g: gstore.DBGraph, max_nvars: int = 8,
+           max_var_len: int = 100):
     """Annotate vcf records in place.  Adds FORMAT fields K<k>R / K<k>A
-    per sample.  ref: kmer_occur.RefGenome."""
+    per sample.  ref: kmer_occur.RefGenome.
+
+    max_var_len: records whose REF or longest ALT exceeds this many
+    bases are passed through unannotated (ref vcf_coverage.c:282
+    nalts_too_long, -L/--max-var-len, default 100)."""
     k = g.k
     tagR, tagA = f"K{k}R", f"K{k}A"
     chrom_idx = {n: i for i, n in enumerate(ref.names)}
     C = g.ncols
     # group records into windows of nearby variants on the same chrom
     recs = sorted(vcf.records, key=lambda r: (r.chrom, r.pos))
+    recs = [r for r in recs
+            if max(len(r.ref), max(map(len, r.alts), default=0))
+            <= max_var_len]
     groups = []
     for r in recs:
         if groups and groups[-1] and r.chrom == groups[-1][-1].chrom and \

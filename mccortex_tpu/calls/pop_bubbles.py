@@ -14,7 +14,10 @@ from ..graph import prune as P
 from . import bubbles as bub
 
 
-def pop_bubbles(g: gstore.DBGraph, max_covg: int = -1, max_len: int = -1):
+def pop_bubbles(g: gstore.DBGraph, max_covg: int = -1, max_len: int = -1,
+                max_kdiff: int = -1):
+    """max_kdiff: only pop when the branch lengths differ by at most
+    this many kmers (<0 = ignore; ref pop_bubbles.c:112)."""
     bl = bub.call_bubbles(g, max_allele=max(max_len, 100)
                           if max_len > 0 else 100)
     covg_np = np.asarray(g.covg)
@@ -28,6 +31,9 @@ def pop_bubbles(g: gstore.DBGraph, max_covg: int = -1, max_len: int = -1):
         rows_a, mc_a = _branch_rows(g, bb, 0, covg_np)
         rows_b, mc_b = _branch_rows(g, bb, 1, covg_np)
         if rows_a is None or rows_b is None:
+            continue
+        if max_kdiff >= 0 and abs(len(bb.branches[0])
+                                  - len(bb.branches[1])) > max_kdiff:
             continue
         # pick branch to remove
         if (mc_a, bb.branches[0]) <= (mc_b, bb.branches[1]):

@@ -93,9 +93,13 @@ def genotype_record(r, k, kcovs, errs, ploidies, readlensk, tagR, tagA,
             smp["GL"] = ",".join(f"{v:.2f}" for v in vals)
 
 
-def genotype_vcf(vcf, k, kcovs, errs, ploidy_spec, readlensk):
+def genotype_vcf(vcf, k, kcovs, errs, ploidy_spec, readlensk,
+                 add_gl: bool = True, rm_cov: bool = False):
     """Genotype all biallelic records.  ploidy_spec: per-sample default
-    ploidy list, or a callable (sample, chrom) -> ploidy."""
+    ploidy list, or a callable (sample, chrom) -> ploidy.
+
+    add_gl: emit FORMAT/GL log10 likelihoods (ref ctx_vcfgeno -l).
+    rm_cov: strip the vcfcov K<k>R/K<k>A tags afterwards (ref -r)."""
     tagR, tagA = f"K{k}R", f"K{k}A"
     n_done = n_skipped = 0
     for r in vcf.records:
@@ -106,12 +110,48 @@ def genotype_vcf(vcf, k, kcovs, errs, ploidy_spec, readlensk):
             pl = [ploidy_spec(s, r.chrom) for s in range(len(r.samples))]
         else:
             pl = ploidy_spec
-        genotype_record(r, k, kcovs, errs, pl, readlensk, tagR, tagA)
+        genotype_record(r, k, kcovs, errs, pl, readlensk, tagR, tagA,
+                        add_gl=add_gl)
         n_done += 1
+    if rm_cov:
+        for r in vcf.records:
+            r.fmt = [f for f in r.fmt if f not in (tagR, tagA)]
+            for smp in r.samples:
+                smp.pop(tagR, None)
+                smp.pop(tagA, None)
     vcf.headers += [
-        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
-        '##FORMAT=<ID=GL,Number=G,Type=Float,Description="Genotype '
-        'log10 likelihoods">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">']
+    if add_gl:
+        vcf.headers += [
+            '##FORMAT=<ID=GL,Number=G,Type=Float,Description="Genotype '
+            'log10 likelihoods">']
+    vcf.headers += [
         '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype '
         'quality">']
     return n_done, n_skipped
+
+
+def ploidy_matcher(specs, sample_names, default: int = 2):
+    """Build (sample_idx, chrom) -> ploidy from ref-style -P args
+    (ctx_vcfgeno.c: '<P>' or 'sample:chr:ploidy', comma lists, '.' =
+    all, applied in order — later rules override earlier ones)."""
+    rules = []   # (set[sample]|None, set[chrom]|None, ploidy)
+    for spec in specs:
+        if ":" not in spec:
+            rules.append((None, None, int(spec)))
+            continue
+        smp, chrom, pl = spec.split(":", 2)
+        smps = None if smp == "." else set(smp.split(","))
+        chroms = None if chrom == "." else set(chrom.split(","))
+        rules.append((smps, chroms, int(pl)))
+
+    def lookup(sample_idx, chrom):
+        name = (sample_names[sample_idx]
+                if sample_idx < len(sample_names) else "")
+        pl = default
+        for smps, chroms, v in rules:
+            if (smps is None or name in smps) and \
+               (chroms is None or chrom in chroms):
+                pl = v
+        return pl
+    return lookup

@@ -14,8 +14,7 @@ import numpy as np
 from .main import register
 
 
-def _status(msg):
-    print(f"[mctx] {msg}", file=sys.stderr)
+from .common import status as _status, add_common, apply_common
 
 
 # ---------------------------------------------------------------------------
@@ -30,18 +29,26 @@ def cmd_build(argv):
                    help="start a new colour with this sample name")
     p.add_argument("--seq", action="append", default=[], nargs="+",
                    help="sequence file(s) for the current sample")
-    p.add_argument("--fq-cutoff", type=int, default=0)
-    p.add_argument("--cut-hp", type=int, default=0)
-    p.add_argument("--remove-pcr", action="store_true",
+    p.add_argument("-Q", "--fq-cutoff", type=int, default=0)
+    p.add_argument("-O", "--fq-offset", type=int, default=0,
+                   help="FASTQ quality ASCII offset: 33 or 64 "
+                        "[default: 0 = auto-detect per file]")
+    p.add_argument("-H", "--cut-hp", type=int, default=0)
+    p.add_argument("-M", "--matepair", default="FR",
+                   choices=["FF", "FR", "RF", "RR"],
+                   help="mate pair orientation for --seq2 PCR-duplicate "
+                        "detection (ref ctx_build.c -M)")
+    p.add_argument("-p", "--remove-pcr", action="store_true",
                    help="drop reads whose start kmers were already seen "
                         "as read starts (PCR duplicate removal)")
-    p.add_argument("-m", "--memory", default=None,
-                   help="memory budget, e.g. 8G (ref cmd_mem.h: the "
-                        "graph must fit; fails fast if it cannot)")
-    p.add_argument("--keep-pcr", action="store_true",
+    p.add_argument("--sort", action="store_true",
+                   help="sort output kmers (accepted for parity: the "
+                        "TPU store is always sorted, .ctx is written "
+                        "sorted regardless)")
+    p.add_argument("-P", "--keep-pcr", action="store_true",
                    help="no PCR duplicate removal (default; parity flag "
                         "with ref ctx_build.c)")
-    p.add_argument("--intersect", default=None,
+    p.add_argument("-I", "--intersect", default=None,
                    help="only keep kmers also present in this graph "
                         "(ref ctx_build.c --intersect)")
     p.add_argument("--ref", default=None,
@@ -51,6 +58,7 @@ def cmd_build(argv):
                         "none)")
     p.add_argument("-o", "--out", dest="out_explicit", default=None)
     p.add_argument("out", nargs="?", default=None)
+    add_common(p)
     # pair --sample/--seq by order on the command line
     args, tasks = _parse_build_tasks(p, argv)
     out = args.out_explicit or args.out
@@ -58,11 +66,16 @@ def cmd_build(argv):
         p.error("output .ctx path required")
     if not tasks:
         p.error("at least one --sample ... --seq ... required")
+    apply_common(args, out)
 
     from ..graph import build as gbuild
     from ..graph import store as gstore
     from ..io import ctx as ctxio
     from ..io import seqio
+    if args.fq_offset:
+        if args.fq_offset not in (33, 64):
+            p.error("--fq-offset must be 33 or 64 (0 = auto)")
+        seqio.FQ_OFFSET = args.fq_offset
     if args.ref:
         from ..graph import kmer_occur as _KO
         _rg = _KO.RefGenome.from_fasta(args.ref)
@@ -70,12 +83,25 @@ def cmd_build(argv):
     import jax.numpy as jnp
 
     k = args.kmer
-    ncols = len(tasks)
     ginfo = []
     batches = []
+    gmerge = []   # (colour offset, keys, covg, edges) from --graph files
     pcr = gbuild.PcrDupFilter(k) if args.remove_pcr else None
     ndup = 0
-    for colour, (sample, files) in enumerate(tasks):
+    colour = 0
+    for task in tasks:
+        if task[0] == "graph":
+            h2, k2, c2, e2 = ctxio.read_ctx(task[1])
+            if h2.kmer_size != k:
+                p.error(f"--graph {task[1]}: kmer size "
+                        f"{h2.kmer_size} != {k}")
+            gmerge.append((colour, k2, c2, e2))
+            ginfo.extend(h2.ginfo)
+            _status(f"colour {colour}..{colour + h2.ncols - 1}: graph "
+                    f"{task[1]} ({len(k2)} kmers)")
+            colour += h2.ncols
+            continue
+        _, sample, files = task
         total_seq = 0
         nreads = 0
 
@@ -113,7 +139,8 @@ def cmd_build(argv):
                 # pair-aware PCR: a pair is dropped only when BOTH
                 # mates' start kmers were seen (ref build_graph.c:62)
                 for c1, c2, _ in seqio.read_batches_pe(
-                        entry[1], entry[2], colour=colour):
+                        entry[1], entry[2], colour=colour,
+                        matedir=args.matepair):
                     if pcr is not None:
                         keepm = pcr.filter_batch(c1, c2)
                         ndup += int((~keepm).sum()) * 2
@@ -132,6 +159,12 @@ def cmd_build(argv):
                     c1, c2 = codes[0::2], codes[1::2]
                     q1 = quals[0::2] if quals is not None else None
                     q2 = quals[1::2] if quals is not None else None
+                    c1, c2, q1, q2 = seqio.mate_normalize(
+                        c1, c2, args.matepair,
+                        q1 if q1 is not None else np.zeros_like(c1),
+                        q2 if q2 is not None else np.zeros_like(c2))
+                    if quals is None:
+                        q1 = q2 = None
                     if pcr is not None:
                         keepm = pcr.filter_batch(c1, c2)
                         ndup += int((~keepm).sum()) * 2
@@ -147,6 +180,8 @@ def cmd_build(argv):
         ginfo.append(gi)
         _status(f"colour {colour} '{sample}': {nreads} reads, "
                 f"{total_seq} bases")
+        colour += 1
+    ncols = colour
 
     if args.keep_pcr and args.remove_pcr:
         p.error("--keep-pcr conflicts with --remove-pcr")
@@ -159,7 +194,23 @@ def cmd_build(argv):
         budget = mb.parse_mem(args.memory)
         cap = mb.kmers_in_budget(budget, _nw(k), ncols)
         _status(f"memory budget {mb.mem_str(budget)}: up to {cap} kmers")
-    g = gbuild.build(batches, k, ncols=ncols)
+    from .common import nkmers_hint
+    g = gbuild.build(batches, k, ncols=ncols, capacity=nkmers_hint(args))
+    if gmerge:
+        hk, hc, he = gstore.to_host(g)
+        allk, allc, alle = [hk], [hc], [he]
+        for off, k2, c2, e2 in gmerge:
+            cw = np.zeros((len(k2), ncols), hc.dtype)
+            ew = np.zeros((len(k2), ncols), np.uint8)
+            cw[:, off:off + c2.shape[1]] = c2
+            ew[:, off:off + e2.shape[1]] = e2
+            allk.append(k2)
+            allc.append(cw)
+            alle.append(ew)
+        g = gstore.from_records(
+            k, jnp.asarray(np.concatenate(allk)),
+            jnp.asarray(np.concatenate(allc)),
+            jnp.asarray(np.concatenate(alle)))
     if args.intersect:
         from ..ops import sorted as _sops
         hi_, ikeys, _ic, _ie = ctxio.read_ctx(args.intersect)
@@ -189,33 +240,50 @@ def cmd_build(argv):
 
 
 def _parse_build_tasks(p, argv):
-    """Pair --sample with following --seq groups, preserving CLI order."""
-    tasks = []
+    """Pair --sample with following --seq groups, preserving CLI order
+    (ref ctx_build.c getopt loop; -g/--graph slots an existing .ctx
+    file's colours in at its CLI position)."""
+    tasks = []       # ("sample", name, files) | ("graph", path)
     cur_name, cur_files = None, []
     rest = []
     i = 0
+
+    def _flush():
+        nonlocal cur_name, cur_files
+        if cur_name is not None:
+            tasks.append(("sample", cur_name, cur_files))
+        cur_name, cur_files = None, []
+
     while i < len(argv):
         a = argv[i]
-        if a == "--sample":
-            if cur_name is not None:
-                tasks.append((cur_name, cur_files))
+        if a in ("-s", "--sample"):
+            _flush()
             cur_name, cur_files = argv[i + 1], []
             i += 2
-        elif a in ("--seq", "--seq1"):
+        elif a in ("-1", "--seq", "--seq1"):
             cur_files.append(("se", argv[i + 1]))
             i += 2
-        elif a == "--seq2":
-            cur_files.append(("pe", argv[i + 1], argv[i + 2]))
-            i += 3
+        elif a in ("-2", "--seq2"):
+            # ref form "in1:in2" or two separate args
+            if ":" in argv[i + 1]:
+                f1, f2 = argv[i + 1].split(":", 1)
+                cur_files.append(("pe", f1, f2))
+                i += 2
+            else:
+                cur_files.append(("pe", argv[i + 1], argv[i + 2]))
+                i += 3
         elif a in ("--seqi", "-i"):
             # interleaved mate pairs in one file (ref ctx_build.c -i)
             cur_files.append(("interleaved", argv[i + 1]))
             i += 2
+        elif a in ("-g", "--graph"):
+            _flush()
+            tasks.append(("graph", argv[i + 1]))
+            i += 2
         else:
             rest.append(a)
             i += 1
-    if cur_name is not None:
-        tasks.append((cur_name, cur_files))
+    _flush()
     args = p.parse_args(rest)
     return args, tasks
 
@@ -230,7 +298,9 @@ def cmd_view(argv):
     p.add_argument("-i", "--info", action="store_true")
     p.add_argument("-c", "--check", action="store_true")
     p.add_argument("ctx")
+    add_common(p, memory=False, nkmers=False, threads=False)
     args = p.parse_args(argv)
+    apply_common(args)
     if not (args.kmers or args.info or args.check):
         args.info = args.check = True
 
@@ -287,7 +357,9 @@ def cmd_check(argv):
                    help="link files to verify against the graph "
                         "(ref ctx_health_check.c: gpath_checks_all_paths)")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args)
     from ..io import ctx as ctxio
     h, keys, covg, edges = ctxio.read_ctx(args.ctx)
     errs = check_graph_arrays(h.kmer_size, keys, covg, edges)
@@ -347,12 +419,21 @@ def _save_graph(path, h, g):
 
 def cmd_clean(argv):
     p = argparse.ArgumentParser(prog="mctx clean")
-    p.add_argument("--tips", type=int, default=0, nargs="?", const=-1,
+    p.add_argument("-T", "--tips", type=int, default=0, nargs="?",
+                   const=-1,
                    help="clip tips shorter than this (default 2k)")
-    p.add_argument("--unitigs", type=int, default=0, nargs="?", const=-1,
+    p.add_argument("-U", "--unitigs", type=int, default=0, nargs="?",
+                   const=-1,
                    help="remove unitigs below covg threshold (default auto)")
-    p.add_argument("--fallback", type=int, default=0,
+    p.add_argument("-B", "--fallback", type=int, default=0,
                    help="threshold to use if auto-detection fails")
+    p.add_argument("-N", "--ncols", type=int, default=None,
+                   help="colours to process at once (ref memory knob; "
+                        "the TPU store processes all colours in one "
+                        "pass, accepted for parity)")
+    p.add_argument("-S", "--sort", action="store_true",
+                   help="output sorted by kmer (always true here: the "
+                        "store is sorted)")
     p.add_argument("-c", "--covg-before", default=None,
                    help="save kmer/unitig coverage histogram CSV before "
                         "cleaning (ref ctx_clean.c -c)")
@@ -362,11 +443,12 @@ def cmd_clean(argv):
                    help="unitig length histogram CSV before cleaning")
     p.add_argument("-L", "--len-after", default=None,
                    help="unitig length histogram CSV after cleaning")
-    p.add_argument("-m", "--memory", default=None,
-                   help="memory budget, e.g. 8G (ref cmd_mem.h)")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out, args.covg_before, args.covg_after,
+                 args.len_before, args.len_after)
     from ..graph import clean as gclean
     h, g = _load_graph(args.ctx)
     k = h.kmer_size
@@ -426,26 +508,40 @@ def cmd_clean(argv):
 
 def cmd_unitigs(argv):
     p = argparse.ArgumentParser(prog="mctx unitigs")
-    p.add_argument("--gfa", action="store_true", help="GFA v1 output")
-    p.add_argument("--dot", action="store_true", help="graphviz output")
-    p.add_argument("-m", "--min-len", type=int, default=0,
+    p.add_argument("-F", "--fasta", action="store_true",
+                   help="FASTA output (default)")
+    p.add_argument("-g", "--gfa", action="store_true",
+                   help="GFA v1 output")
+    p.add_argument("-d", "--dot", "--graphviz", action="store_true",
+                   help="graphviz output")
+    p.add_argument("-P", "--point", "--points", action="store_true",
+                   help="with --dot, print unitigs as points")
+    p.add_argument("--min-len", type=int, default=0,
                    help="minimum unitig length in bases")
+    p.add_argument("-o", "--out", default="-",
+                   help="output file [default: STDOUT]")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..graph import unitigs as gu
     h, g = _load_graph(args.ctx)
     seqs = gu.extract_unitigs(g)
     seqs = [s for s in seqs if len(s) >= args.min_len]
-    if args.gfa or args.dot:
-        from ..graph import unitig_graph as ug
-        if args.gfa:
-            ug.write_gfa(sys.stdout, g, seqs)
+    fh = sys.stdout if args.out == "-" else open(args.out, "w")
+    try:
+        if args.gfa or args.dot:
+            from ..graph import unitig_graph as ug
+            if args.gfa:
+                ug.write_gfa(fh, g, seqs)
+            else:
+                ug.write_dot(fh, g, seqs, points=args.point)
         else:
-            ug.write_dot(sys.stdout, g, seqs)
-    else:
-        for i, s in enumerate(seqs):
-            print(f">unitig{i} length={len(s)}")
-            print(s)
+            for i, s in enumerate(seqs):
+                fh.write(f">unitig{i} length={len(s)}\n{s}\n")
+    finally:
+        if fh is not sys.stdout:
+            fh.close()
     return 0
 
 
@@ -456,7 +552,9 @@ def cmd_inferedges(argv):
     g1.add_argument("--all", dest="all_edges", action="store_true")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..graph import infer_edges as ie
     h, g = _load_graph(args.ctx)
     g2 = ie.infer_edges(g, pop_only=not args.all_edges)
@@ -479,7 +577,10 @@ register("inferedges", cmd_inferedges, "infer population edges")
 def cmd_contigs(argv):
     p = argparse.ArgumentParser(prog="mctx contigs")
     p.add_argument("-o", "--out", default="-")
-    p.add_argument("--colour", type=int, default=0)
+    p.add_argument("-c", "--colour", type=int, default=0)
+    p.add_argument("-N", "--ncontigs", type=int, default=0,
+                   help="pull out at most N contigs "
+                        "[default: 0 = no limit] (ref ctx_contigs.c -N)")
     g1 = p.add_mutually_exclusive_group()
     g1.add_argument("-r", "--reseed", dest="reseed", action="store_true",
                     help="sample seed kmers with replacement")
@@ -509,12 +610,14 @@ def cmd_contigs(argv):
                    help="save the confidence table as CSV")
     p.add_argument("-p", "--paths", action="append", default=[],
                    help=".ctp link files (link-guided assembly)")
-    p.add_argument("--no-missing-check", dest="missing_check",
+    p.add_argument("-M", "--no-missing-check", dest="missing_check",
                    action="store_false", default=True,
                    help="disable the missing-link-information halt "
                         "(ref contigs default: check enabled)")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out, args.confid_csv)
     import numpy as np
     import jax.numpy as jnp
     from ..graph import traverse as T
@@ -583,11 +686,16 @@ def cmd_contigs(argv):
     ncontig = 0
     batch = args.batch
     order = seed_rows if seed_rows is not None else np.arange(n)
+    if args.ncontigs > 0 and seed_rows is None:
+        # ref -N: pull contigs from random kmers
+        order = np.random.default_rng(0).permutation(n)
     used_links = (np.zeros(links.nlinks, bool)
                   if links is not None else None)
     conf_kw = dict(conf_table=conf_arr, min_step=args.confid_step,
                    min_cumul=args.confid_cumul)
     for s0 in range(0, len(order), batch):
+        if args.ncontigs > 0 and ncontig >= args.ncontigs:
+            break
         seeds = order[s0:s0 + batch]
         if not args.reseed:
             seeds = seeds[~visited[seeds]]
@@ -607,6 +715,8 @@ def cmd_contigs(argv):
             contigs, stats = T.assemble_linkless_contigs(
                 g, seeds, colour=args.colour, max_len=args.max_len)
         for i, c in enumerate(contigs):
+            if args.ncontigs > 0 and ncontig >= args.ncontigs:
+                break
             if not args.reseed:
                 # a later seed in this batch may already be covered by an
                 # earlier contig (the reference checks seed-by-seed,
@@ -678,7 +788,7 @@ register("contigs", cmd_contigs, "assemble contigs from the graph")
 
 def cmd_thread(argv):
     p = argparse.ArgumentParser(prog="mctx thread")
-    p.add_argument("--seq", action="append", default=[],
+    p.add_argument("-1", "--seq", action="append", default=[],
                    help="read files to thread")
     p.add_argument("-p", "--paths", action="append", default=[],
                    help="existing .ctp files to load first")
@@ -691,9 +801,37 @@ def cmd_thread(argv):
                         "threading (default, ref one-way gap filling)")
     p.add_argument("--no-gap-fill", dest="gap_fill",
                    action="store_false")
-    p.add_argument("--seq2", action="append", nargs=2, default=[],
+    p.add_argument("-2", "--seq2", action="append", nargs=2, default=[],
                    metavar=("R1", "R2"),
-                   help="paired-end read files (links span fragments)")
+                   help="paired-end read files (links span fragments); "
+                        "ref form -2 in1:in2 also accepted")
+    p.add_argument("-i", "--seqi", action="append", default=[],
+                   help="interleaved paired-end reads in one file "
+                        "(ref ctx_thread.c -i)")
+    p.add_argument("-M", "--matepair", default="FR",
+                   choices=["FF", "FR", "RF", "RR"],
+                   help="mate pair orientation [default: FR]")
+    p.add_argument("-O", "--fq-offset", type=int, default=0,
+                   help="FASTQ ASCII offset: 33/64 [default: 0 = auto]")
+    p.add_argument("-H", "--cut-hp", type=int, default=0,
+                   help="break reads at homopolymer runs >= this "
+                        "(ref ctx_thread.c -H)")
+    p.add_argument("-X", "--max-context", type=int, default=None,
+                   help="kmers of aligned context to prime gap walkers "
+                        "with on either side of a gap [default: 200]")
+    p.add_argument("-e", "--end-check", dest="end_check",
+                   action="store_true", default=True,
+                   help="verify the walker agrees with the read after "
+                        "bridging a gap [default: on]")
+    p.add_argument("-E", "--no-end-check", dest="end_check",
+                   action="store_false")
+    p.add_argument("-0", "--zero-paths", action="store_true",
+                   help="zero counts on initially loaded links (use "
+                        "when -p links came from sequence re-used by "
+                        "this run; ref ctx_thread.c -0)")
+    p.add_argument("-u", "--use-new-paths", action="store_true",
+                   help="use links as they are being added (higher err "
+                        "rate; ref default: no)")
     p.add_argument("-L", "--max-frag-len", "--frag-len", type=int,
                    dest="frag_len", default=1000,
                    help="max fragment length for insert-gap bridging "
@@ -719,55 +857,117 @@ def cmd_thread(argv):
                         "(ref ctx_thread.c -d)")
     p.add_argument("-D", "--gap-diff-coeff", type=float, default=0.1,
                    help="gap tolerance coefficient (ref -D)")
+    p.add_argument("-x", "--print-contigs", action="store_true",
+                   help="debug: print each aligned node-path run")
+    p.add_argument("-y", "--print-paths", action="store_true",
+                   help="debug: dump the built links as text")
+    p.add_argument("-z", "--print-reads", action="store_true",
+                   help="debug: print each read as threaded")
     p.add_argument("ctx")
-    args = p.parse_args(argv)
-    if not args.seq and not args.seq2:
-        p.error("at least one --seq/--seq2 required")
+    add_common(p)
+    args = p.parse_args(_expand_pe_colon(argv))
+    apply_common(args, args.out, args.gap_hist, args.frag_hist)
+    if not args.seq and not args.seq2 and not args.seqi:
+        p.error("at least one --seq/--seq2/--seqi required")
     from ..links import thread as lthread
     from ..links import store as lstore
     from ..io import ctp as ctpio
     from ..io import seqio
     from ..align.correct import CorrectAlnStats
+    if args.fq_offset:
+        if args.fq_offset not in (33, 64):
+            p.error("--fq-offset must be 33 or 64 (0 = auto)")
+        seqio.FQ_OFFSET = args.fq_offset
+    if args.use_new_paths:
+        _status("warning: --use-new-paths: the TPU pipeline threads "
+                "each pass against the initially loaded links; links "
+                "built this run apply from the next pass "
+                "(see docs/PARITY.md)")
     h, g = _load_graph(args.ctx)
     ncols = max(h.ncols, args.colour + 1)
     stats = lthread.ThreadStats(ncols)
     aln_stats = CorrectAlnStats()
     def _mask_q(codes, quals):
-        if args.fq_cutoff and quals is not None:
+        if (args.fq_cutoff and quals is not None) or args.cut_hp:
             from ..graph import build as gbuild
             import jax.numpy as jnp
             return np.asarray(gbuild.mask_reads(
-                jnp.asarray(codes), jnp.asarray(quals),
-                fq_cutoff=args.fq_cutoff))
+                jnp.asarray(codes),
+                jnp.asarray(quals) if quals is not None else None,
+                fq_cutoff=args.fq_cutoff if quals is not None else 0,
+                hp_cutoff=args.cut_hp))
         return codes
 
     batches = [(_mask_q(codes, quals), args.colour)
                for codes, quals, _ in seqio.read_batches(args.seq)]
+    if args.print_reads:
+        _basechars = np.array(list("ACGTN"))
+        for bcodes, _c in batches:
+            for row in np.asarray(bcodes):
+                s = "".join(_basechars[np.minimum(row, 4)])
+                print(f"read: {s.rstrip('N')}")
     if args.gap_fill:
         links = lthread.thread_reads_gapfill(
             g, batches, ncols, stats=stats, one_way=args.one_way,
             gap_variance=args.gap_diff_coeff,
-            gap_wiggle=args.gap_diff_const, aln_stats=aln_stats)
+            gap_wiggle=args.gap_diff_const,
+            max_context=args.max_context, end_check=args.end_check,
+            aln_stats=aln_stats)
     elif batches:
         links = lthread.thread_reads(g, batches, ncols, stats=stats)
     else:
         links = None
-    if args.seq2:
+    if args.print_contigs and batches:
+        for bcodes, _c in batches:
+            import jax.numpy as jnp
+            idx, orient, valid = lthread.reads_to_node_paths(
+                g, jnp.asarray(bcodes), g.k)
+            idx, orient, valid = (np.asarray(idx), np.asarray(orient),
+                                  np.asarray(valid))
+            for b in range(idx.shape[0]):
+                segs = []
+                run = []
+                for j in range(idx.shape[1]):
+                    if valid[b, j]:
+                        run.append(f"{idx[b, j]}:{int(orient[b, j])}")
+                    elif run:
+                        segs.append(" ".join(run))
+                        run = []
+                if run:
+                    segs.append(" ".join(run))
+                print(f"contig[{b}]: " + " | ".join(segs))
+    pe_inputs = list(args.seq2)
+    if args.seqi:
+        pass  # handled below via interleaved batches
+    if pe_inputs or args.seqi:
         from ..links import store as lstore2
         pair_batches = []
-        for r1, r2 in args.seq2:
-            for c1, c2, _ in seqio.read_batches_pe(r1, r2,
-                                                   colour=args.colour):
+        for r1, r2 in pe_inputs:
+            for c1, c2, _ in seqio.read_batches_pe(
+                    r1, r2, colour=args.colour, matedir=args.matepair):
+                pair_batches.append((c1, c2, args.colour))
+        for fi in args.seqi:
+            for codes, quals, _ in seqio.read_batches_native(
+                    [fi], colour=args.colour):
+                if codes.shape[0] % 2:
+                    codes = codes[:-1]
+                c1, c2 = seqio.mate_normalize(
+                    codes[0::2], codes[1::2], args.matepair)
                 pair_batches.append((c1, c2, args.colour))
         pe_links = lthread.thread_reads_pe(
             g, pair_batches, ncols, frag_len_min=args.min_frag_len,
             frag_len_max=args.frag_len, stats=stats,
-            one_way=args.one_way, aln_stats=aln_stats)
+            one_way=args.one_way, max_context=args.max_context,
+            end_check=args.end_check, aln_stats=aln_stats)
         links = pe_links if links is None else lstore2.merge_stores(
             links, pe_links, g.capacity)
     prev_commands = []
     if args.paths:
         prev = ctpio.load_link_store(args.paths, g)
+        if args.zero_paths:
+            import jax.numpy as jnp
+            prev = prev.replace(nseen=jnp.zeros_like(prev.nseen))
+            _status("zeroing link counts for loaded links")
         links = lstore.merge_stores(prev, links, g.capacity)
         # accumulate contig hists + provenance from the input link files
         # (ref ctx_thread.c:208 gpath_reader_load_contig_hist)
@@ -798,7 +998,31 @@ def cmd_thread(argv):
                    command="mctx thread " + " ".join(argv),
                    contig_hists=stats.contig_hists,
                    prev_commands=prev_commands)
+    if args.print_paths:
+        import gzip as _gz
+        opener = _gz.open if args.out.endswith(".gz") else open
+        with opener(args.out, "rt") as fh:
+            for line in fh:
+                if not line.startswith("#"):
+                    sys.stdout.write(line)
     return 0
+
+
+def _expand_pe_colon(argv):
+    """Rewrite the ref's '-2 in1:in2' form to the two-arg form."""
+    out = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-2", "--seq2") and i + 1 < len(argv) \
+                and ":" in argv[i + 1]:
+            f1, f2 = argv[i + 1].split(":", 1)
+            out.extend([a, f1, f2])
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    return out
 
 
 def cmd_pview(argv):
@@ -825,16 +1049,19 @@ def cmd_bubbles(argv):
     p = argparse.ArgumentParser(prog="mctx bubbles")
     p.add_argument("-o", "--out", required=True, help="output .txt.gz")
     p.add_argument("-p", "--paths", action="append", default=[])
-    p.add_argument("--max-allele", type=int, default=300)
-    p.add_argument("--max-flank", type=int, default=1000)
-    p.add_argument("--haploid", default="",
-                   help="comma-separated haploid colour list")
+    p.add_argument("-A", "--max-allele", type=int, default=300)
+    p.add_argument("-F", "--max-flank", type=int, default=1000)
+    p.add_argument("-H", "--haploid", default="",
+                   help="comma-separated haploid colour list; "
+                        "'*' means all colours")
     p.add_argument("-S", "--keep-serial", dest="keep_serial",
                    action="store_true",
                    help="keep serial (chained) bubbles "
                         "(ref ctx_bubbles.c -S; higher FP)")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import bubbles as bub
     from ..io import callfile
     from ..io import ctp as ctpio
@@ -842,7 +1069,8 @@ def cmd_bubbles(argv):
     links = None
     if args.paths:
         links = ctpio.load_link_store(args.paths, g)
-    haploid = [int(x) for x in args.haploid.split(",") if x != ""]
+    haploid = (list(range(h.ncols)) if args.haploid.strip() == "*"
+               else [int(x) for x in args.haploid.split(",") if x != ""])
     bl = bub.call_bubbles(g, links, max_allele=args.max_allele,
                           max_flank=args.max_flank, haploid_cols=haploid,
                           remove_serial=not args.keep_serial)

@@ -12,6 +12,7 @@ import numpy as np
 
 from .main import register
 from .commands import _status, _load_graph, _save_graph
+from .common import add_common, apply_common
 
 
 # ---------------------------------------------------------------------------
@@ -20,14 +21,21 @@ from .commands import _status, _load_graph, _save_graph
 
 def cmd_subgraph(argv):
     p = argparse.ArgumentParser(prog="mctx subgraph")
-    p.add_argument("--seq", action="append", required=True)
-    p.add_argument("--dist", type=int, default=0)
-    p.add_argument("--invert", action="store_true")
-    p.add_argument("--unitigs", action="store_true",
+    p.add_argument("-1", "--seq", action="append", required=True)
+    p.add_argument("-d", "--dist", type=int, default=0,
+                   help="number of kmers to extend by [default: 0]")
+    p.add_argument("-v", "--invert", action="store_true",
+                   help="dump kmers NOT in the subgraph")
+    p.add_argument("-U", "--unitigs", action="store_true",
                    help="grab whole unitigs containing seed kmers")
+    p.add_argument("-N", "--ncols", type=int, default=None,
+                   help="colours to load at once (ref memory knob; all "
+                        "colours load in one pass here)")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..graph import subgraph as sg
     from ..io import seqio
     h, g = _load_graph(args.ctx)
@@ -53,10 +61,18 @@ def cmd_join(argv):
                         "(ref ctx_join.c -i; repeatable = intersection "
                         "of all of them); the graph itself is NOT "
                         "merged into the output")
+    p.add_argument("-N", "--ncols", type=int, default=None,
+                   help="colours to load at once (ref memory knob; "
+                        "accepted for parity)")
+    p.add_argument("-S", "--sort", action="store_true",
+                   help="output sorted graph (always true: .ctx is "
+                        "written sorted)")
     p.add_argument("ctx", nargs="+",
                    help="input graphs; 'N:file.ctx' loads file at colour "
                         "offset N")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     import jax.numpy as jnp
     from ..graph import store as gstore
     from ..io import ctx as ctxio
@@ -171,12 +187,44 @@ def _parse_colour_range(spec):
 def cmd_pjoin(argv):
     p = argparse.ArgumentParser(prog="mctx pjoin")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("ctx")
+    p.add_argument("-g", "--graph", default=None,
+                   help="alias for the positional graph argument "
+                        "(ref ctx_pjoin.c -g: sizes the table from a "
+                        "graph file)")
+    p.add_argument("-c", "--outcols", type=int, default=None,
+                   help="number of colours in the output link file")
+    p.add_argument("-r", "--noredundant", action="store_true",
+                   help="remove redundant links (duplicates merge, "
+                        "strict prefixes drop; ref gpath_subset "
+                        "rmsubstr)")
+    p.add_argument("ctx", nargs="?", default=None)
     p.add_argument("ctp", nargs="+")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..io import ctp as ctpio
-    h, g = _load_graph(args.ctx)
+    from ..links import store as lstore
+    import jax.numpy as jnp
+    ctxpath = args.graph or args.ctx
+    if ctxpath is None:
+        p.error("a graph file is required (positional or -g)")
+    if args.graph and args.ctx:
+        # both given: the positional was actually the first .ctp
+        args.ctp.insert(0, args.ctx)
+    h, g = _load_graph(ctxpath)
     links = ctpio.load_link_store(args.ctp, g)
+    if args.noredundant:
+        before = links.nlinks
+        links = lstore.rmsubstr_store(links)
+        _status(f"noredundant: {before} -> {links.nlinks} links")
+    if args.outcols is not None:
+        C = links.nseen.shape[1]
+        if args.outcols < C:
+            p.error(f"--outcols {args.outcols} < input colours {C}")
+        if args.outcols > C:
+            ns = np.zeros((links.nlinks, args.outcols), np.uint32)
+            ns[:, :C] = np.asarray(links.nseen)
+            links = links.replace(nseen=jnp.asarray(ns))
     ctpio.save_ctp(args.out, g, links,
                    sample_names=[gi.sample_name for gi in h.ginfo])
     _status(f"merged {len(args.ctp)} link files -> {links.nlinks} links")
@@ -187,35 +235,138 @@ def cmd_pjoin(argv):
 # reads (ref ctx_reads.c): filter reads by graph membership
 # ---------------------------------------------------------------------------
 
-def cmd_reads(argv):
-    p = argparse.ArgumentParser(prog="mctx reads")
-    p.add_argument("--seq", action="append", required=True)
-    p.add_argument("-o", "--out", required=True, help="output FASTA")
-    p.add_argument("--invert", action="store_true",
-                   help="keep reads with NO kmer in graph")
-    p.add_argument("ctx")
-    args = p.parse_args(argv)
+def _read_touches_graph(g, seq):
     import jax.numpy as jnp
-    from ..io import seqio
     from ..links import thread as lthread
+    from ..constants import CHAR_TO_BASE
+    arr = CHAR_TO_BASE[np.frombuffer(seq.encode(), np.uint8)][None, :]
+    if arr.shape[1] < g.k:
+        return False
+    _, _, valid = lthread.reads_to_node_paths(g, jnp.asarray(arr), g.k)
+    return bool(np.asarray(valid).any())
+
+
+class _SeqWriter:
+    """FASTA/FASTQ writer, gz if the path ends .gz (ref basic/seqout.c)."""
+
+    def __init__(self, path, fmt):
+        import gzip
+        self.fmt = fmt
+        self.fh = (gzip.open(path, "wt") if str(path).endswith(".gz")
+                   else (sys.stdout if path == "-" else open(path, "w")))
+
+    def write(self, rd):
+        if self.fmt == "fastq":
+            q = rd.quals
+            qs = ("".join(chr(min(int(x), 93) + 33) for x in q)
+                  if q is not None else "?" * len(rd.seq))
+            self.fh.write(f"@{rd.name}\n{rd.seq}\n+\n{qs}\n")
+        else:
+            self.fh.write(f">{rd.name}\n{rd.seq}\n")
+
+    def close(self):
+        if self.fh is not sys.stdout:
+            self.fh.close()
+
+
+def cmd_reads(argv):
+    p = argparse.ArgumentParser(
+        prog="mctx reads",
+        description="filter reads by graph membership (ref ctx_reads.c); "
+                    "a pair is kept when EITHER mate touches the graph")
+    p.add_argument("-1", "--seq", action="append", default=[],
+                   help="<in>[:<O>] — write kept reads to <O>.fq.gz "
+                        "(plain <in> uses -o)")
+    p.add_argument("-2", "--seq2", action="append", default=[],
+                   help="<in1>:<in2>:<O> — paired output <O>.{1,2}.fq.gz")
+    p.add_argument("-i", "--seqi", action="append", default=[],
+                   help="<in>:<O> — interleaved pairs, output "
+                        "<O>.{1,2}.fq.gz")
+    p.add_argument("-F", "--format", default="fastq",
+                   type=lambda s: s.lower(),
+                   choices=["fasta", "fastq"],
+                   help="output format [default: FASTQ, ref ctx_reads.c]")
+    p.add_argument("-o", "--out", default=None,
+                   help="output for plain --seq inputs")
+    p.add_argument("-v", "--invert", action="store_true",
+                   help="keep reads/pairs with NO kmer in graph")
+    p.add_argument("ctx")
+    add_common(p)
+    args = p.parse_args(argv)
+    from ..io import seqio
     h, g = _load_graph(args.ctx)
+    ext = ".fq.gz" if args.format == "fastq" else ".fa.gz"
     kept = total = 0
-    with open(args.out, "w") as out:
-        for path in args.seq:
-            for rd in seqio.parse_reads(path):
-                total += 1
-                codes = np.frombuffer(rd.seq.encode(), np.uint8)
-                from ..constants import CHAR_TO_BASE
-                arr = CHAR_TO_BASE[codes][None, :]
-                if arr.shape[1] < g.k:
-                    touch = False
-                else:
-                    _, _, valid = lthread.reads_to_node_paths(
-                        g, jnp.asarray(arr), g.k)
-                    touch = bool(np.asarray(valid).any())
-                if touch != args.invert:
-                    out.write(f">{rd.name}\n{rd.seq}\n")
-                    kept += 1
+
+    def _filter_se(path, wr):
+        nonlocal kept, total
+        for rd in seqio.parse_reads(path):
+            total += 1
+            if _read_touches_graph(g, rd.seq) != args.invert:
+                wr.write(rd)
+                kept += 1
+
+    for spec in args.seq:
+        if ":" in spec:
+            path, obase = spec.rsplit(":", 1)
+            apply_common(args, obase + ext)
+            wr = _SeqWriter(obase + ext, args.format)
+        else:
+            if not args.out:
+                p.error(f"--seq {spec}: give <in>:<out> or -o")
+            apply_common(args, args.out)
+            fmt = args.format
+            if not args.out.endswith(".gz") and not any(
+                    args.out.endswith(e) for e in (".fq", ".fastq")):
+                fmt = "fasta" if args.out.endswith((".fa", ".fasta")) \
+                    else args.format
+            wr = _SeqWriter(args.out, fmt)
+            path = spec
+        _filter_se(path, wr)
+        wr.close()
+
+    def _filter_pairs(pair_iter, obase):
+        nonlocal kept, total
+        w1 = _SeqWriter(obase + ".1" + ext, args.format)
+        w2 = _SeqWriter(obase + ".2" + ext, args.format)
+        for r1, r2 in pair_iter:
+            total += 2
+            touch = (_read_touches_graph(g, r1.seq)
+                     or _read_touches_graph(g, r2.seq))
+            if touch != args.invert:
+                w1.write(r1)
+                w2.write(r2)
+                kept += 2
+        w1.close()
+        w2.close()
+
+    for spec in args.seq2:
+        try:
+            in1, in2, obase = spec.rsplit(":", 2)
+        except ValueError:
+            p.error(f"--seq2 needs <in1>:<in2>:<out>: {spec}")
+        apply_common(args, obase + ".1" + ext, obase + ".2" + ext)
+        _filter_pairs(zip(seqio.parse_reads(in1), seqio.parse_reads(in2)),
+                      obase)
+    for spec in args.seqi:
+        try:
+            in1, obase = spec.rsplit(":", 1)
+        except ValueError:
+            p.error(f"--seqi needs <in>:<out>: {spec}")
+        apply_common(args, obase + ".1" + ext, obase + ".2" + ext)
+
+        def _pairs(path):
+            it = seqio.parse_reads(path)
+            while True:
+                try:
+                    r1 = next(it)
+                    r2 = next(it)
+                except StopIteration:
+                    return
+                yield r1, r2
+        _filter_pairs(_pairs(in1), obase)
+    if not (args.seq or args.seq2 or args.seqi):
+        p.error("at least one -1/--seq, -2/--seq2 or -i/--seqi required")
     _status(f"kept {kept}/{total} reads")
     return 0
 
@@ -224,13 +375,22 @@ def cmd_reads(argv):
 # coverage (ref ctx_coverage.c)
 # ---------------------------------------------------------------------------
 
+_DEGREE_SYMBOLS = [".", "/", "[", "\\", "-", "{", "]", "}", "X"]
+
+
 def cmd_coverage(argv):
     p = argparse.ArgumentParser(prog="mctx coverage")
-    p.add_argument("--seq", action="append", required=True)
-    p.add_argument("--edges", action="store_true")
+    p.add_argument("-1", "-s", "--seq", action="append", required=True)
+    p.add_argument("-e", "--edges", action="store_true",
+                   help="print edges too (hex nibbles)")
+    p.add_argument("-E", "--degree", "--degrees", action="store_true",
+                   help="print in/out degree per kmer: 00. 01/ 02[ "
+                        "10\\ 11- 12{ 20] 21} 22X (ref ctx_coverage -E)")
     p.add_argument("-o", "--out", default="-")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     import jax.numpy as jnp
     from ..constants import CHAR_TO_BASE
     from ..links import thread as lthread
@@ -248,6 +408,7 @@ def cmd_coverage(argv):
             idx, orient, valid = lthread.reads_to_node_paths(
                 g, jnp.asarray(arr[None]), g.k)
             idxn = np.asarray(idx[0])
+            orn = np.asarray(orient[0])
             vn = np.asarray(valid[0])
             npos = len(arr) - g.k + 1
             covg = np.asarray(g.covg)
@@ -255,14 +416,32 @@ def cmd_coverage(argv):
                 vals = [str(covg[idxn[i], c]) if vn[i] else "0"
                         for i in range(npos)]
                 out.write(" ".join(vals) + "\n")
-            if args.edges:
+            if args.edges or args.degree:
                 edges = np.asarray(g.edges)
+                e_read = edges[idxn[:npos]]           # (npos, C)
+                # orient the edge byte along the read (ref
+                # fetch_node_edges: reverse orientation swaps nibbles)
+                rev = orn[:npos] == 1
+                e_or = np.where(rev[:, None],
+                                ((e_read >> 4) | (e_read << 4))
+                                .astype(np.uint8),
+                                e_read)
+                e_or = np.where(vn[:npos, None], e_or, 0)
+            if args.edges:
                 for c in range(h.ncols):
-                    estrs = edges_to_strings(
-                        edges[idxn[:npos]][:, c:c + 1])
+                    estrs = edges_to_strings(e_or[:, c:c + 1])
                     out.write(" ".join(
                         estrs[i][0] if vn[i] else "........"
                         for i in range(npos)) + "\n")
+            if args.degree:
+                popc = np.array([bin(x).count("1") for x in range(16)])
+                for c in range(h.ncols):
+                    eb = e_or[:, c]
+                    ind = np.minimum(popc[(eb >> 4) & 0xF], 2)
+                    outd = np.minimum(popc[eb & 0xF], 2)
+                    out.write("".join(
+                        _DEGREE_SYMBOLS[3 * i_ + o_]
+                        for i_, o_ in zip(ind, outd)) + "\n")
     if out is not sys.stdout:
         out.close()
     return 0
@@ -274,16 +453,23 @@ def cmd_coverage(argv):
 
 def cmd_dist(argv):
     p = argparse.ArgumentParser(prog="mctx dist")
+    p.add_argument("-o", "--out", default="-",
+                   help="output matrix, tab separated [default: STDOUT]")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     h, g = _load_graph(args.ctx)
     covg = np.asarray(g.covg)[:int(g.n)] > 0
     C = h.ncols
     mat = covg.T.astype(np.int64) @ covg.astype(np.int64)
-    print("\t" + "\t".join(gi.sample_name for gi in h.ginfo))
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    out.write("\t" + "\t".join(gi.sample_name for gi in h.ginfo) + "\n")
     for i in range(C):
-        print(h.ginfo[i].sample_name + "\t"
-              + "\t".join(str(mat[i, j]) for j in range(C)))
+        out.write(h.ginfo[i].sample_name + "\t"
+                  + "\t".join(str(mat[i, j]) for j in range(C)) + "\n")
+    if out is not sys.stdout:
+        out.close()
     return 0
 
 
@@ -294,9 +480,13 @@ def cmd_dist(argv):
 
 def cmd_sort(argv):
     p = argparse.ArgumentParser(prog="mctx sort")
-    p.add_argument("-o", "--out", default=None)
+    p.add_argument("-o", "--out", default=None,
+                   help="output file [default: overwrite input in place]")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    # in-place rewrite of the input is the ref default: no force check
+    apply_common(args, args.out if args.out != args.ctx else None)
     from ..io import ctx as ctxio
     h, keys, covg, edges = ctxio.read_ctx(args.ctx)
     order = np.lexsort(tuple(keys[:, w] for w in range(h.W - 1, -1, -1)))
@@ -308,15 +498,29 @@ def cmd_sort(argv):
 
 def cmd_index(argv):
     p = argparse.ArgumentParser(prog="mctx index")
-    p.add_argument("--block-kmers", type=int, default=4096)
+    p.add_argument("-b", "--block-kmers", type=int, default=None,
+                   help="kmers per block [default: 4096]")
+    p.add_argument("-s", "--block-size", default=None,
+                   help="block size in BYTES, e.g. 4M (ref ctx_index.c "
+                        "-s; converted to kmers from the record size)")
     p.add_argument("-o", "--out", default=None)
     p.add_argument("ctx")
+    add_common(p, memory=False, nkmers=False, threads=False)
     args = p.parse_args(argv)
     from ..io import ctx as ctxio
     from ..utils.text import kmers_to_strings
+    from .common import parse_size
     h, keys, covg, edges = ctxio.read_ctx(args.ctx)
     out = args.out or (args.ctx + ".idx")
+    apply_common(args, out)
     bk = args.block_kmers
+    if args.block_size is not None:
+        if bk is not None:
+            p.error("give either --block-kmers or --block-size")
+        recbytes = 8 * h.W + h.ncols * 5
+        bk = max(1, parse_size(args.block_size) // recbytes)
+    if bk is None:
+        bk = 4096
     with open(out, "w") as fh:
         fh.write("#block_start_kmer\tindex\tnkmers\n")
         for s in range(0, len(keys), bk):
@@ -337,13 +541,24 @@ def cmd_uniqkmers(argv):
                    help="FASTA whose sequences get unique flanks appended")
     p.add_argument("-g", "--graph", default=None,
                    help="also avoid kmers in this .ctx graph")
+    p.add_argument("-1", "--seq", action="append", default=[],
+                   help="also avoid kmers present in this sequence file "
+                        "(ref ctx_uniqkmers.c -1)")
+    p.add_argument("-o", "--out", default="-",
+                   help="output file [default: STDOUT]")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("num", type=int)
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     import random
     from ..utils.dna import revcomp
     rng = random.Random(args.seed)
     k = args.kmer
+    import functools
+    ofh = sys.stdout if args.out == "-" else open(args.out, "w")
+    print = functools.partial(__import__("builtins").print,  # noqa: A001
+                              file=ofh)
 
     taken = set()
 
@@ -357,6 +572,10 @@ def cmd_uniqkmers(argv):
         from ..io import seqio
         for rd in seqio.parse_reads(args.flank):
             seqs.append((rd.name, rd.seq))
+            add_seq_kmers(rd.seq)
+    for sf in args.seq:
+        from ..io import seqio
+        for rd in seqio.parse_reads(sf):
             add_seq_kmers(rd.seq)
     if args.graph:
         from ..io import ctx as ctxio
@@ -398,6 +617,8 @@ def cmd_uniqkmers(argv):
     for i in range(args.num):
         print(f">kmer{i}")
         print(fresh_kmer())
+    if ofh is not sys.stdout:
+        ofh.close()
     return 0
 
 
@@ -408,23 +629,34 @@ def cmd_uniqkmers(argv):
 def cmd_rmsubstr(argv):
     p = argparse.ArgumentParser(prog="mctx rmsubstr")
     p.add_argument("-o", "--out", default="-")
-    p.add_argument("fasta")
+    p.add_argument("-k", "--kmer", type=int, default=None,
+                   help="kmer size used for candidate matching in the "
+                        "ref (matching here is exact substring search; "
+                        "accepted for parity)")
+    p.add_argument("-F", "--format", default="fasta",
+                   type=lambda s: s.lower(),
+                   choices=["fasta", "fastq"],
+                   help="output format [default: FASTA]")
+    p.add_argument("-v", "--invert", action="store_true",
+                   help="only print sequences that ARE substrings of "
+                        "others (ref ctx_rmsubstr.c -v)")
+    p.add_argument("fasta", nargs="+")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..io import seqio
     from ..utils.dna import revcomp
-    reads = list(seqio.parse_reads(args.fasta))
+    reads = [rd for f in args.fasta for rd in seqio.parse_reads(f)]
     reads.sort(key=lambda r: -len(r.seq))
-    kept = []
+    kept, dropped = [], []
     for rd in reads:
         rc = revcomp(rd.seq)
-        dup = any(rd.seq in other or rc in other for other, _ in kept)
-        if not dup:
-            kept.append((rd.seq, rd.name))
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
-    for seq, name in kept:
-        out.write(f">{name}\n{seq}\n")
-    if out is not sys.stdout:
-        out.close()
+        dup = any(rd.seq in other or rc in other for other, _r in kept)
+        (dropped if dup else kept).append((rd.seq, rd))
+    out = _SeqWriter(args.out, args.format)
+    for _seq, rd in (dropped if args.invert else kept):
+        out.write(rd)
+    out.close()
     _status(f"rmsubstr: kept {len(kept)}/{len(reads)}")
     return 0
 
@@ -436,15 +668,21 @@ def cmd_rmsubstr(argv):
 def cmd_popbubbles(argv):
     p = argparse.ArgumentParser(prog="mctx popbubbles")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("--max-covg", type=int, default=-1,
+    p.add_argument("-C", "--max-covg", type=int, default=-1,
                    help="only pop if removed branch covg <= this")
-    p.add_argument("--max-len", type=int, default=-1)
+    p.add_argument("-L", "--max-len", type=int, default=-1)
+    p.add_argument("-D", "--max-diff", type=int, default=-1,
+                   help="only pop bubbles whose branch lengths differ "
+                        "by at most D kmers (ref ctx_pop_bubbles.c -D)")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import pop_bubbles as pb
     h, g = _load_graph(args.ctx)
     g2, npopped = pb.pop_bubbles(g, max_covg=args.max_covg,
-                                 max_len=args.max_len)
+                                 max_len=args.max_len,
+                                 max_kdiff=args.max_diff)
     _status(f"popped {npopped} bubbles: {int(g.n)} -> {int(g2.n)} kmers")
     _save_graph(args.out, h, g2)
     return 0
@@ -459,12 +697,23 @@ def cmd_server(argv):
     p.add_argument("-p", "--paths", action="append", default=[],
                    help="link files: responses include the kmer's links "
                         "(ref ctx_server.c:194)")
-    p.add_argument("--disk", action="store_true",
+    p.add_argument("-D", "--disk", action="store_true",
                    help="serve from the sorted .ctx on disk via its "
                         ".idx block index (ref ctx_server.c --disk + "
                         "graph_search.h) — O(1) memory")
+    p.add_argument("-S", "--single-line", action="store_true",
+                   help="responses on a single line (always true here; "
+                        "accepted for parity, ref ctx_server.c -S)")
+    p.add_argument("-C", "--coverages", action="store_true",
+                   help="include per-colour coverages in responses "
+                        "(ref loads them only with -C; always loaded "
+                        "here — the flag gates the response field)")
+    p.add_argument("-E", "--edges", action="store_true",
+                   help="include per-sample edges in responses")
     p.add_argument("ctx")
+    add_common(p, threads=False)
     args = p.parse_args(argv)
+    apply_common(args)
     import json
     from ..utils import npkmer as npk
     from ..utils.text import edges_to_strings
@@ -555,8 +804,15 @@ def cmd_server(argv):
             print(json.dumps({"key": q, "find": False}))
         else:
             r = int(row[0])
+            # union edges -> left/right base lists (ref kmer_response:
+            # ctx_server.c:93-106, both uppercased)
+            ue = np.bitwise_or.reduce(edges[r]).astype(np.uint8)
+            ustr = edges_to_strings(np.array([[ue]]))[0][0]
+            left = "".join(c for c in ustr[:4] if c != ".").upper()
+            right = "".join(c for c in ustr[4:] if c != ".")
             resp = {"key": q, "find": True,
                     "colours": [int(c) for c in covg[r]],
+                    "left": left, "right": right,
                     "edges": edges_to_strings(edges[r][None, :])[0]}
             lk = links_of(r)
             if lk is not None:

@@ -13,17 +13,29 @@ import numpy as np
 
 from .main import register
 from .commands import _status, _load_graph
+from .common import add_common, apply_common
 
 
 def cmd_breakpoints(argv):
     p = argparse.ArgumentParser(prog="mctx breakpoints")
-    p.add_argument("--seq", required=True, help="trusted reference FASTA")
+    p.add_argument("-s", "--seq", required=True,
+                   help="trusted reference FASTA (indexed for colinear "
+                        "runs; the graph should contain the reference "
+                        "as a colour — build/join it in, as the "
+                        "pipeline does)")
     p.add_argument("-o", "--out", required=True)
     p.add_argument("-p", "--paths", action="append", default=[])
-    p.add_argument("--minref", type=int, default=5)
-    p.add_argument("--maxref", type=int, default=1000)
+    p.add_argument("-r", "--minref", type=int, default=5)
+    p.add_argument("-R", "--maxref", type=int, default=1000)
+    p.add_argument("-E", "--no-ref-edges", action="store_true",
+                   help="ref ctx_breakpoints -E: don't load edges from "
+                        "the reference.  Here the reference is a graph "
+                        "colour supplied by the user, so its edges are "
+                        "whatever the graph holds; accepted for parity")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import breakpoints as bk
     from ..graph import kmer_occur as KO
     from ..io import ctp as ctpio
@@ -63,16 +75,38 @@ def cmd_breakpoints(argv):
 def cmd_calls2vcf(argv):
     p = argparse.ArgumentParser(prog="mctx calls2vcf")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("-F", "--flanks", default=None,
-                   help="SAM of mapped 5' flanks (ref ctx_calls2vcf -F)")
+    p.add_argument("-O", "--out-fmt", default=None,
+                   choices=["vcf", "vcfgz", "bcf", "ubcf"],
+                   help="output format (ref ctx_calls2vcf -O; default "
+                        "by extension)")
+    p.add_argument("-F", "--flanks", "--mapped", default=None,
+                   help="SAM or BAM of mapped 5' flanks "
+                        "(ref ctx_calls2vcf -F)")
     p.add_argument("-Q", "--min-mapq", type=int, default=30,
                    help="min MAPQ for -F placements [30]")
+    p.add_argument("-A", "--max-align", type=int, default=500,
+                   help="max alignment attempted [500]")
+    p.add_argument("-L", "--max-allele", type=int, default=500,
+                   help="max allele length printed [500]")
+    p.add_argument("-m", "--match", type=int, default=1,
+                   help="alignment match score [1]")
+    p.add_argument("-M", "--mismatch", type=int, default=-2,
+                   help="alignment mismatch score [-2]")
+    p.add_argument("-g", "--gap-open", type=int, default=-4,
+                   help="alignment gap-open score [-4]")
+    p.add_argument("-G", "--gap-extend", type=int, default=-1,
+                   help="alignment gap-extend score [-1]")
     p.add_argument("calls", help="bubble or breakpoint call file")
     p.add_argument("ref", help="reference FASTA")
+    add_common(p, memory=False, nkmers=False, threads=False)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import calls2vcf as c2v
     from ..graph import kmer_occur as KO
+    from ..align import nw
     from ..io import callfile, vcf as vcfio
+    nw.set_scoring(args.match, args.mismatch, args.gap_open,
+                   args.gap_extend)
     ref = KO.RefGenome.from_fasta(args.ref)
     hdr, calls = callfile.read_call_file(args.calls)
     k = hdr.get("kmer_size")
@@ -80,20 +114,23 @@ def cmd_calls2vcf(argv):
         raise ValueError(f"{args.calls}: header lacks kmer_size")
     fmt = hdr.get("file_format", "")
     if fmt == "CtxBreakpoints":
-        records, dropped = _breakpoint_calls_to_vcf(calls, ref, k, c2v)
+        records, dropped = _breakpoint_calls_to_vcf(
+            calls, ref, k, c2v, max_align=args.max_align,
+            max_allele=args.max_allele)
     else:
         sam_places = None
         if args.flanks:
             sam_places = c2v.load_flank_sam(args.flanks, ref,
                                             args.min_mapq)
-        records, dropped = c2v.bubbles_to_vcf(calls, ref, k,
-                                              sam_places=sam_places)
+        records, dropped = c2v.bubbles_to_vcf(
+            calls, ref, k, sam_places=sam_places,
+            max_align=args.max_align, max_allele=args.max_allele)
     out = vcfio.VcfFile(
         headers=vcfio.std_headers(
             args.ref, contigs=[(n, len(s))
                                for n, s in zip(ref.names, ref.seqs)]),
         sample_names=[], records=records)
-    vcfio.write_variants(args.out, out)
+    vcfio.write_variants(args.out, out, fmt=args.out_fmt)
     _status(f"wrote {len(records)} variants ({dropped} calls dropped)")
     return 0
 
@@ -112,7 +149,8 @@ def _run_str(ref, r, k):
             f"{int(r.get('qoffset', 0)) + 1}")
 
 
-def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
+def _breakpoint_calls_to_vcf(calls, ref, k, c2v, max_align: int = 500,
+                             max_allele: int = 500):
     """Adapt text breakpoint calls (with chr= annotations) into the
     direct decomposition path."""
     from ..calls.breakpoints import Breakpoint
@@ -180,10 +218,13 @@ def _breakpoint_calls_to_vcf(calls, ref, k, c2v):
         if not fw:
             from ..utils.dna import revcomp
             branch = revcomp(branch)
+        if max(ref_end - ref_start, len(branch)) > max_align:
+            dropped += 1     # alignment too long to attempt (ref -A)
+            continue
         recs = nw.decompose(cseq[ref_start:ref_end], branch, ref_start,
                             cseq)
         for (p0, r, a) in recs:
-            if r != a:
+            if r != a and max(len(r), len(a)) <= max_allele:
                 records.append(vcfio.VcfRecord(
                     chrom=ref.names[ci], pos=p0, vid=call["name"],
                     ref=r, alts=[a]))
@@ -245,11 +286,23 @@ def _largest_run(runs, use_first):
 def cmd_vcfcov(argv):
     p = argparse.ArgumentParser(prog="mctx vcfcov")
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("-O", "--out-fmt", default=None,
+                   choices=["vcf", "vcfgz", "bcf", "ubcf"])
     p.add_argument("-r", "--ref", required=True)
-    p.add_argument("--max-nvars", type=int, default=8)
+    p.add_argument("-N", "--max-nvars", type=int, default=8,
+                   help="limit haplotypes to <= N variants [8]")
+    p.add_argument("-L", "--max-var-len", type=int, default=100,
+                   help="only use alleles <= this many bases [100]")
+    p.add_argument("-M", "--low-mem", action="store_true",
+                   help="ref two-pass mode; this implementation always "
+                        "streams windows (accepted for parity)")
+    p.add_argument("-H", "--high-mem", action="store_true",
+                   help="ref one-pass mode (accepted for parity)")
     p.add_argument("vcf")
     p.add_argument("ctx", nargs="+")
+    add_common(p, threads=False)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import genotyping as gt
     from ..graph import kmer_occur as KO
     from ..io import vcf as vcfio
@@ -258,8 +311,9 @@ def cmd_vcfcov(argv):
     vcf = vcfio.read_variants(args.vcf)
     if not vcf.sample_names:
         vcf.sample_names = [gi.sample_name for gi in h.ginfo]
-    gt.vcfcov(vcf, ref, g, max_nvars=args.max_nvars)
-    vcfio.write_variants(args.out, vcf)
+    gt.vcfcov(vcf, ref, g, max_nvars=args.max_nvars,
+              max_var_len=args.max_var_len)
+    vcfio.write_variants(args.out, vcf, fmt=args.out_fmt)
     _status(f"annotated {len(vcf.records)} records with K{g.k}R/K{g.k}A")
     return 0
 
@@ -267,20 +321,31 @@ def cmd_vcfcov(argv):
 def cmd_vcfgeno(argv):
     p = argparse.ArgumentParser(prog="mctx vcfgeno")
     p.add_argument("-o", "--out", required=True)
+    p.add_argument("-O", "--out-fmt", default=None,
+                   choices=["vcf", "vcfgz", "bcf", "ubcf"])
     p.add_argument("-k", "--kmer", type=int, required=True)
-    p.add_argument("--err", default="0.01",
+    p.add_argument("-E", "--err", default="0.01",
                    help="per-sample error rates (comma list or one)")
-    p.add_argument("--kcov", default=None,
+    p.add_argument("-C", "--kcov", default=None,
                    help="kmer coverage per sample (comma list)")
-    p.add_argument("--cov", default=None,
+    p.add_argument("-D", "--cov", default=None,
                    help="read depth per sample (comma list); "
                         "kcov = D*(R-k+1)/R")
-    p.add_argument("--ploidy", default="2",
-                   help="default ploidy (or per-sample comma list)")
-    p.add_argument("--read-len", default="100",
+    p.add_argument("-P", "--ploidy", action="append", default=[],
+                   help="'<P>' or 'sample:chr:ploidy' (comma lists, "
+                        "'.' = all; repeatable, applied in order — ref "
+                        "ctx_vcfgeno -P) [default: 2]")
+    p.add_argument("-l", "--llk", action="store_true",
+                   help="print all genotype log10 likelihoods "
+                        "(FORMAT/GL; ref ctx_vcfgeno -l)")
+    p.add_argument("-r", "--rm-cov", action="store_true",
+                   help="remove the tags set by vcfcov")
+    p.add_argument("-R", "--read-len", default="100",
                    help="mean read length per sample (comma list)")
     p.add_argument("vcf")
+    add_common(p, memory=False, nkmers=False, threads=False)
     args = p.parse_args(argv)
+    apply_common(args, args.out)
     from ..calls import vcfgeno as vg
     from ..io import vcf as vcfio
     if (args.kcov is None) == (args.cov is None):
@@ -301,10 +366,17 @@ def cmd_vcfgeno(argv):
         covs = parse_list(args.cov)
         kcovs = [d * (r - k + 1) / r for d, r in zip(covs, readlens)]
     errs = parse_list(args.err)
-    ploidies = parse_list(args.ploidy, int)
+    specs = args.ploidy or ["2"]
+    if any(":" in s for s in specs):
+        ploidies = vg.ploidy_matcher(specs, vcf.sample_names)
+    elif len(specs) == 1 and "," in specs[0]:
+        ploidies = parse_list(specs[0], int)
+    else:
+        ploidies = parse_list(specs[-1], int)
     ndone, nskip = vg.genotype_vcf(vcf, k, kcovs, errs, ploidies,
-                                   readlensk)
-    vcfio.write_variants(args.out, vcf)
+                                   readlensk, add_gl=args.llk,
+                                   rm_cov=args.rm_cov)
+    vcfio.write_variants(args.out, vcf, fmt=args.out_fmt)
     _status(f"genotyped {ndone} records ({nskip} skipped)")
     return 0
 
@@ -321,16 +393,49 @@ register("vcfgeno", cmd_vcfgeno, "genotype VCF from kmer coverage")
 
 def cmd_correct(argv):
     p = argparse.ArgumentParser(prog="mctx correct")
-    p.add_argument("--seq", action="append", default=[])
-    p.add_argument("-2", "--seq2", action="append", nargs=2, default=[],
-                   metavar=("R1", "R2"),
-                   help="paired-end inputs: mates corrected with pair "
-                        "context across the insert (ref ctx_correct)")
+    p.add_argument("-1", "--seq", action="append", default=[],
+                   help="<in>[:<out>] — corrected reads to <out>.fa.gz "
+                        "(plain <in> writes to -o)")
+    p.add_argument("-2", "--seq2", action="append", nargs="+", default=[],
+                   metavar="R",
+                   help="paired-end inputs: '<in1> <in2>' (writes to -o "
+                        "interleaved) or ref form <in1>:<in2>:<out> "
+                        "(writes <out>.{1,2}.fa.gz)")
+    p.add_argument("-i", "--seqi", action="append", default=[],
+                   help="<in>[:<out>] — interleaved pairs in one file")
+    p.add_argument("-F", "--format", default="fasta",
+                   type=lambda s: s.lower(),
+                   choices=["fasta", "fastq"],
+                   help="output format [default: FASTA, like ref "
+                        "correct's .fa.gz outputs]")
+    p.add_argument("-M", "--matepair", default="FR",
+                   choices=["FF", "FR", "RF", "RR"])
+    p.add_argument("-Q", "--fq-cutoff", type=int, default=0,
+                   help="mask bases with quality < Q before correcting")
+    p.add_argument("-O", "--fq-offset", type=int, default=0,
+                   help="FASTQ ASCII offset: 33/64 [default: 0 = auto]")
+    p.add_argument("-H", "--cut-hp", type=int, default=0,
+                   help="break reads at homopolymer runs >= this")
+    p.add_argument("-Z", "--fq-zero", default=None,
+                   help="FASTQ output: replace zero quality scores "
+                        "with this character (ref ctx_correct.c -Z)")
+    p.add_argument("-P", "--print-orig", action="store_true",
+                   help="append ' orig=SEQ' to each read name")
     p.add_argument("-l", "--min-frag-len", type=int, default=0)
     p.add_argument("-L", "--max-frag-len", type=int, default=1000)
+    p.add_argument("-X", "--max-context", type=int, default=None,
+                   help="kmers of aligned context to prime gap walkers "
+                        "with [default: 200]")
+    p.add_argument("-e", "--end-check", dest="end_check",
+                   action="store_true", default=True,
+                   help="verify walker/read agreement after bridging "
+                        "[default: on]")
+    p.add_argument("-E", "--no-end-check", dest="end_check",
+                   action="store_false")
     p.add_argument("-p", "--paths", action="append", default=[])
-    p.add_argument("-o", "--out", required=True, help="output FASTA")
-    p.add_argument("--colour", type=int, default=0)
+    p.add_argument("-o", "--out", default=None,
+                   help="output for plain --seq/--seq2 inputs")
+    p.add_argument("-c", "--colour", type=int, default=0)
     p.add_argument("-w", "--one-way", dest="one_way",
                    action="store_true", default=True,
                    help="one-way gap filling (conservative, default)")
@@ -341,58 +446,168 @@ def cmd_correct(argv):
                    help="save gap size distribution CSV")
     p.add_argument("-G", "--frag-hist", default=None,
                    help="save PE fragment size distribution CSV")
+    p.add_argument("-C", "--contig-hist", default=None,
+                   help="save corrected-segment length distribution CSV")
     p.add_argument("-d", "--gap-diff-const", type=float, default=5,
                    help="allowable gap: |exp-seen| <= exp*D + d")
     p.add_argument("-D", "--gap-diff-coeff", type=float, default=0.1,
                    help="gap tolerance coefficient")
     p.add_argument("ctx")
+    add_common(p)
     args = p.parse_args(argv)
-    if not args.seq and not args.seq2:
-        p.error("at least one --seq/--seq2 required")
+    apply_common(args, args.gap_hist, args.frag_hist, args.contig_hist)
+    if not args.seq and not args.seq2 and not args.seqi:
+        p.error("at least one --seq/--seq2/--seqi required")
     from ..align import correct as acorrect
     from ..io import ctp as ctpio
     from ..io import seqio
+    from ..io.seqio import Read
+    from .common import check_outfile
+    from .commands2 import _SeqWriter
+    if args.fq_offset:
+        if args.fq_offset not in (33, 64):
+            p.error("--fq-offset must be 33 or 64 (0 = auto)")
+        seqio.FQ_OFFSET = args.fq_offset
+    if args.max_context is None:
+        args.max_context = acorrect.MAX_CONTEXT
     h, g = _load_graph(args.ctx)
     links = ctpio.load_link_store(args.paths, g) if args.paths else None
     aln_stats = acorrect.CorrectAlnStats()
     nreads = nfixed = ngaps = 0
-    with open(args.out, "w") as out:
-        for path in args.seq:
-            names, seqs = [], []
-            for rd in seqio.parse_reads(path):
-                names.append(rd.name)
-                seqs.append(rd.seq)
-            if not seqs:
-                continue
-            from ..constants import CHAR_TO_BASE
-            L = max(len(s) for s in seqs)
-            arr = np.full((len(seqs), L), 4, np.uint8)
-            for i, s in enumerate(seqs):
-                arr[i, :len(s)] = CHAR_TO_BASE[
-                    np.frombuffer(s.encode(), np.uint8)]
-            res = acorrect.correct_batch(
-                g, links, arr, colour=args.colour,
-                one_way=args.one_way,
-                gap_variance=args.gap_diff_coeff,
-                gap_wiggle=args.gap_diff_const, aln_stats=aln_stats)
-            for name, cr in zip(names, res):
-                out.write(f">{name}\n{cr.display}\n")
-                nreads += 1
-                ngaps += cr.ngaps
-                nfixed += cr.nfixed
-        for r1, r2 in args.seq2:
-            for c1, c2, _ in seqio.read_batches_pe(r1, r2):
-                m1, m2 = acorrect.correct_pairs(
-                    g, links, c1, c2, colour=args.colour,
-                    frag_len_min=args.min_frag_len,
-                    frag_len_max=args.max_frag_len,
-                    one_way=args.one_way, aln_stats=aln_stats)
-                for i, (a, b) in enumerate(zip(m1, m2)):
-                    out.write(f">pair{nreads}/1\n{a.display}\n")
-                    out.write(f">pair{nreads}/2\n{b.display}\n")
-                    nreads += 1
-                    ngaps += a.ngaps + b.ngaps
-                    nfixed += a.nfixed + b.nfixed
+    ext = ".fq.gz" if args.format == "fastq" else ".fa.gz"
+
+    def _emit(wr, name, cr, orig_rd):
+        nonlocal nreads, nfixed, ngaps
+        if args.print_orig:
+            name = f"{name} orig={orig_rd.seq}"
+        quals = None
+        if args.format == "fastq":
+            q = orig_rd.quals
+            if q is not None and len(q) == len(cr.display):
+                quals = np.asarray(q).copy()
+            else:
+                quals = np.zeros(len(cr.display), np.uint8)
+            if args.fq_zero:
+                zc = max(ord(args.fq_zero[0]) - 33, 0)
+                quals = np.where(quals == 0, zc, quals)
+        wr.write(Read(name, cr.display, quals))
+        aln_stats.add_contig(len(cr.display))
+        nreads += 1
+        ngaps += cr.ngaps
+        nfixed += cr.nfixed
+
+    def _mask(arr, quals):
+        if (args.fq_cutoff and quals is not None) or args.cut_hp:
+            import jax.numpy as jnp
+            from ..graph import build as gbuild
+            return np.asarray(gbuild.mask_reads(
+                jnp.asarray(arr),
+                jnp.asarray(quals) if quals is not None else None,
+                fq_cutoff=args.fq_cutoff if quals is not None else 0,
+                hp_cutoff=args.cut_hp))
+        return arr
+
+    def _correct_se(path, wr):
+        from ..constants import CHAR_TO_BASE
+        rds = list(seqio.parse_reads(path))
+        if not rds:
+            return
+        L = max(len(r.seq) for r in rds)
+        arr = np.full((len(rds), L), 4, np.uint8)
+        quals = None
+        if args.fq_cutoff and any(r.quals is not None for r in rds):
+            quals = np.zeros((len(rds), L), np.uint8)
+        for i, r in enumerate(rds):
+            arr[i, :len(r.seq)] = CHAR_TO_BASE[
+                np.frombuffer(r.seq.encode(), np.uint8)]
+            if quals is not None and r.quals is not None:
+                quals[i, :len(r.quals)] = r.quals
+        arr = _mask(arr, quals)
+        res = acorrect.correct_batch(
+            g, links, arr, colour=args.colour, one_way=args.one_way,
+            gap_variance=args.gap_diff_coeff,
+            gap_wiggle=args.gap_diff_const,
+            max_context=args.max_context, end_check=args.end_check,
+            aln_stats=aln_stats)
+        for rd, cr in zip(rds, res):
+            _emit(wr, rd.name, cr, rd)
+
+    def _correct_pairs(c1, c2, w1, w2):
+        m1, m2 = acorrect.correct_pairs(
+            g, links, c1, c2, colour=args.colour,
+            frag_len_min=args.min_frag_len,
+            frag_len_max=args.max_frag_len,
+            one_way=args.one_way, max_context=args.max_context,
+            end_check=args.end_check, aln_stats=aln_stats)
+        for a, b in zip(m1, m2):
+            base = f"pair{nreads}"
+            _emit(w1, base + "/1", a, Read(base, a.display))
+            _emit(w2, base + "/2", b, Read(base, b.display))
+
+    shared = None
+    if args.out:
+        check_outfile(args.out, args.force)
+        fmt = args.format
+        if args.out.endswith((".fa", ".fasta")):
+            fmt = "fasta"
+        shared = _SeqWriter(args.out, fmt)
+    for spec in args.seq:
+        if ":" in spec:
+            path, obase = spec.rsplit(":", 1)
+            check_outfile(obase + ext, args.force)
+            wr = _SeqWriter(obase + ext, args.format)
+            _correct_se(path, wr)
+            wr.close()
+        else:
+            if shared is None:
+                p.error(f"--seq {spec}: give <in>:<out> or -o")
+            _correct_se(spec, shared)
+    for spec in args.seq2:
+        if len(spec) == 1:
+            try:
+                in1, in2, obase = spec[0].rsplit(":", 2)
+            except ValueError:
+                p.error(f"--seq2 needs <in1>:<in2>:<out>: {spec[0]}")
+            check_outfile(obase + ".1" + ext, args.force)
+            check_outfile(obase + ".2" + ext, args.force)
+            w1 = _SeqWriter(obase + ".1" + ext, args.format)
+            w2 = _SeqWriter(obase + ".2" + ext, args.format)
+        elif len(spec) == 2:
+            in1, in2 = spec
+            if shared is None:
+                p.error("--seq2 with two args needs -o")
+            w1 = w2 = shared
+        else:
+            p.error("--seq2 takes '<in1> <in2>' or <in1>:<in2>:<out>")
+        for c1, c2, _ in seqio.read_batches_pe(in1, in2,
+                                               matedir=args.matepair):
+            _correct_pairs(c1, c2, w1, w2)
+        if w1 is not shared:
+            w1.close()
+            w2.close()
+    for spec in args.seqi:
+        if ":" in spec:
+            path, obase = spec.rsplit(":", 1)
+            check_outfile(obase + ".1" + ext, args.force)
+            check_outfile(obase + ".2" + ext, args.force)
+            w1 = _SeqWriter(obase + ".1" + ext, args.format)
+            w2 = _SeqWriter(obase + ".2" + ext, args.format)
+        else:
+            path = spec
+            if shared is None:
+                p.error(f"--seqi {spec}: give <in>:<out> or -o")
+            w1 = w2 = shared
+        for codes, quals, _ in seqio.read_batches_native([path]):
+            if codes.shape[0] % 2:
+                codes = codes[:-1]
+            c1, c2 = seqio.mate_normalize(codes[0::2], codes[1::2],
+                                          args.matepair)
+            _correct_pairs(c1, c2, w1, w2)
+        if w1 is not shared:
+            w1.close()
+            w2.close()
+    if shared is not None:
+        shared.close()
     _status(f"corrected {nreads} reads: {nfixed}/{ngaps} gaps bridged")
     if aln_stats.num_gap_attempts:
         _status("[CorrectAln] " + aln_stats.summary())
@@ -400,6 +615,11 @@ def cmd_correct(argv):
         aln_stats.dump_gaps(args.gap_hist)
     if args.frag_hist:
         aln_stats.dump_fraglen(args.frag_hist)
+    if args.contig_hist:
+        with open(args.contig_hist, "w") as fh:
+            fh.write("SegmentLength,Count\n")
+            for lng in sorted(aln_stats.contig_histgrm):
+                fh.write(f"{lng},{aln_stats.contig_histgrm[lng]}\n")
     return 0
 
 
@@ -431,7 +651,10 @@ def cmd_links(argv):
     p.add_argument("-o", "--out", default=None)
     p.add_argument("ctx")
     p.add_argument("ctp")
+    add_common(p, threads=False)
     args = p.parse_args(argv)
+    apply_common(args, args.out, args.list_csv, args.plot,
+                 args.threshold, args.covg_hist)
     from ..io import ctp as ctpio
     from ..links import link_tree as ltree
     from ..links import store as lstore

@@ -20,6 +20,9 @@ def _report_memory(cmd):
     import os
     if os.environ.get("MCTX_NO_MEMSTATS"):
         return
+    from .common import is_quiet
+    if is_quiet():
+        return
     try:
         import resource
         peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss

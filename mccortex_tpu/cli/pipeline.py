@@ -49,6 +49,9 @@ def cmd_pipeline(argv):
         if not args.force and os.path.exists(outfile):
             _status(f"pipeline: {outfile} exists, skipping")
             return
+        # inner commands refuse to overwrite without -f; a partial
+        # output from an interrupted run must not wedge the resume
+        cmd = [cmd[0], "-f"] + cmd[1:]
         _status(f"pipeline: mctx {' '.join(cmd)}")
         rc = mctx(cmd)
         if rc != 0:

@@ -107,11 +107,17 @@ def write_gfa(out, g: gstore.DBGraph, seqs):
         out.write(f"L\tunitig{i}\t{oi}\tunitig{j}\t{oj}\t{g.k - 1}M\n")
 
 
-def write_dot(out, g: gstore.DBGraph, seqs):
-    """Graphviz output (ref ctx_unitigs.c --dot: nodes with :n/:s ports)."""
+def write_dot(out, g: gstore.DBGraph, seqs, points: bool = False):
+    """Graphviz output (ref ctx_unitigs.c --dot: nodes with :n/:s ports;
+    --points draws unitigs as unlabelled points)."""
     out.write("digraph G {\n  edge [dir=both arrowhead=none arrowtail=none]\n")
+    if points:
+        out.write("  node [shape=point label=none]\n")
     for i, s in enumerate(seqs):
-        out.write(f"  unitig{i} [label=\"{s if len(s) <= 30 else str(len(s)) + 'bp'}\"]\n")
+        if points:
+            out.write(f"  unitig{i}\n")
+        else:
+            out.write(f"  unitig{i} [label=\"{s if len(s) <= 30 else str(len(s)) + 'bp'}\"]\n")
     for (i, si, j, sj) in unitig_links(g, seqs):
         pi = "e" if si == 1 else "w"
         pj = "w" if sj == 0 else "e"

@@ -179,7 +179,9 @@ def _build_dicts(headers, records, sample_names):
     return ids, contigs, extra
 
 
-def write_bcf(path: str, vcf: VcfFile) -> None:
+def write_bcf(path: str, vcf: VcfFile, compressed: bool = True) -> None:
+    """compressed=False writes an uncompressed BCF stream ('ubcf',
+    ref vcf_misc.c hts 'wbu' mode)."""
     ids, contigs, extra = _build_dicts(vcf.headers, vcf.records,
                                        vcf.sample_names)
     idx = {s: i for i, s in enumerate(ids)}
@@ -266,7 +268,10 @@ def write_bcf(path: str, vcf: VcfFile) -> None:
         body += indiv
 
     with open(path, "wb") as fh:
-        _bgzf_write(fh, bytes(body))
+        if compressed:
+            _bgzf_write(fh, bytes(body))
+        else:
+            fh.write(bytes(body))
 
 
 def read_bcf(path: str) -> VcfFile:

@@ -37,6 +37,10 @@ def _openseq(path):
 # here it is explicit).
 CRAM_REF = None
 
+# FASTQ quality ASCII offset: 33 or 64; 0 = auto-detect per file from
+# the first record (ref seq_file fq offset guessing, -O/--fq-offset).
+FQ_OFFSET = 0
+
 
 def _is_cram(path: str) -> bool:
     with open(path, "rb") as f:
@@ -74,12 +78,17 @@ def parse_reads(path: str) -> Iterator[Read]:
             yield Read(name.split()[0] if name else "", "".join(chunks).upper())
         elif first.startswith("@"):
             name = first
+            offset = FQ_OFFSET   # 0 = auto-detect from the first record
             while name:
                 seq = fh.readline().strip().upper()
                 fh.readline()  # '+' separator
                 qual = fh.readline().strip()
-                quals = np.frombuffer(qual.encode(), np.uint8).astype(
-                    np.int16) - 33
+                qb = np.frombuffer(qual.encode(), np.uint8)
+                if offset == 0:
+                    # ref seq_file guess: any char below '@' implies
+                    # phred+33; otherwise phred+64 (Illumina 1.3-1.7)
+                    offset = 33 if (len(qb) == 0 or qb.min() < 64) else 64
+                quals = qb.astype(np.int16) - offset
                 yield Read(name[1:].strip().split()[0], seq,
                            np.clip(quals, 0, 255).astype(np.uint8))
                 name = fh.readline()
@@ -312,6 +321,7 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
     if lib is None:
         yield from read_batches(paths, batch_size, max_len, colour)
         return
+    lib.mctx_seq_set_fq_offset(int(FQ_OFFSET))
     for path in paths:
         if _is_cram(path):       # CRAM decodes in python (io/cram.py)
             yield from read_batches([path], batch_size, max_len, colour)
@@ -341,12 +351,44 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
             lib.mctx_seq_close(h)
 
 
+def _rc_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse-complement a padded code batch (4 = invalid stays 4)."""
+    return np.where(codes < 4, 3 - codes, 4).astype(np.uint8)[:, ::-1]
+
+
+def mate_normalize(c1: np.ndarray, c2: np.ndarray, matedir: str = "FR",
+                   q1: np.ndarray | None = None,
+                   q2: np.ndarray | None = None):
+    """Normalise a mate pair to the FR convention every PE consumer
+    assumes (r1 fragment-forward, r2 on the reverse strand) — role of
+    ref seq_reader.c:497-500 seq_reads_mate_normalise, which maps to
+    FF: only the mate-RELATIVE orientation matters (RR == FF, RF is the
+    mirrored FR).  Quality rows are reversed alongside their codes."""
+    m = matedir.upper()
+    if m == "FR":
+        pass
+    elif m in ("FF", "RR"):
+        c2 = _rc_codes(c2)
+        q2 = q2[:, ::-1] if q2 is not None else None
+    elif m == "RF":
+        c1, c2 = _rc_codes(c1), _rc_codes(c2)
+        q1 = q1[:, ::-1] if q1 is not None else None
+        q2 = q2[:, ::-1] if q2 is not None else None
+    else:
+        raise ValueError(f"matepair must be FF/FR/RF/RR, got {matedir!r}")
+    if q1 is None and q2 is None:
+        return c1, c2
+    return c1, c2, q1, q2
+
+
 def read_batches_pe(path1, path2, batch_size: int = 512,
-                    max_len: int = 1024, colour: int = 0):
+                    max_len: int = 1024, colour: int = 0,
+                    matedir: str = "FR"):
     """Yield mate-pair batches (codes1, codes2, colour); files must have
     reads in the same order (standard _1/_2 convention)."""
     it1 = read_batches_native([path1], batch_size, max_len, colour)
     it2 = read_batches_native([path2], batch_size, max_len, colour)
     for (c1, q1, _), (c2, q2, _) in zip(it1, it2):
         n = min(c1.shape[0], c2.shape[0])
-        yield c1[:n], c2[:n], colour
+        c1, c2 = mate_normalize(c1[:n], c2[:n], matedir)
+        yield c1, c2, colour

@@ -75,24 +75,28 @@ def read_vcf(path: str) -> VcfFile:
 
 def write_vcf(path: str, vcf: VcfFile) -> None:
     with _opener(path, "w") as fh:
-        for h in vcf.headers:
-            fh.write(h + "\n")
-        cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
-                "INFO"]
-        if vcf.sample_names:
-            cols += ["FORMAT"] + list(vcf.sample_names)
-        fh.write("\t".join(cols) + "\n")
-        for r in vcf.records:
-            info = ";".join(
-                k if v is True else f"{k}={v}" for k, v in r.info.items()) \
-                or "."
-            f = [r.chrom, str(r.pos + 1), r.vid, r.ref, ",".join(r.alts),
-                 r.qual, r.filt, info]
-            if r.fmt:
-                f.append(":".join(r.fmt))
-                for s in r.samples:
-                    f.append(":".join(str(s.get(k, ".")) for k in r.fmt))
-            fh.write("\t".join(f) + "\n")
+        _write_vcf_fh(fh, vcf)
+
+
+def _write_vcf_fh(fh, vcf: VcfFile) -> None:
+    for h in vcf.headers:
+        fh.write(h + "\n")
+    cols = ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER",
+            "INFO"]
+    if vcf.sample_names:
+        cols += ["FORMAT"] + list(vcf.sample_names)
+    fh.write("\t".join(cols) + "\n")
+    for r in vcf.records:
+        info = ";".join(
+            k if v is True else f"{k}={v}" for k, v in r.info.items()) \
+            or "."
+        f = [r.chrom, str(r.pos + 1), r.vid, r.ref, ",".join(r.alts),
+             r.qual, r.filt, info]
+        if r.fmt:
+            f.append(":".join(r.fmt))
+            for s in r.samples:
+                f.append(":".join(str(s.get(k, ".")) for k in r.fmt))
+        fh.write("\t".join(f) + "\n")
 
 
 def std_headers(ref_path: str | None = None, contigs=None,
@@ -117,9 +121,22 @@ def read_variants(path: str) -> "VcfFile":
     return read_vcf(path)
 
 
-def write_variants(path: str, vcf: "VcfFile") -> None:
-    if path.endswith(".bcf"):
-        from . import bcf as _bcf
+def write_variants(path: str, vcf: "VcfFile", fmt: str | None = None) -> None:
+    """fmt: vcf|vcfgz|bcf|ubcf (ref -O/--out-fmt, vcf_misc.c
+    hts_mode_of); None = dispatch on extension (.bcf binary, .gz
+    gzip text, else plain text)."""
+    from . import bcf as _bcf
+    if fmt is None:
+        fmt = "bcf" if path.endswith(".bcf") else None
+    if fmt == "bcf":
         _bcf.write_bcf(path, vcf)
-        return
-    write_vcf(path, vcf)
+    elif fmt == "ubcf":
+        _bcf.write_bcf(path, vcf, compressed=False)
+    elif fmt == "vcfgz":
+        import io as _io
+        buf = _io.StringIO()
+        _write_vcf_fh(buf, vcf)
+        with open(path, "wb") as fh:
+            _bcf._bgzf_write(fh, buf.getvalue().encode())
+    else:
+        write_vcf(path, vcf)

@@ -177,3 +177,64 @@ def merge_stores(a: LinkStore, b: LinkStore, N: int) -> LinkStore:
                      nj=jnp.asarray(nj[u].astype(np.int32)),
                      nseen=jnp.asarray(np.minimum(
                          nseen, np.iinfo(np.uint32).max).astype(np.uint32)))
+
+
+def _prefix_eq(seq_i: np.ndarray, seq_j: np.ndarray, njj: int) -> bool:
+    """True if the first njj junctions of both packed rows match."""
+    full = njj // 32
+    rem = njj % 32
+    if full and not np.array_equal(seq_i[:full], seq_j[:full]):
+        return False
+    if rem:
+        mask = np.uint64(0xFFFFFFFFFFFFFFFF) << np.uint64(64 - 2 * rem)
+        return bool((seq_i[full] & mask) == (seq_j[full] & mask))
+    return True
+
+
+def rmsubstr_store(ls: LinkStore) -> LinkStore:
+    """Remove redundant links (ref gpath_subset.c:106 rmsubstr,
+    `pjoin -r`): within a vertex, exact duplicates merge their counts;
+    a link that is a strict PREFIX of another loses the colours the
+    longer link covers and is dropped once no colour remains.
+    {A, C, CG, CGC} -> {A, CGC}."""
+    L = ls.nlinks
+    if L <= 1:
+        return ls
+    off = np.asarray(ls.offsets)
+    seq = np.asarray(ls.seq)
+    nj = np.asarray(ls.nj)
+    nseen = np.asarray(ls.nseen).copy()
+    keep = np.ones(L, bool)
+    for v in np.nonzero(np.diff(off) > 1)[0]:
+        s, e = int(off[v]), int(off[v + 1])
+        idxs = sorted(range(s, e),
+                      key=lambda t: (tuple(seq[t].tolist()), int(nj[t])))
+        for a in range(len(idxs) - 1, 0, -1):
+            i = idxs[a]
+            if not keep[i]:
+                continue
+            for q in range(a - 1, -1, -1):
+                j = idxs[q]
+                if not keep[j]:
+                    continue
+                if nj[j] > nj[i] or not _prefix_eq(seq[i], seq[j],
+                                                   int(nj[j])):
+                    break
+                if nj[j] == nj[i]:
+                    # exact duplicate: steal counts
+                    nseen[i] += nseen[j]
+                    keep[j] = False
+                else:
+                    # j is a strict prefix of i: remove shared colours
+                    nseen[j][nseen[i] > 0] = 0
+                    if not nseen[j].any():
+                        keep[j] = False
+    if keep.all():
+        return ls
+    verts = np.repeat(np.arange(len(off) - 1), np.diff(off))
+    counts = np.bincount(verts[keep], minlength=len(off) - 1)
+    new_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return LinkStore(offsets=jnp.asarray(new_off),
+                     seq=jnp.asarray(seq[keep]),
+                     nj=jnp.asarray(nj[keep]),
+                     nseen=jnp.asarray(nseen[keep]))

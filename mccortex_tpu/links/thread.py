@@ -250,11 +250,15 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                          stats=None, one_way: bool = True,
                          gap_variance: float = 0.1,
                          gap_wiggle: float = 5,
+                         max_context: int | None = None,
+                         end_check: bool = True,
                          aln_stats=None):
     """Threading with gap filling: bridge read gaps through the graph
     first (ref generate_paths.c uses correct_alignment), then extract
     junctions from the bridged node paths."""
     from ..align import correct as acorrect
+    if max_context is None:
+        max_context = acorrect.MAX_CONTEXT
     all_recs = []
     for bases, colour in read_batches:
         corrected = acorrect.correct_batch(g, links_prev, bases,
@@ -262,6 +266,8 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                                            one_way=one_way,
                                            gap_variance=gap_variance,
                                            gap_wiggle=gap_wiggle,
+                                           max_context=max_context,
+                                           end_check=end_check,
                                            aln_stats=aln_stats)
         # re-pack bridged paths into arrays
         paths = [c.verts for c in corrected if len(c.verts)]
@@ -318,11 +324,15 @@ def pair_to_rows(codes1: np.ndarray, codes2: np.ndarray):
 def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
                     links_prev=None, edge_colour: int = 0,
                     frag_len_min: int = 0, frag_len_max: int = 1000,
-                    stats=None, one_way: bool = True, aln_stats=None):
+                    stats=None, one_way: bool = True,
+                    max_context: int | None = None,
+                    end_check: bool = True, aln_stats=None):
     """Paired-end threading: mates joined through the graph across the
     insert gap (ref generate_paths PE mode), then junction extraction
     over the combined paths — links span whole fragments."""
     from ..align import correct as acorrect
+    if max_context is None:
+        max_context = acorrect.MAX_CONTEXT
     all_recs = []
     for codes1, codes2, colour in pair_batches:
         rows, mate_col = pair_to_rows(codes1, codes2)
@@ -330,6 +340,7 @@ def thread_reads_pe(g: gstore.DBGraph, pair_batches, ncols: int,
             g, links_prev, rows, colour=edge_colour,
             mate_col=mate_col, frag_len_min=frag_len_min,
             frag_len_max=frag_len_max, one_way=one_way,
+            max_context=max_context, end_check=end_check,
             aln_stats=aln_stats)
         paths = [c.verts for c in corrected if len(c.verts)]
         if not paths:

@@ -62,5 +62,7 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.mctx_seq_set_fq_offset.argtypes = [ctypes.c_int]
+    lib.mctx_seq_set_fq_offset.restype = None
     _lib = lib
     return _lib

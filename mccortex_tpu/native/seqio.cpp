@@ -28,7 +28,12 @@ struct SeqFile {
   bool have_pending;    // a header line already read
   char *pending;
   size_t pendingcap;
+  int fq_offset;        // 33/64; 0 = auto-detect from first record
 };
+
+// Process-wide FASTQ quality ASCII offset (mirrors python
+// seqio.FQ_OFFSET; ref seq_file fq offset handling): 0 auto, 33, 64.
+static int g_fq_offset = 0;
 
 uint8_t base_code[256];
 
@@ -69,6 +74,8 @@ long read_line(SeqFile *f, char **buf, size_t *cap) {
 
 extern "C" {
 
+void mctx_seq_set_fq_offset(int off) { g_fq_offset = off; }
+
 void mctx_seq_close(void *h);
 
 void *mctx_seq_open(const char *path) {
@@ -83,6 +90,7 @@ void *mctx_seq_open(const char *path) {
   f->have_pending = false;
   f->pending = nullptr;
   f->pendingcap = 0;
+  f->fq_offset = g_fq_offset;
   // BAM detection: decompressed stream starts with "BAM\1"
   char magic[4];
   int got = gzread(gz, magic, 4);
@@ -272,8 +280,16 @@ long mctx_seq_read_batch(void *h, long max_reads, long max_len,
       if (read_line(f, &f->linebuf, &f->linecap) < 0) return -1;  // '+'
       long l4 = read_line(f, &f->linebuf, &f->linecap);           // quals
       if (l4 < 0) return -1;
+      if (f->fq_offset == 0) {
+        // auto-detect (ref seq_file): any char below '@' => phred+33
+        int minc = 255;
+        for (long i = 0; i < l4; i++)
+          if ((int)(uint8_t)f->linebuf[i] < minc)
+            minc = (int)(uint8_t)f->linebuf[i];
+        f->fq_offset = (l4 == 0 || minc < 64) ? 33 : 64;
+      }
       for (long i = 0; i < l4 && i < max_len; i++) {
-        int q = (int)f->linebuf[i] - 33;
+        int q = (int)f->linebuf[i] - f->fq_offset;
         qrow[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
       }
       lens[n] = (int32_t)seqlen;

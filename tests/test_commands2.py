@@ -86,9 +86,18 @@ def test_reads_filter(two_colour_graph, tmp_path):
     assert mctx(["reads", "--seq", mixed, "-o", out, ctx]) == 0
     kept = [l.strip() for l in open(out) if not l.startswith(">")]
     assert kept == [a[20:90]]
-    assert mctx(["reads", "--seq", mixed, "--invert", "-o", out, ctx]) == 0
+    # overwriting without -f must refuse (ref futil_check_outfile)
+    assert mctx(["reads", "--seq", mixed, "--invert", "-o", out, ctx]) != 0
+    assert mctx(["reads", "-f", "--seq", mixed, "--invert", "-o", out,
+                 ctx]) == 0
     kept = [l.strip() for l in open(out) if not l.startswith(">")]
     assert kept == [other]
+    # ref <in>:<out> form writes FASTQ (.fq.gz)
+    obase = str(tmp / "filt")
+    assert mctx(["reads", "-1", f"{mixed}:{obase}", ctx]) == 0
+    import gzip
+    lines = gzip.open(obase + ".fq.gz", "rt").read().splitlines()
+    assert lines[0].startswith("@") and lines[1] == a[20:90]
 
 
 def test_coverage(two_colour_graph, tmp_path, capsys):

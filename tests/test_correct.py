@@ -174,3 +174,42 @@ def test_gap_fill_context_priming_resolves_fork():
     C.correct_batch(g, links, codes, colour=None, max_context=0,
                     aln_stats=stats0)
     assert stats0.num_mid_traversed == 0, stats0.summary()
+
+
+def test_gap_fill_end_check_rejects_disagreeing_bridge():
+    """use_end_check (default on, ref graph_walker_agrees_contig): after
+    bridging, the walker's continued link-informed choices must agree
+    with the read's post-gap aligned nodes.  A chimeric read (u+S+z2
+    against links u+S+z1 / v+S+z2) bridges fine inside the shared S,
+    but the u-context link then picks z1 while the read has z2 — the
+    bridge is rejected with end_check, accepted without."""
+    from util import random_dna, seq_to_codes
+    from test_links import build_g, thread_all
+    from mccortex_tpu.align import correct as C
+    k = 11
+    S = random_dna(30, seed=910)
+    u = random_dna(60, seed=911)
+    v = random_dna(60, seed=912)
+    z1 = "A" + random_dna(59, seed=913)
+    z2 = "C" + random_dna(59, seed=914)
+    s1 = u + S + z1
+    s2 = v + S + z2
+    g = build_g([(s1, 0), (s2, 0)], k)
+    links = thread_all(g, [(s1, 0), (s2, 0)])
+
+    chim = u + S + z2
+    err = 60 + 20
+    alt = "ACGT"[("ACGT".index(chim[err]) + 1) % 4]
+    read = chim[:err] + alt + chim[err + 1:]
+    codes = seq_to_codes(read)[None, :]
+
+    st1 = C.CorrectAlnStats()
+    C.correct_batch(g, links, codes, colour=None, aln_stats=st1)
+    assert st1.num_mid_traversed == 0, st1.summary()
+    assert st1.num_paths_disagreed >= 1
+
+    st0 = C.CorrectAlnStats()
+    out0 = C.correct_batch(g, links, codes, colour=None,
+                           end_check=False, aln_stats=st0)
+    assert st0.num_mid_traversed == 1, st0.summary()
+    assert out0[0].seq == chim
