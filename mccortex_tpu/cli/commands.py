@@ -410,6 +410,42 @@ def _load_graph(path):
     return h, g
 
 
+def _load_graphs(paths):
+    """Load one or more .ctx files into a single store with colours
+    concatenated in CLI order (role of ref graphs_load.c — every
+    command taking '<in.ctx> [in2.ctx ...]' loads them all)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    if len(paths) == 1:
+        return _load_graph(paths[0])
+    import jax.numpy as jnp
+    from ..graph import store as gstore
+    from ..io import ctx as ctxio
+    loaded = [ctxio.read_ctx(p) for p in paths]
+    k = loaded[0][0].kmer_size
+    for (h, *_), p in zip(loaded, paths):
+        if h.kmer_size != k:
+            raise ValueError(f"{p}: kmer size {h.kmer_size} != {k}")
+    ncols = sum(h.ncols for h, *_ in loaded)
+    allk, allc, alle, ginfo = [], [], [], []
+    off = 0
+    for h, keys, covg, edges in loaded:
+        cw = np.zeros((len(keys), ncols), covg.dtype)
+        ew = np.zeros((len(keys), ncols), np.uint8)
+        cw[:, off:off + h.ncols] = covg
+        ew[:, off:off + h.ncols] = edges
+        ginfo.extend(h.ginfo)
+        off += h.ncols
+        allk.append(keys)
+        allc.append(cw)
+        alle.append(ew)
+    g = gstore.from_records(
+        k, jnp.asarray(np.concatenate(allk)),
+        jnp.asarray(np.concatenate(allc)),
+        jnp.asarray(np.concatenate(alle)))
+    return ctxio.CtxHeader(kmer_size=k, ginfo=ginfo), g
+
+
 def _save_graph(path, h, g):
     from ..graph import store as gstore
     from ..io import ctx as ctxio
@@ -444,13 +480,13 @@ def cmd_clean(argv):
     p.add_argument("-L", "--len-after", default=None,
                    help="unitig length histogram CSV after cleaning")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out, args.covg_before, args.covg_after,
                  args.len_before, args.len_after)
     from ..graph import clean as gclean
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     k = h.kmer_size
     if args.memory:
         from ..utils import membudget as mb
@@ -520,12 +556,12 @@ def cmd_unitigs(argv):
                    help="minimum unitig length in bases")
     p.add_argument("-o", "--out", default="-",
                    help="output file [default: STDOUT]")
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
     from ..graph import unitigs as gu
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     seqs = gu.extract_unitigs(g)
     seqs = [s for s in seqs if len(s) >= args.min_len]
     fh = sys.stdout if args.out == "-" else open(args.out, "w")
@@ -1058,14 +1094,14 @@ def cmd_bubbles(argv):
                    action="store_true",
                    help="keep serial (chained) bubbles "
                         "(ref ctx_bubbles.c -S; higher FP)")
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
     from ..calls import bubbles as bub
     from ..io import callfile
     from ..io import ctp as ctpio
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     links = None
     if args.paths:
         links = ctpio.load_link_store(args.paths, g)

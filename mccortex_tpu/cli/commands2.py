@@ -11,7 +11,7 @@ import sys
 import numpy as np
 
 from .main import register
-from .commands import _status, _load_graph, _save_graph
+from .commands import _status, _load_graph, _load_graphs, _save_graph
 from .common import add_common, apply_common
 
 
@@ -32,13 +32,13 @@ def cmd_subgraph(argv):
                    help="colours to load at once (ref memory knob; all "
                         "colours load in one pass here)")
     p.add_argument("-o", "--out", required=True)
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
     from ..graph import subgraph as sg
     from ..io import seqio
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     batches = [codes for codes, _, _ in seqio.read_batches(args.seq)]
     g2 = sg.subgraph(g, batches, dist=args.dist, invert=args.invert,
                      whole_unitigs=args.unitigs)
@@ -387,7 +387,7 @@ def cmd_coverage(argv):
                    help="print in/out degree per kmer: 00. 01/ 02[ "
                         "10\\ 11- 12{ 20] 21} 22X (ref ctx_coverage -E)")
     p.add_argument("-o", "--out", default="-")
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
@@ -396,7 +396,7 @@ def cmd_coverage(argv):
     from ..links import thread as lthread
     from ..utils.text import edges_to_strings
     from ..io import seqio
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     for path in args.seq:
         for rd in seqio.parse_reads(path):
@@ -674,12 +674,12 @@ def cmd_popbubbles(argv):
     p.add_argument("-D", "--max-diff", type=int, default=-1,
                    help="only pop bubbles whose branch lengths differ "
                         "by at most D kmers (ref ctx_pop_bubbles.c -D)")
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
     from ..calls import pop_bubbles as pb
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     g2, npopped = pb.pop_bubbles(g, max_covg=args.max_covg,
                                  max_len=args.max_len,
                                  max_kdiff=args.max_diff)

@@ -12,7 +12,7 @@ import json
 import numpy as np
 
 from .main import register
-from .commands import _status, _load_graph
+from .commands import _status, _load_graph, _load_graphs
 from .common import add_common, apply_common
 
 
@@ -32,7 +32,7 @@ def cmd_breakpoints(argv):
                         "the reference.  Here the reference is a graph "
                         "colour supplied by the user, so its edges are "
                         "whatever the graph holds; accepted for parity")
-    p.add_argument("ctx")
+    p.add_argument("ctx", nargs="+")
     add_common(p)
     args = p.parse_args(argv)
     apply_common(args, args.out)
@@ -40,7 +40,7 @@ def cmd_breakpoints(argv):
     from ..graph import kmer_occur as KO
     from ..io import ctp as ctpio
     import mccortex_tpu
-    h, g = _load_graph(args.ctx)
+    h, g = _load_graphs(args.ctx)
     ref = KO.RefGenome.from_fasta(args.seq)
     links = ctpio.load_link_store(args.paths, g) if args.paths else None
     calls = bk.call_breakpoints(g, ref, links, min_ref=args.minref,
@@ -306,7 +306,7 @@ def cmd_vcfcov(argv):
     from ..calls import genotyping as gt
     from ..graph import kmer_occur as KO
     from ..io import vcf as vcfio
-    h, g = _load_graph(args.ctx[0])
+    h, g = _load_graphs(args.ctx)
     ref = KO.RefGenome.from_fasta(args.ref)
     vcf = vcfio.read_variants(args.vcf)
     if not vcf.sample_names:

@@ -236,3 +236,27 @@ def test_build_graph_input_colours(tmp_path):
     # colour 0 only covers a's kmers, colour 1 only b's
     ha, ka, ca_, _ = ctxio.read_ctx(ca)
     assert (covg[:, 0] > 0).sum() == len(ka)
+
+
+def test_multi_graph_inputs(tmp_path, capsys):
+    """Commands taking '<in.ctx> [in2.ctx ...]' load every file with
+    colours concatenated (ref graphs_load.c)."""
+    k = 11
+    a = random_dna(100, seed=620)
+    b = random_dna(100, seed=621)
+    fa_a = str(tmp_path / "a.fa")
+    fa_b = str(tmp_path / "b.fa")
+    write_fasta(fa_a, [a])
+    write_fasta(fa_b, [b])
+    ca = str(tmp_path / "a.ctx")
+    cb = str(tmp_path / "b.ctx")
+    assert mctx(["build", "-k", str(k), "-s", "A", "-1", fa_a, ca]) == 0
+    assert mctx(["build", "-k", str(k), "-s", "B", "-1", fa_b, cb]) == 0
+    # coverage over both graphs: one covg line per colour
+    assert mctx(["coverage", "-1", fa_a, ca, cb]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].startswith(">")
+    covs0 = [int(x) for x in out[1].split()]
+    covs1 = [int(x) for x in out[2].split()]
+    assert all(c == 1 for c in covs0)       # colour A covers read a
+    assert all(c == 0 for c in covs1)       # colour B does not
