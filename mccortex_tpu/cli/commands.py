@@ -914,11 +914,6 @@ def cmd_thread(argv):
         if args.fq_offset not in (33, 64):
             p.error("--fq-offset must be 33 or 64 (0 = auto)")
         seqio.FQ_OFFSET = args.fq_offset
-    if args.use_new_paths:
-        _status("warning: --use-new-paths: the TPU pipeline threads "
-                "each pass against the initially loaded links; links "
-                "built this run apply from the next pass "
-                "(see docs/PARITY.md)")
     h, g = _load_graph(args.ctx)
     ncols = max(h.ncols, args.colour + 1)
     stats = lthread.ThreadStats(ncols)
@@ -942,13 +937,23 @@ def cmd_thread(argv):
             for row in np.asarray(bcodes):
                 s = "".join(_basechars[np.minimum(row, 4)])
                 print(f"read: {s.rstrip('N')}")
+    # loaded links guide the gap-fill walkers (ref generate_paths
+    # threads against already-loaded paths; -u additionally exposes
+    # links added THIS run to later batches)
+    prev_for_gapfill = (ctpio.load_link_store(args.paths, g)
+                        if args.paths else None)
+    if args.zero_paths and prev_for_gapfill is not None:
+        import jax.numpy as _jnp
+        prev_for_gapfill = prev_for_gapfill.replace(
+            nseen=_jnp.zeros_like(prev_for_gapfill.nseen))
     if args.gap_fill:
         links = lthread.thread_reads_gapfill(
-            g, batches, ncols, stats=stats, one_way=args.one_way,
+            g, batches, ncols, links_prev=prev_for_gapfill,
+            stats=stats, one_way=args.one_way,
             gap_variance=args.gap_diff_coeff,
             gap_wiggle=args.gap_diff_const,
             max_context=args.max_context, end_check=args.end_check,
-            aln_stats=aln_stats)
+            use_new_paths=args.use_new_paths, aln_stats=aln_stats)
     elif batches:
         links = lthread.thread_reads(g, batches, ncols, stats=stats)
     else:
@@ -991,7 +996,8 @@ def cmd_thread(argv):
                     codes[0::2], codes[1::2], args.matepair)
                 pair_batches.append((c1, c2, args.colour))
         pe_links = lthread.thread_reads_pe(
-            g, pair_batches, ncols, frag_len_min=args.min_frag_len,
+            g, pair_batches, ncols, links_prev=prev_for_gapfill,
+            frag_len_min=args.min_frag_len,
             frag_len_max=args.frag_len, stats=stats,
             one_way=args.one_way, max_context=args.max_context,
             end_check=args.end_check, aln_stats=aln_stats)
@@ -999,12 +1005,9 @@ def cmd_thread(argv):
             links, pe_links, g.capacity)
     prev_commands = []
     if args.paths:
-        prev = ctpio.load_link_store(args.paths, g)
         if args.zero_paths:
-            import jax.numpy as jnp
-            prev = prev.replace(nseen=jnp.zeros_like(prev.nseen))
             _status("zeroing link counts for loaded links")
-        links = lstore.merge_stores(prev, links, g.capacity)
+        links = lstore.merge_stores(prev_for_gapfill, links, g.capacity)
         # accumulate contig hists + provenance from the input link files
         # (ref ctx_thread.c:208 gpath_reader_load_contig_hist)
         for pth in args.paths:
@@ -1067,7 +1070,9 @@ def cmd_pview(argv):
     p.add_argument("ctp")
     args = p.parse_args(argv)
     import gzip
-    opener = gzip.open if args.ctp.endswith(".gz") else open
+    with open(args.ctp, "rb") as probe:
+        is_gz = probe.read(2) == b"\x1f\x8b"
+    opener = gzip.open if is_gz else open
     with opener(args.ctp, "rt") as fh:
         sys.stdout.write(fh.read())
     return 0

@@ -252,16 +252,23 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                          gap_wiggle: float = 5,
                          max_context: int | None = None,
                          end_check: bool = True,
+                         use_new_paths: bool = False,
                          aln_stats=None):
     """Threading with gap filling: bridge read gaps through the graph
     first (ref generate_paths.c uses correct_alignment), then extract
-    junctions from the bridged node paths."""
+    junctions from the bridged node paths.
+
+    use_new_paths (ref ctx_thread -u, default off like the ref's
+    gpath_store_split_read_write): links emitted by earlier batches
+    become visible to later batches' gap walkers (batch granularity
+    here vs the ref's per-read)."""
     from ..align import correct as acorrect
     if max_context is None:
         max_context = acorrect.MAX_CONTEXT
     all_recs = []
+    cur_links = links_prev
     for bases, colour in read_batches:
-        corrected = acorrect.correct_batch(g, links_prev, bases,
+        corrected = acorrect.correct_batch(g, cur_links, bases,
                                            colour=edge_colour,
                                            one_way=one_way,
                                            gap_variance=gap_variance,
@@ -291,8 +298,16 @@ def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,
                               edge_colour)
         if len(recs[0]):
             all_recs.append(recs)
+            if use_new_paths:
+                built = _store_from_recs(g, all_recs, ncols)
+                cur_links = built if links_prev is None else \
+                    lstore.merge_stores(links_prev, built, g.capacity)
     if not all_recs:
         return lstore.empty(g.capacity, ncols)
+    return _store_from_recs(g, all_recs, ncols)
+
+
+def _store_from_recs(g, all_recs, ncols):
     Jmax = max(r[2].shape[1] for r in all_recs)
 
     def widen(j):

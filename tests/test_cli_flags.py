@@ -260,3 +260,38 @@ def test_multi_graph_inputs(tmp_path, capsys):
     covs1 = [int(x) for x in out[2].split()]
     assert all(c == 1 for c in covs0)       # colour A covers read a
     assert all(c == 0 for c in covs1)       # colour B does not
+
+
+def test_thread_use_new_paths():
+    """-u/--use-new-paths (ref ctx_thread -u): links from earlier
+    batches become visible to later batches' gap walkers.  A clean read
+    in batch 1 creates the link that resolves the errory read's in-gap
+    fork in batch 2; default (off, like the ref's split read/write
+    stores) leaves the gap unbridged."""
+    from test_links import build_g
+    from mccortex_tpu.links import thread as lthread
+    from mccortex_tpu.align.correct import CorrectAlnStats
+    k = 11
+    S = random_dna(14, seed=920)           # short: gap covers merge+fork
+    u = random_dna(60, seed=921)[:-1] + "G"
+    v = random_dna(60, seed=922)[:-1] + "T"
+    z1 = "A" + random_dna(59, seed=923)
+    z2 = "C" + random_dna(59, seed=924)
+    s1 = u + S + z1
+    s2 = v + S + z2
+    g = build_g([(s1, 0), (s2, 0)], k)
+    err = 60 + 6
+    alt = "ACGT"[("ACGT".index(s1[err]) + 1) % 4]
+    bad = s1[:err] + alt + s1[err + 1:]
+    b1 = seq_to_codes(s1)[None, :]
+    b2 = seq_to_codes(bad)[None, :]
+
+    st0 = CorrectAlnStats()
+    lthread.thread_reads_gapfill(g, [(b1, 0), (b2, 0)], 1,
+                                 use_new_paths=False, aln_stats=st0)
+    assert st0.num_mid_traversed == 0, st0.summary()
+
+    st1 = CorrectAlnStats()
+    lthread.thread_reads_gapfill(g, [(b1, 0), (b2, 0)], 1,
+                                 use_new_paths=True, aln_stats=st1)
+    assert st1.num_mid_traversed == 1, st1.summary()
