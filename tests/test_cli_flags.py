@@ -295,3 +295,24 @@ def test_thread_use_new_paths():
     lthread.thread_reads_gapfill(g, [(b1, 0), (b2, 0)], 1,
                                  use_new_paths=True, aln_stats=st1)
     assert st1.num_mid_traversed == 1, st1.summary()
+
+
+def test_loop_repeat_reconstruction(tmp_path):
+    """Ref tests/loop: a read through a 4x tandem repeat (10bp unit,
+    k=9) is exactly reconstructible from the graph + links — the
+    RepeatWalker must traverse the loop the recorded number of times,
+    no more, no fewer."""
+    from mccortex_tpu.utils.dna import revcomp
+    seq = "CGTTAATCCT" + "ATTGAGTTCA" * 4 + "CTGGTCACGG"
+    fa = str(tmp_path / "seq.fa")
+    open(fa, "w").write(f">s\n{seq}\n")
+    ctx = str(tmp_path / "g.ctx")
+    ctp = str(tmp_path / "l.ctp.gz")
+    out = str(tmp_path / "regen.fa")
+    assert mctx(["build", "-k", "9", "-s", "LoopTest", "-1", fa,
+                 ctx]) == 0
+    assert mctx(["thread", "-1", fa, "-o", ctp, ctx]) == 0
+    assert mctx(["contigs", "--no-missing-check", "-o", out,
+                 "-p", ctp, ctx]) == 0
+    contigs = [l.strip() for l in open(out) if not l.startswith(">")]
+    assert any(c in (seq, revcomp(seq)) for c in contigs), contigs
