@@ -152,9 +152,10 @@ def _two_way_meet(Lp, Rp, gap_max: int):
     (correct_alignment.c:208-237) replayed over the two recorded walker
     paths.  Lp/Rp: vert sequences with index 0 = the anchor node
     (right-side verts are in backward orientation; meet when
-    Lp[i] == Rp[j] ^ 1).  Returns (traversed, gap_len, a0, a1) where
-    a0/a1 = nodes appended from each side (the meet node is appended by
-    exactly one side)."""
+    Lp[i] == Rp[j] ^ 1).  Returns (traversed, gap_len, a0, a1, p0, p1)
+    where a0/a1 = nodes appended from each side (the meet node is
+    appended by exactly one side) and p0/p1 = each walker's final
+    index into Lp/Rp (the meet position, for the end-check)."""
     pos = [0, 0]
     app = [0, 0]
     use = [True, True]
@@ -169,10 +170,11 @@ def _two_way_meet(Lp, Rp, gap_max: int):
                 continue
             pos[s] += 1
             if Lp[pos[0]] == (Rp[pos[1]] ^ 1):
-                return gap_len <= gap_max, gap_len, app[0], app[1]
+                return (gap_len <= gap_max, gap_len, app[0], app[1],
+                        pos[0], pos[1])
             app[s] += 1
             gap_len += 1
-    return False, gap_len, app[0], app[1]
+    return False, gap_len, app[0], app[1], pos[0], pos[1]
 
 
 def _verts_bases(g: gstore.DBGraph, verts: np.ndarray, k: int):
@@ -396,8 +398,34 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                                      Lw.astype(np.int64)])
                 Rp = np.concatenate([[r_anchor ^ 1],
                                      Rw.astype(np.int64)])
-                trav, gap_len, a0, a1 = _two_way_meet(Lp, Rp, hi)
-                if trav and gap_len >= lo:
+                trav, gap_len, a0, a1, p0, p1 = _two_way_meet(Lp, Rp, hi)
+                rejected = False
+                if trav and end_check:
+                    # ref traverse_two_way2 do_paths_check: each
+                    # walker's continued output must agree with the
+                    # other side's remaining path (+ the rhs block for
+                    # walker0; halting early = agree)
+                    re_ = start_to_run[(b, r)]
+                    ps = np.arange(r + 1, re_ + 1)
+                    post = (idx[b, ps].astype(np.int64) * 2
+                            + orient[b, ps])
+                    exp_f = np.concatenate(
+                        [(Rp[np.arange(p1 - 1, -1, -1)] ^ 1), post])
+                    tail_f = Lp[p0 + 1:]
+                    nf = min(len(tail_f), len(exp_f))
+                    rs = end_to_run[(b, l)]
+                    qs = np.arange(l - 1, rs - 1, -1)
+                    exp_b = np.concatenate(
+                        [(Lp[np.arange(p0 - 1, -1, -1)] ^ 1),
+                         (idx[b, qs].astype(np.int64) * 2
+                          + orient[b, qs]) ^ 1])
+                    tail_b = Rp[p1 + 1:]
+                    nb = min(len(tail_b), len(exp_b))
+                    rejected = not ((tail_f[:nf] == exp_f[:nf]).all()
+                                    and (tail_b[:nb] == exp_b[:nb]).all())
+                if rejected:
+                    aln_stats.update(False, disagreed=True)
+                elif trav and gap_len >= lo:
                     fill_verts = np.concatenate(
                         [Lp[1:1 + a0],
                          (Rp[1:1 + a1] ^ 1)[::-1]])

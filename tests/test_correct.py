@@ -213,3 +213,34 @@ def test_gap_fill_end_check_rejects_disagreeing_bridge():
                            end_check=False, aln_stats=st0)
     assert st0.num_mid_traversed == 1, st0.summary()
     assert out0[0].seq == chim
+
+
+def test_gap_fill_end_check_two_way():
+    """Two-way traversal applies the same agreement check (ref
+    traverse_two_way2 do_paths_check): the chimeric read's bridge is
+    rejected with end_check, accepted without."""
+    from util import random_dna, seq_to_codes
+    from test_links import build_g, thread_all
+    from mccortex_tpu.align import correct as C
+    k = 11
+    S = random_dna(30, seed=910)
+    u = random_dna(60, seed=911)
+    v = random_dna(60, seed=912)
+    z1 = "A" + random_dna(59, seed=913)
+    z2 = "C" + random_dna(59, seed=914)
+    g = build_g([(u + S + z1, 0), (v + S + z2, 0)], k)
+    links = thread_all(g, [(u + S + z1, 0), (v + S + z2, 0)])
+    chim = u + S + z2
+    err = 60 + 20
+    alt = "ACGT"[("ACGT".index(chim[err]) + 1) % 4]
+    read = chim[:err] + alt + chim[err + 1:]
+    codes = seq_to_codes(read)[None, :]
+    st = C.CorrectAlnStats()
+    C.correct_batch(g, links, codes, colour=None, one_way=False,
+                    aln_stats=st)
+    assert st.num_mid_traversed == 0 and st.num_paths_disagreed >= 1
+    st0 = C.CorrectAlnStats()
+    out = C.correct_batch(g, links, codes, colour=None, one_way=False,
+                          end_check=False, aln_stats=st0)
+    assert st0.num_mid_traversed == 1
+    assert out[0].seq == chim
