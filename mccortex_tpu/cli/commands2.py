@@ -235,15 +235,30 @@ def cmd_pjoin(argv):
 # reads (ref ctx_reads.c): filter reads by graph membership
 # ---------------------------------------------------------------------------
 
-def _read_touches_graph(g, seq):
+def _reads_touch_graph(g, reads):
+    """Vectorised membership test: True per read iff any kmer is in the
+    graph.  Pads to a few fixed length buckets so jit compiles O(1)
+    programs instead of one per read length."""
     import jax.numpy as jnp
     from ..links import thread as lthread
     from ..constants import CHAR_TO_BASE
-    arr = CHAR_TO_BASE[np.frombuffer(seq.encode(), np.uint8)][None, :]
-    if arr.shape[1] < g.k:
-        return False
-    _, _, valid = lthread.reads_to_node_paths(g, jnp.asarray(arr), g.k)
-    return bool(np.asarray(valid).any())
+    out = np.zeros(len(reads), bool)
+    buckets = {}
+    for i, rd in enumerate(reads):
+        if len(rd.seq) < g.k:
+            continue
+        L = 1 << max(len(rd.seq) - 1, 1).bit_length()
+        buckets.setdefault(L, []).append(i)
+    for L, idxs in buckets.items():
+        arr = np.full((len(idxs), L), 4, np.uint8)
+        for r, i in enumerate(idxs):
+            s = reads[i].seq
+            arr[r, :len(s)] = CHAR_TO_BASE[
+                np.frombuffer(s.encode(), np.uint8)]
+        _, _, valid = lthread.reads_to_node_paths(g, jnp.asarray(arr),
+                                                  g.k)
+        out[np.asarray(idxs)] = np.asarray(valid).any(axis=1)
+    return out
 
 
 class _SeqWriter:
@@ -298,13 +313,27 @@ def cmd_reads(argv):
     ext = ".fq.gz" if args.format == "fastq" else ".fa.gz"
     kept = total = 0
 
+    CHUNK = 4096
+
+    def _chunks(it, n=CHUNK):
+        buf = []
+        for x in it:
+            buf.append(x)
+            if len(buf) >= n:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
     def _filter_se(path, wr):
         nonlocal kept, total
-        for rd in seqio.parse_reads(path):
-            total += 1
-            if _read_touches_graph(g, rd.seq) != args.invert:
-                wr.write(rd)
-                kept += 1
+        for rds in _chunks(seqio.parse_reads(path)):
+            total += len(rds)
+            touch = _reads_touch_graph(g, rds)
+            for rd, t in zip(rds, touch):
+                if bool(t) != args.invert:
+                    wr.write(rd)
+                    kept += 1
 
     for spec in args.seq:
         if ":" in spec:
@@ -329,14 +358,15 @@ def cmd_reads(argv):
         nonlocal kept, total
         w1 = _SeqWriter(obase + ".1" + ext, args.format)
         w2 = _SeqWriter(obase + ".2" + ext, args.format)
-        for r1, r2 in pair_iter:
-            total += 2
-            touch = (_read_touches_graph(g, r1.seq)
-                     or _read_touches_graph(g, r2.seq))
-            if touch != args.invert:
-                w1.write(r1)
-                w2.write(r2)
-                kept += 2
+        for pairs in _chunks(pair_iter):
+            total += 2 * len(pairs)
+            t1 = _reads_touch_graph(g, [p[0] for p in pairs])
+            t2 = _reads_touch_graph(g, [p[1] for p in pairs])
+            for (r1, r2), t in zip(pairs, t1 | t2):
+                if bool(t) != args.invert:
+                    w1.write(r1)
+                    w2.write(r2)
+                    kept += 2
         w1.close()
         w2.close()
 
