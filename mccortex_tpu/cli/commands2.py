@@ -428,6 +428,15 @@ def cmd_coverage(argv):
     from ..io import seqio
     h, g = _load_graphs(args.ctx)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
+
+    def _node_paths_padded(arr):
+        # pow2 length bucket -> bounded compile count over many reads
+        L = 1 << max(len(arr) - 1, 1).bit_length()
+        pad = np.full((1, L), 4, np.uint8)
+        pad[0, :len(arr)] = arr
+        i, o, v = lthread.reads_to_node_paths(g, jnp.asarray(pad), g.k)
+        return np.asarray(i[0]), np.asarray(o[0]), np.asarray(v[0])
+
     for path in args.seq:
         for rd in seqio.parse_reads(path):
             arr = CHAR_TO_BASE[np.frombuffer(rd.seq.encode(), np.uint8)]
@@ -435,11 +444,7 @@ def cmd_coverage(argv):
             if len(arr) < g.k:
                 out.write("\n")
                 continue
-            idx, orient, valid = lthread.reads_to_node_paths(
-                g, jnp.asarray(arr[None]), g.k)
-            idxn = np.asarray(idx[0])
-            orn = np.asarray(orient[0])
-            vn = np.asarray(valid[0])
+            idxn, orn, vn = _node_paths_padded(arr)
             npos = len(arr) - g.k + 1
             covg = np.asarray(g.covg)
             for c in range(h.ncols):

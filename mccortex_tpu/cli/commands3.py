@@ -6,6 +6,7 @@ ctx_vcfgeno}.c)
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import gzip
 import json
 
@@ -507,12 +508,10 @@ def cmd_correct(argv):
                 hp_cutoff=args.cut_hp))
         return arr
 
-    def _correct_se(path, wr):
+    def _correct_chunk(rds, wr):
         from ..constants import CHAR_TO_BASE
-        rds = list(seqio.parse_reads(path))
-        if not rds:
-            return
-        L = max(len(r.seq) for r in rds)
+        # pow2 length bucket: bounded compile count over a whole run
+        L = 1 << max(max(len(r.seq) for r in rds) - 1, 1).bit_length()
         arr = np.full((len(rds), L), 4, np.uint8)
         quals = None
         if args.fq_cutoff and any(r.quals is not None for r in rds):
@@ -530,7 +529,33 @@ def cmd_correct(argv):
             max_context=args.max_context, end_check=args.end_check,
             aln_stats=aln_stats)
         for rd, cr in zip(rds, res):
+            # strip the pow2 padding columns: they are invalid bases
+            # beyond the read end and render as trailing 'n'
+            pad = L - len(rd.seq)
+            if pad:
+                d = cr.display
+                strip = 0
+                while strip < pad and strip < len(d) and \
+                        d[-1 - strip] == "n":
+                    strip += 1
+                if strip:
+                    cr = dataclasses.replace(
+                        cr, display=d[:len(d) - strip],
+                        seq=(cr.seq[:len(cr.seq) - strip]
+                             if cr.seq.endswith("N" * strip)
+                             or cr.seq.endswith("n" * strip)
+                             else cr.seq))
             _emit(wr, rd.name, cr, rd)
+
+    def _correct_se(path, wr):
+        buf = []
+        for rd in seqio.parse_reads(path):
+            buf.append(rd)
+            if len(buf) >= 2048:
+                _correct_chunk(buf, wr)
+                buf = []
+        if buf:
+            _correct_chunk(buf, wr)
 
     def _correct_pairs(c1, c2, w1, w2):
         m1, m2 = acorrect.correct_pairs(
