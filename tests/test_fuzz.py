@@ -84,3 +84,77 @@ def test_fuzz_unitigs_vs_pyref():
         want = sorted(canon(u) for u in ref_unitigs(ref, k))
         got = sorted(canon(s) for s in U.extract_unitigs(g))
         assert got == want, (it, len(got), len(want))
+
+
+def _leftalign(refseq, pos, r, a):
+    """Left-aligned minimal (pos, ref, alt) (bcftools norm semantics)."""
+    changed = True
+    while changed:
+        changed = False
+        if r and a and r[-1] == a[-1] and (len(r) > 1 or len(a) > 1):
+            if len(r) > 1 and len(a) > 1:
+                r, a = r[:-1], a[:-1]
+                changed = True
+            elif pos > 0:
+                prev = refseq[pos - 1]
+                r, a = prev + r[:-1], prev + a[:-1]
+                pos -= 1
+                changed = True
+        if len(r) > 1 and len(a) > 1 and r[0] == a[0]:
+            r, a = r[1:], a[1:]
+            pos += 1
+            changed = True
+    return pos, r, a
+
+
+def test_fuzz_bubbles_to_vcf_variant_recovery():
+    """Caller differential gate: random ref + donor with planted SNPs,
+    deletions and insertions; every planted variant must come out of
+    bubbles -> calls2vcf as a left-align-equivalent VCF record (the
+    caller may emit redundant shifted duplicates per branch — those are
+    normalised away, as bcftools norm does downstream)."""
+    from mccortex_tpu.calls import bubbles as bub
+    from mccortex_tpu.calls import calls2vcf as c2v
+    from mccortex_tpu.graph import kmer_occur as KO
+    k = 21
+    rng = np.random.default_rng(778)
+    for it in range(4):
+        ref = random_dna(1500, seed=int(rng.integers(1 << 30)))
+        poss = sorted(rng.choice(np.arange(100, 1300, 4 * k), size=4,
+                                 replace=False))
+        donor = ref
+        shift = 0
+        truth = []
+        for p in poss:
+            p = int(p)
+            p2 = p + shift
+            kind = int(rng.integers(0, 3))
+            if kind == 0:      # SNP
+                alt = "ACGT"[("ACGT".index(donor[p2]) + 1) % 4]
+                donor = donor[:p2] + alt + donor[p2 + 1:]
+                truth.append((p, ref[p], alt))
+            elif kind == 1:    # deletion of 1-3bp
+                d = int(rng.integers(1, 4))
+                truth.append(_leftalign(ref, p - 1, ref[p - 1:p + d],
+                                        ref[p - 1]))
+                donor = donor[:p2] + donor[p2 + d:]
+                shift -= d
+            else:              # insertion of 1-3bp
+                ins = random_dna(int(rng.integers(1, 4)),
+                                 seed=int(rng.integers(1 << 30)))
+                truth.append(_leftalign(ref, p - 1, ref[p - 1],
+                                        ref[p - 1] + ins))
+                donor = donor[:p2] + ins + donor[p2:]
+                shift += len(ins)
+        g = gbuild.build(batchify([(ref, 0), (donor, 1)]), k, ncols=2)
+        bl = bub.call_bubbles(g, None)
+        calls = [{"name": f"b{i}", "flank5p": bb.flank5p,
+                  "flank3p": bb.flank3p,
+                  "branches": [(j, br)
+                               for j, br in enumerate(bb.branches)]}
+                 for i, bb in enumerate(bl)]
+        recs, _dropped = c2v.bubbles_to_vcf(
+            calls, KO.RefGenome(["chr1"], [ref]), k)
+        got = {_leftalign(ref, r.pos, r.ref, r.alts[0]) for r in recs}
+        for t in truth:
+            assert t in got, (it, t, sorted(got))
