@@ -126,7 +126,7 @@ def cmd_build(argv):
             kind = entry[0]
             if kind == "se":
                 for codes, quals, _ in seqio.read_batches_native(
-                        [entry[1]], colour=colour):
+                        [entry[1]], colour=colour, overlap=k):
                     if pcr is not None:
                         keepm = pcr.filter_batch(codes)
                         ndup += int((~keepm).sum())
@@ -151,7 +151,8 @@ def cmd_build(argv):
                     _emit(c2, None)
             else:   # interleaved: even rows = r1, odd rows = r2
                 for codes, quals, _ in seqio.read_batches_native(
-                        [entry[1]], batch_size=512, colour=colour):
+                        [entry[1]], batch_size=512, colour=colour,
+                        overlap=k):
                     if codes.shape[0] % 2:
                         codes = codes[:-1]
                         if quals is not None:

@@ -218,10 +218,11 @@ def parse_bam_alignments(path: str):
 def read_batches(paths, batch_size: int = 512, max_len: int | None = None,
                  colour: int = 0) -> Iterator[tuple]:
     """Group reads into (codes (B, L) uint8, quals (B, L) uint8 | None,
-    colour) batches, padded with the invalid code 4.  Reads longer than
-    max_len are split into max_len chunks overlapping by k-1?  No — the
-    caller controls splitting; here long reads simply get their own batch
-    row length."""
+    colour) batches, padded with the invalid code 4.  With the default
+    max_len=None rows size to the longest read (no truncation); when
+    max_len is given, reads are CLIPPED to it — use
+    read_batches_native / _read_batches_chunked for overlapping-chunk
+    splitting of long records."""
     buf = []
     for path in paths:
         for rd in parse_reads(path):
@@ -256,10 +257,16 @@ def total_bases(paths) -> int:
 
 
 def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
-                        colour: int = 0, prefetch: int = 4):
+                        colour: int = 0, prefetch: int = 4,
+                        overlap: int | None = None):
     """Native (C++) batch reader; yields the same (codes, quals, colour)
     tuples as read_batches.  Falls back to the python parser when the
     native library is unavailable.
+
+    Sequences longer than max_len are emitted as OVERLAPPING row chunks
+    (never truncated): consecutive chunks share `overlap` bases
+    [default 64, enough for any k <= 63]; callers that know k pass
+    overlap=k for exactly one duplicate kmer observation per seam.
 
     prefetch > 0 runs decode on a producer thread with a bounded queue
     so file IO + parsing overlap device compute (role of ref
@@ -277,7 +284,8 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
         def produce():
             try:
                 for item in read_batches_native(
-                        paths, batch_size, max_len, colour, prefetch=0):
+                        paths, batch_size, max_len, colour, prefetch=0,
+                        overlap=overlap):
                     while not stop.is_set():
                         try:
                             q.put(item, timeout=0.2)
@@ -319,12 +327,15 @@ def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
     from ..native import get_lib
     lib = get_lib()
     if lib is None:
-        yield from read_batches(paths, batch_size, max_len, colour)
+        yield from _read_batches_chunked(paths, batch_size, max_len,
+                                         colour, overlap or 64)
         return
     lib.mctx_seq_set_fq_offset(int(FQ_OFFSET))
+    lib.mctx_seq_set_chunk_overlap(int(overlap or 64))
     for path in paths:
         if _is_cram(path):       # CRAM decodes in python (io/cram.py)
-            yield from read_batches([path], batch_size, max_len, colour)
+            yield from _read_batches_chunked([path], batch_size, max_len,
+                                             colour, overlap or 64)
             continue
         h = lib.mctx_seq_open(path.encode())
         if not h:
@@ -392,3 +403,36 @@ def read_batches_pe(path1, path2, batch_size: int = 512,
         n = min(c1.shape[0], c2.shape[0])
         c1, c2 = mate_normalize(c1[:n], c2[:n], matedir)
         yield c1, c2, colour
+
+
+def _chunk_read(rd: "Read", max_len: int, overlap: int):
+    """Split one long read into overlapping chunks (python mirror of
+    the native reader's sc_emit)."""
+    L = len(rd.seq)
+    if L <= max_len:
+        yield rd
+        return
+    step = max(max_len - overlap, 1)
+    off = 0
+    while True:
+        end = min(off + max_len, L)
+        yield Read(rd.name, rd.seq[off:end],
+                   rd.quals[off:end] if rd.quals is not None else None)
+        if end >= L:
+            return
+        off += step
+
+
+def _read_batches_chunked(paths, batch_size, max_len, colour, overlap):
+    """Python fallback for read_batches_native: same chunked-emission
+    semantics (no truncation of long records)."""
+    buf = []
+    for path in paths:
+        for rd in parse_reads(path):
+            for ch in _chunk_read(rd, max_len, overlap):
+                buf.append(ch)
+                if len(buf) >= batch_size:
+                    yield _to_batch(buf, max_len, colour)
+                    buf = []
+    if buf:
+        yield _to_batch(buf, max_len, colour)

@@ -64,5 +64,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int32)]
     lib.mctx_seq_set_fq_offset.argtypes = [ctypes.c_int]
     lib.mctx_seq_set_fq_offset.restype = None
+    lib.mctx_seq_set_chunk_overlap.argtypes = [ctypes.c_long]
+    lib.mctx_seq_set_chunk_overlap.restype = None
     _lib = lib
     return _lib

@@ -29,7 +29,22 @@ struct SeqFile {
   char *pending;
   size_t pendingcap;
   int fq_offset;        // 33/64; 0 = auto-detect from first record
+  // full-record scratch: sequences longer than a row are emitted as
+  // overlapping chunks (never truncated)
+  uint8_t *sc_codes;
+  uint8_t *sc_quals;
+  size_t sc_cap;
+  size_t sc_len;        // record length in scratch
+  size_t sc_off;        // next chunk start (sc_off < sc_len = pending)
+  bool sc_has_quals;
 };
+
+// Chunk overlap: consecutive rows share this many bases so every kmer
+// AND every kmer->kmer edge survives the split (overlap >= k).  The
+// default 64 covers any k <= 63 at the cost of a few duplicate kmer
+// observations per seam; callers that know k set it exactly
+// (mctx_seq_set_chunk_overlap) for one duplicate per seam.
+static long g_chunk_overlap = 64;
 
 // Process-wide FASTQ quality ASCII offset (mirrors python
 // seqio.FQ_OFFSET; ref seq_file fq offset handling): 0 auto, 33, 64.
@@ -76,6 +91,10 @@ extern "C" {
 
 void mctx_seq_set_fq_offset(int off) { g_fq_offset = off; }
 
+void mctx_seq_set_chunk_overlap(long ov) {
+  g_chunk_overlap = ov > 0 ? ov : 64;
+}
+
 void mctx_seq_close(void *h);
 
 void *mctx_seq_open(const char *path) {
@@ -91,6 +110,12 @@ void *mctx_seq_open(const char *path) {
   f->pending = nullptr;
   f->pendingcap = 0;
   f->fq_offset = g_fq_offset;
+  f->sc_codes = nullptr;
+  f->sc_quals = nullptr;
+  f->sc_cap = 0;
+  f->sc_len = 0;
+  f->sc_off = 0;
+  f->sc_has_quals = false;
   // BAM detection: decompressed stream starts with "BAM\1"
   char magic[4];
   int got = gzread(gz, magic, 4);
@@ -120,10 +145,38 @@ namespace {
 const uint8_t bam4_code[16] = {4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4,
                                4, 4, 4, 4};
 
-// One BAM alignment record into a codes/quals row.  Returns 1 on
-// success, 0 at EOF, -1 on error, 2 if the record was skipped.
-int read_bam_record(SeqFile *f, long max_len, uint8_t *crow,
-                    uint8_t *qrow, int32_t *len_out) {
+void sc_reserve(SeqFile *f, size_t need) {
+  if (f->sc_cap < need) {
+    f->sc_cap = need * 2;
+    f->sc_codes = (uint8_t *)realloc(f->sc_codes, f->sc_cap);
+    f->sc_quals = (uint8_t *)realloc(f->sc_quals, f->sc_cap);
+  }
+}
+
+// Emit the next chunk of the scratch record into row n.  Rows longer
+// than max_len continue in the next row with g_chunk_overlap shared
+// bases, so no sequence is ever truncated (chromosome-length FASTA
+// records, long reads).
+void sc_emit(SeqFile *f, long max_len, uint8_t *crow, uint8_t *qrow,
+             int32_t *len_out) {
+  size_t off = f->sc_off;
+  size_t take = f->sc_len - off;
+  if ((long)take > max_len) take = (size_t)max_len;
+  memcpy(crow, f->sc_codes + off, take);
+  if (f->sc_has_quals) memcpy(qrow, f->sc_quals + off, take);
+  *len_out = (int32_t)take;
+  if (off + take >= f->sc_len) {
+    f->sc_len = f->sc_off = 0;        // record fully emitted
+  } else {
+    long ov = g_chunk_overlap;
+    size_t step = max_len > ov ? (size_t)(max_len - ov) : 0;
+    f->sc_off = off + (step > 0 ? step : (size_t)max_len);
+  }
+}
+
+// One BAM alignment record into the scratch.  Returns 1 on success,
+// 0 at EOF, -1 on error, 2 if the record was skipped.
+int read_bam_record(SeqFile *f) {
   int32_t block_size = 0;
   int got = gzread(f->gz, &block_size, 4);
   if (got == 0) return 0;
@@ -146,20 +199,22 @@ int read_bam_record(SeqFile *f, long max_len, uint8_t *crow,
   if (off + (l_seq + 1) / 2 + l_seq > (size_t)block_size) return -1;
   const uint8_t *seq4 = p + off;
   const uint8_t *qual = seq4 + (l_seq + 1) / 2;
-  for (int32_t i = 0; i < l_seq && i < max_len; i++) {
+  sc_reserve(f, (size_t)l_seq);
+  for (int32_t i = 0; i < l_seq; i++) {
     uint8_t nib = (i & 1) ? (seq4[i / 2] & 0xF) : (seq4[i / 2] >> 4);
-    crow[i] = bam4_code[nib];
+    f->sc_codes[i] = bam4_code[nib];
   }
-  for (int32_t i = 0; i < l_seq && i < max_len; i++)
-    qrow[i] = (qual[i] == 0xFF) ? 0 : qual[i];
-  *len_out = l_seq;
+  for (int32_t i = 0; i < l_seq; i++)
+    f->sc_quals[i] = (qual[i] == 0xFF) ? 0 : qual[i];
+  f->sc_len = (size_t)l_seq;
+  f->sc_off = 0;
+  f->sc_has_quals = true;
   return 1;
 }
 
-// One SAM record line (already in linebuf) into a row.  Returns 1 on
-// success, 2 if skipped.
-int parse_sam_line(char *line, long max_len, uint8_t *crow,
-                   uint8_t *qrow, int32_t *len_out) {
+// One SAM record line (already split into fields) into the scratch.
+// Returns 1 on success, 2 if skipped.
+int parse_sam_line(SeqFile *f, char *line) {
   // fields: QNAME FLAG RNAME POS MAPQ CIGAR RNEXT PNEXT TLEN SEQ QUAL
   char *fields[12];
   int nf = 0;
@@ -176,16 +231,22 @@ int parse_sam_line(char *line, long max_len, uint8_t *crow,
   const char *qual = fields[10];
   if (seq[0] == '*' && seq[1] == '\0') return 2;
   long l = (long)strlen(seq);
-  for (long i = 0; i < l && i < max_len; i++)
-    crow[i] = base_code[(uint8_t)seq[i]];
+  sc_reserve(f, (size_t)l);
+  for (long i = 0; i < l; i++)
+    f->sc_codes[i] = base_code[(uint8_t)seq[i]];
+  memset(f->sc_quals, 0, (size_t)l);
+  f->sc_has_quals = false;
   if (!(qual[0] == '*' && qual[1] == '\0')) {
     long lq = (long)strlen(qual);
-    for (long i = 0; i < lq && i < max_len; i++) {
+    if (lq > l) lq = l;
+    for (long i = 0; i < lq; i++) {
       int q = (int)qual[i] - 33;
-      qrow[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+      f->sc_quals[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
     }
+    f->sc_has_quals = true;
   }
-  *len_out = (int32_t)l;
+  f->sc_len = (size_t)l;
+  f->sc_off = 0;
   return 1;
 }
 
@@ -197,28 +258,42 @@ void mctx_seq_close(void *h) {
   gzclose(f->gz);
   free(f->linebuf);
   free(f->pending);
+  free(f->sc_codes);
+  free(f->sc_quals);
   delete f;
 }
 
-// Read up to max_reads reads; each padded/truncated to max_len.
+// Read up to max_reads rows; sequences longer than max_len continue in
+// following rows with g_chunk_overlap shared bases (never truncated).
 // codes:  (max_reads * max_len) u8, filled with 4 padding
 // quals:  (max_reads * max_len) u8 phred scores (0 if absent)
-// lens:   (max_reads) i32 true lengths (pre-truncation)
-// Returns number of reads produced, 0 at EOF, -1 on error.
+// lens:   (max_reads) i32 emitted row lengths
+// Returns number of rows produced, 0 at EOF, -1 on error.
 long mctx_seq_read_batch(void *h, long max_reads, long max_len,
                          uint8_t *codes, uint8_t *quals, int32_t *lens) {
   SeqFile *f = (SeqFile *)h;
   memset(codes, 4, (size_t)max_reads * max_len);
   memset(quals, 0, (size_t)max_reads * max_len);
   long n = 0;
+
+  // drain a chunked record carried over from the previous batch
+  while (f->sc_len > f->sc_off && n < max_reads) {
+    sc_emit(f, max_len, codes + (size_t)n * max_len,
+            quals + (size_t)n * max_len, lens + n);
+    n++;
+  }
+
   if (f->format == 3) {          // BAM
     while (n < max_reads) {
-      int r = read_bam_record(f, max_len,
-                              codes + (size_t)n * max_len,
-                              quals + (size_t)n * max_len, lens + n);
+      int r = read_bam_record(f);
       if (r < 0) return -1;
       if (r == 0) break;
-      if (r == 1) n++;
+      if (r != 1) continue;
+      while (f->sc_len > f->sc_off && n < max_reads) {
+        sc_emit(f, max_len, codes + (size_t)n * max_len,
+                quals + (size_t)n * max_len, lens + n);
+        n++;
+      }
     }
     return n;
   }
@@ -245,38 +320,35 @@ long mctx_seq_read_batch(void *h, long max_reads, long max_len,
       else if (has_tab) f->format = 4;       // headerless SAM record
       else return -1;
     }
-    uint8_t *crow = codes + (size_t)n * max_len;
-    uint8_t *qrow = quals + (size_t)n * max_len;
     if (f->format == 4) {                    // SAM
       if (first == '@') continue;            // header line
-      int r = parse_sam_line(f->linebuf, max_len, crow, qrow, lens + n);
-      if (r == 1) n++;
-      continue;
-    }
-    if (f->format == 1) {
+      int r = parse_sam_line(f, f->linebuf);
+      if (r != 1) continue;
+    } else if (f->format == 1) {             // FASTA
       if (first != '>') return -1;
-      // read sequence lines until next '>' or EOF
-      long total = 0;
+      // accumulate sequence lines until next '>' or EOF
+      size_t total = 0;
       for (;;) {
         long l2 = read_line(f, &f->pending, &f->pendingcap);
         if (l2 < 0) break;
         if (l2 == 0) continue;
         if (f->pending[0] == '>') { f->have_pending = true; break; }
-        for (long i = 0; i < l2; i++) {
-          if (total + i < max_len)
-            crow[total + i] = base_code[(uint8_t)f->pending[i]];
-        }
-        total += l2;
+        sc_reserve(f, total + (size_t)l2);
+        for (long i = 0; i < l2; i++)
+          f->sc_codes[total + i] = base_code[(uint8_t)f->pending[i]];
+        total += (size_t)l2;
       }
-      lens[n] = (int32_t)total;
-      n++;
-    } else {
+      f->sc_len = total;
+      f->sc_off = 0;
+      f->sc_has_quals = false;
+      if (total == 0) continue;
+    } else {                                 // FASTQ
       if (first != '@') return -1;
       long l2 = read_line(f, &f->linebuf, &f->linecap);  // sequence
       if (l2 < 0) return -1;
-      long seqlen = l2;
-      for (long i = 0; i < l2 && i < max_len; i++)
-        crow[i] = base_code[(uint8_t)f->linebuf[i]];
+      sc_reserve(f, (size_t)l2);
+      for (long i = 0; i < l2; i++)
+        f->sc_codes[i] = base_code[(uint8_t)f->linebuf[i]];
       if (read_line(f, &f->linebuf, &f->linecap) < 0) return -1;  // '+'
       long l4 = read_line(f, &f->linebuf, &f->linecap);           // quals
       if (l4 < 0) return -1;
@@ -288,11 +360,19 @@ long mctx_seq_read_batch(void *h, long max_reads, long max_len,
             minc = (int)(uint8_t)f->linebuf[i];
         f->fq_offset = (l4 == 0 || minc < 64) ? 33 : 64;
       }
-      for (long i = 0; i < l4 && i < max_len; i++) {
+      if (l4 > l2) l4 = l2;
+      memset(f->sc_quals, 0, (size_t)l2);
+      for (long i = 0; i < l4; i++) {
         int q = (int)f->linebuf[i] - f->fq_offset;
-        qrow[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+        f->sc_quals[i] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
       }
-      lens[n] = (int32_t)seqlen;
+      f->sc_len = (size_t)l2;
+      f->sc_off = 0;
+      f->sc_has_quals = true;
+    }
+    while (f->sc_len > f->sc_off && n < max_reads) {
+      sc_emit(f, max_len, codes + (size_t)n * max_len,
+              quals + (size_t)n * max_len, lens + n);
       n++;
     }
   }

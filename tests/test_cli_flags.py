@@ -316,3 +316,36 @@ def test_loop_repeat_reconstruction(tmp_path):
                  "-p", ctp, ctx]) == 0
     contigs = [l.strip() for l in open(out) if not l.startswith(">")]
     assert any(c in (seq, revcomp(seq)) for c in contigs), contigs
+
+
+def test_long_record_chunking_no_truncation(tmp_path):
+    """Sequences longer than the reader row width must NOT be truncated
+    (chromosome-length FASTA records, long reads): they are emitted as
+    overlapping chunks preserving every kmer and edge, with exactly one
+    duplicate kmer observation per seam when overlap=k."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from graph_ref import build_ref_graph
+    from test_graph_build import graph_to_dict
+    from mccortex_tpu.io import seqio
+    from mccortex_tpu.graph import build as gbuild
+    k = 31
+    ref = random_dna(3000, seed=640)
+    fa = str(tmp_path / "long.fa")
+    open(fa, "w").write(f">c\n{ref}\n")
+    batches = [(c, 0) for c, _q, _ in
+               seqio.read_batches_native([fa], overlap=k)]
+    assert sum(b.shape[0] for b, _ in batches) == 3   # 3 chunks
+    g = gbuild.build(batches, k, ncols=1)
+    refd = build_ref_graph([(ref, 0)], k, ncols=1)
+    got = graph_to_dict(g, k)
+    assert set(got) == set(refd)
+    assert all(got[x][1] == refd[x][1] for x in refd)      # edges
+    dups = sum(got[x][0][0] - refd[x][0][0] for x in refd)
+    assert dups == 2                                       # 2 seams
+    # the CLI end-to-end: graph from the FASTA covers the whole genome
+    ctx = str(tmp_path / "g.ctx")
+    assert mctx(["build", "-k", str(k), "-s", "s", "-1", fa, ctx]) == 0
+    from mccortex_tpu.io import ctx as ctxio
+    h, keys, covg, edges = ctxio.read_ctx(ctx)
+    assert len(keys) == len(refd)
