@@ -158,3 +158,34 @@ def test_fuzz_bubbles_to_vcf_variant_recovery():
         got = {_leftalign(ref, r.pos, r.ref, r.alts[0]) for r in recs}
         for t in truth:
             assert t in got, (it, t, sorted(got))
+
+
+def test_fuzz_breakpoints_deletion_recovery(tmp_path):
+    """SV differential gate: large planted deletions (80-200bp — beyond
+    bubble reach) must come back through breakpoints -> calls2vcf with
+    the right length and position."""
+    from mccortex_tpu.cli.main import main as mctx
+    rng = np.random.default_rng(551)
+    k = 21
+    for it in range(3):
+        ref = random_dna(2000, seed=int(rng.integers(1 << 30)))
+        dstart = int(rng.integers(500, 1000))
+        dlen = int(rng.integers(80, 200))
+        donor = ref[:dstart] + ref[dstart + dlen:]
+        fa_ref = str(tmp_path / f"ref{it}.fa")
+        open(fa_ref, "w").write(f">chr1\n{ref}\n")
+        fa_d = str(tmp_path / f"d{it}.fa")
+        open(fa_d, "w").write(f">d\n{donor}\n")
+        ctx = str(tmp_path / f"g{it}.ctx")
+        assert mctx(["build", "-k", str(k), "-s", "ref", "-1", fa_ref,
+                     "-s", "donor", "-1", fa_d, ctx]) == 0
+        brk = str(tmp_path / f"brk{it}.txt.gz")
+        assert mctx(["breakpoints", "-s", fa_ref, "-o", brk, ctx]) == 0
+        vcf = str(tmp_path / f"b{it}.vcf")
+        assert mctx(["calls2vcf", "-o", vcf, brk, fa_ref]) == 0
+        recs = [ln.split("\t") for ln in open(vcf)
+                if not ln.startswith("#")]
+        hit = any(abs(len(r[3]) - len(r[4])) == dlen
+                  and abs(int(r[1]) - 1 - dstart) <= 2 for r in recs)
+        assert hit, (it, dstart, dlen,
+                     [(r[1], len(r[3]), len(r[4])) for r in recs])
