@@ -106,4 +106,6 @@ def test_pipeline_diploid_50kb(tmp_path):
     # genotyped VCF: GT present for both samples
     geno = vcfio.read_vcf(os.path.join(outdir, "calls.geno.vcf"))
     assert geno.records and "GT" in geno.records[0].fmt
-    assert len(geno.sample_names) == 2
+    # samples + the appended ref colour (make-pipeline.pl joins the
+    # reference in as the last graph colour)
+    assert geno.sample_names == ["s1", "s2", "ref"]
