@@ -74,7 +74,6 @@ def cmd_join(argv):
     args = p.parse_args(argv)
     apply_common(args, args.out)
     import jax.numpy as jnp
-    from ..graph import store as gstore
     from ..io import ctx as ctxio
 
     inputs = []

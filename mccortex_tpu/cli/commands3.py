@@ -779,7 +779,6 @@ def cmd_hashtest(argv):
     import time
     import jax.numpy as jnp
     from ..graph import build as gbuild
-    from ..graph import store as gstore
     from ..ops import sorted as sops
     rng = np.random.default_rng(0)
     L = 256
