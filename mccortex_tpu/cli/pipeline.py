@@ -80,6 +80,11 @@ def cmd_pipeline(argv):
                         "(make-pipeline.pl -1)")
     p.add_argument("-o", "--outdir", required=True)
     p.add_argument("--no-clean", action="store_true")
+    p.add_argument("--no-links-clean", action="store_true",
+                   help="skip the link-threshold cleaning step")
+    p.add_argument("--contigs", action="store_true",
+                   help="also assemble per-sample contigs "
+                        "(make-pipeline.pl `contigs` target)")
     p.add_argument("--clean-threshold", type=int, default=0,
                    help="fixed cleaning threshold (default: auto+fallback 2)")
     p.add_argument("--gap-fill", action="store_true", default=True)
@@ -201,7 +206,7 @@ def _run_one_k(args, k, out, samples, p):
     # 3. per-sample links against the joint graph
     ctps = []
     for ci, (name, se, pe, il) in enumerate(samples):
-        ctp = f"{out}/{name}.ctp.gz"
+        ctp = f"{out}/{name}.raw.ctp.gz"
         cmd = ["thread", "--colour", str(ci)]
         if args.gap_fill:
             cmd.append("--gap-fill")
@@ -213,9 +218,35 @@ def _run_one_k(args, k, out, samples, p):
             cmd += ["--seqi", f]
         cmd += ["-o", ctp, joined]
         step(ctp, cmd)
-        ctps.append(ctp)
+        # 3b. link cleaning (make-pipeline links target: pick the
+        # threshold from the link coverage model, then truncate)
+        if args.no_links_clean:
+            ctps.append(ctp)
+            continue
+        thr_file = f"{out}/{name}.ctp.thresh.txt"
+        step(thr_file, ["links", "-T", thr_file, joined, ctp])
+        thr = 0
+        try:
+            for line in open(thr_file):
+                if line.startswith("suggested_cutoff="):
+                    thr = int(float(line.split("=")[1]))
+        except OSError:
+            pass
+        if thr > 1:
+            cln = f"{out}/{name}.ctp.gz"
+            step(cln, ["links", "-c", str(thr), "-o", cln, joined, ctp])
+            ctps.append(cln)
+        else:
+            ctps.append(ctp)
     merged_ctp = f"{out}/joint.ctp.gz"
     step(merged_ctp, ["pjoin", "-o", merged_ctp, joined] + ctps)
+
+    # 3c. optional per-sample contig assembly (make-pipeline `contigs`)
+    if args.contigs:
+        for ci, (name, *_rest) in enumerate(samples):
+            cfa = f"{out}/{name}.contigs.fa"
+            step(cfa, ["contigs", "-c", str(ci), "-p", merged_ctp,
+                       "-o", cfa, joined])
 
     # 4. bubbles (+ breakpoints when a reference is given)
     bub = f"{out}/bubbles.txt.gz"

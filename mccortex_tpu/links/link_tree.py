@@ -196,9 +196,22 @@ class LinkTreeView:
         nj = np.asarray(links.nj).astype(np.int64)
         nseen = np.asarray(links.nseen)
         if nseen.shape[1] != 1:
-            raise ValueError("link cleaning requires a single-colour .ctp "
-                             "(ref ctx_links.c: 'Can only clean a single "
-                             "colour at a time')")
+            # a multi-colour store whose counts live in ONE colour (a
+            # per-sample ctp saved against a multi-colour graph) is
+            # effectively single-colour: use that column
+            used = np.nonzero(nseen.sum(axis=0) > 0)[0]
+            if len(used) > 1:
+                raise ValueError(
+                    "link cleaning requires a single-colour .ctp "
+                    "(ref ctx_links.c: 'Can only clean a single "
+                    "colour at a time')")
+            col = int(used[0]) if len(used) else 0
+            self.colour = col
+            self.ncols = nseen.shape[1]
+            nseen = nseen[:, col:col + 1]
+        else:
+            self.colour = 0
+            self.ncols = 1
         verts = lwalk.link_vertices(links, g.capacity).astype(np.int64)
         bases = unpack_bases(np.asarray(links.seq), nj)
         Jmax = bases.shape[1]
@@ -284,8 +297,11 @@ class LinkTreeView:
         new_bases *= mask
         jwords = max(1, (int(tkeep.max()) + 31) // 32) if len(eidx) else 1
         seq = lstore.pack_juncs(new_bases, tkeep, jwords)
-        nseen = np.minimum(count_out[eidx],
-                           np.iinfo(np.uint32).max).astype(np.uint32)[:, None]
+        counts1 = np.minimum(count_out[eidx],
+                             np.iinfo(np.uint32).max).astype(np.uint32)
+        # scatter back into the store's original colour column
+        nseen = np.zeros((len(eidx), self.ncols), np.uint32)
+        nseen[:, self.colour] = counts1
         store = lstore.assemble_csr(self.verts[eidx], seq, tkeep,
                                     nseen, self.g.capacity)
         stats = {
