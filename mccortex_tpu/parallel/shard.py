@@ -19,6 +19,8 @@ unlikely at 2x mean).
 from __future__ import annotations
 
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -351,3 +353,39 @@ def empty_sharded_graph_2d(mesh: Mesh, k: int, ncols: int, out_cap: int):
     edges = jax.device_put(np.zeros((n * out_cap, ncols), np.uint8), sh2)
     nlive = jax.device_put(np.zeros((n,), np.int64), sh1)
     return keys, covg, edges, nlive
+
+
+def walk_dp(mesh: Mesh, colour: int | None, max_steps: int, k: int):
+    """Data-parallel traversal: the graph store REPLICATED on every
+    device, the walker batch sharded over the mesh.
+
+    This is the TPU-native scaling mode for the walk-heavy phases
+    (contigs, bubbles, breakpoints, correction): a single chip's HBM
+    holds any genome-scale kmer store, so walkers — the actual
+    parallel work — scale linearly with chips and no per-step
+    collective is needed.  Kmer-space sharding (build/lookup above)
+    covers stores that outgrow one chip.
+
+    Returns run(keys, covg, edges, seeds, orients) -> (out_vert,
+    out_len) with out_* sharded like the seeds.
+    """
+    from jax.sharding import NamedSharding
+    from ..graph import store as gstore
+    from ..graph import traverse as T
+
+    repl = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(AXIS))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, shd, shd),
+        out_shardings=(shd, shd),
+        static_argnames=())
+    def run(keys, covg, edges, seeds, orients):
+        g = gstore.DBGraph(keys=keys, covg=covg, edges=edges,
+                           n=jnp.asarray(keys.shape[0], jnp.int64), k=k)
+        st = T.walk_init(g, seeds, orients, max_steps)
+        st = T.walk(g, st, colour, max_steps)
+        return st.out_vert, st.out_len
+
+    return run

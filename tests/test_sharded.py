@@ -161,3 +161,37 @@ def test_hierarchical_2d_build_matches_flat():
 
     assert int(np.asarray(n1).sum()) == int(np.asarray(n2).sum())
     assert collect(k1, c1, e1) == collect(k2, c2, e2)
+
+
+def test_walk_dp_matches_single_device():
+    """Data-parallel traversal (graph replicated, walkers sharded over
+    the mesh) gives the same contig node paths as the single-device
+    walk."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mccortex_tpu.parallel import shard as psh
+    from mccortex_tpu.graph import build as gbuild
+    from mccortex_tpu.graph import traverse as T
+    from util import random_dna, seq_to_codes
+
+    k = 11
+    seq = random_dna(300, seed=650)
+    bases = np.asarray(seq_to_codes(seq))[None, :]
+    g = gbuild.build([(bases, 0)], k, ncols=1)
+    n = int(g.n)
+    n_dev = len(jax.devices())
+    B = 2 * n_dev
+    seeds = jnp.asarray((np.arange(B) * 7) % n, jnp.int32)
+    ors = jnp.zeros((B,), jnp.uint8)
+
+    st = T.walk_init(g, seeds, ors, 32)
+    st = T.walk(g, st, None, 32)
+    ref_vert = np.asarray(st.out_vert)
+    ref_len = np.asarray(st.out_len)
+
+    mesh = psh.make_mesh(n_dev)
+    wd = psh.walk_dp(mesh, colour=None, max_steps=32, k=k)
+    overt, olen = wd(g.keys, g.covg, g.edges, seeds, ors)
+    assert np.array_equal(np.asarray(olen), ref_len)
+    assert np.array_equal(np.asarray(overt), ref_vert)
