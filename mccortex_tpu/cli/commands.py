@@ -82,7 +82,8 @@ def cmd_build(argv):
         seqio.CRAM_REF = {n: s for n, s in zip(_rg.names, _rg.seqs)}
     import jax.numpy as jnp
 
-    k = args.kmer
+    from .common import check_kmer
+    k = check_kmer(args.kmer, p)
     ginfo = []
     batches = []
     gmerge = []   # (colour offset, keys, covg, edges) from --graph files

@@ -589,6 +589,8 @@ def cmd_uniqkmers(argv):
     from ..utils.dna import revcomp
     rng = random.Random(args.seed)
     k = args.kmer
+    from .common import check_kmer
+    check_kmer(args.kmer, p)
     import functools
     ofh = sys.stdout if args.out == "-" else open(args.out, "w")
     print = functools.partial(__import__("builtins").print,  # noqa: A001

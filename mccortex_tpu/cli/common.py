@@ -98,3 +98,19 @@ def apply_common(args, *out_paths) -> None:
 
 def nkmers_hint(args) -> int | None:
     return parse_size(getattr(args, "nkmers", None))
+
+
+def check_kmer(k: int, p=None) -> int:
+    """Kmer size must be odd and 3..63 (ref cmd.c cmd_check_kmer:
+    palindromic even-k kmers are their own reverse complement, which
+    breaks canonical orientation).  Raises/parser-errors otherwise."""
+    msg = None
+    if not (3 <= int(k) <= 63):
+        msg = f"kmer size must be 3..63, got {k}"
+    elif int(k) % 2 == 0:
+        msg = f"kmer size must be odd, got {k}"
+    if msg:
+        if p is not None:
+            p.error(msg)
+        raise ValueError(msg)
+    return int(k)

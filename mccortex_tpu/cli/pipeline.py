@@ -101,7 +101,8 @@ def cmd_pipeline(argv):
     p.add_argument("--force", action="store_true")
     args = p.parse_args(argv)
 
-    kmers = _parse_kmers(args.kmer)
+    from .common import check_kmer
+    kmers = [check_kmer(x, p) for x in _parse_kmers(args.kmer)]
     samples = []
     for spec in args.sample:
         name, files = spec.split(":", 1)
