@@ -151,22 +151,9 @@ def cmd_build(argv):
                     _emit(c1, None)
                     _emit(c2, None)
             else:   # interleaved: even rows = r1, odd rows = r2
-                for codes, quals, _ in seqio.read_batches_native(
-                        [entry[1]], batch_size=512, colour=colour,
-                        overlap=k):
-                    if codes.shape[0] % 2:
-                        codes = codes[:-1]
-                        if quals is not None:
-                            quals = quals[:-1]
-                    c1, c2 = codes[0::2], codes[1::2]
-                    q1 = quals[0::2] if quals is not None else None
-                    q2 = quals[1::2] if quals is not None else None
-                    c1, c2, q1, q2 = seqio.mate_normalize(
-                        c1, c2, args.matepair,
-                        q1 if q1 is not None else np.zeros_like(c1),
-                        q2 if q2 is not None else np.zeros_like(c2))
-                    if quals is None:
-                        q1 = q2 = None
+                for c1, c2, q1, q2, _ in seqio.read_batches_interleaved(
+                        entry[1], colour=colour,
+                        matedir=args.matepair):
                     if pcr is not None:
                         keepm = pcr.filter_batch(c1, c2)
                         ndup += int((~keepm).sum()) * 2
@@ -990,12 +977,8 @@ def cmd_thread(argv):
                     r1, r2, colour=args.colour, matedir=args.matepair):
                 pair_batches.append((c1, c2, args.colour))
         for fi in args.seqi:
-            for codes, quals, _ in seqio.read_batches_native(
-                    [fi], colour=args.colour):
-                if codes.shape[0] % 2:
-                    codes = codes[:-1]
-                c1, c2 = seqio.mate_normalize(
-                    codes[0::2], codes[1::2], args.matepair)
+            for c1, c2, _q1, _q2, _ in seqio.read_batches_interleaved(
+                    fi, colour=args.colour, matedir=args.matepair):
                 pair_batches.append((c1, c2, args.colour))
         pe_links = lthread.thread_reads_pe(
             g, pair_batches, ncols, links_prev=prev_for_gapfill,

@@ -622,11 +622,8 @@ def cmd_correct(argv):
             if shared is None:
                 p.error(f"--seqi {spec}: give <in>:<out> or -o")
             w1 = w2 = shared
-        for codes, quals, _ in seqio.read_batches_native([path]):
-            if codes.shape[0] % 2:
-                codes = codes[:-1]
-            c1, c2 = seqio.mate_normalize(codes[0::2], codes[1::2],
-                                          args.matepair)
+        for c1, c2, _q1, _q2, _ in seqio.read_batches_interleaved(
+                path, matedir=args.matepair):
             _correct_pairs(c1, c2, w1, w2)
         if w1 is not shared:
             w1.close()

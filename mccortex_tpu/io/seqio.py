@@ -393,16 +393,53 @@ def mate_normalize(c1: np.ndarray, c2: np.ndarray, matedir: str = "FR",
 
 
 def read_batches_pe(path1, path2, batch_size: int = 512,
-                    max_len: int = 1024, colour: int = 0,
+                    max_len: int = 8192, colour: int = 0,
                     matedir: str = "FR"):
     """Yield mate-pair batches (codes1, codes2, colour); files must have
-    reads in the same order (standard _1/_2 convention)."""
+    reads in the same order (standard _1/_2 convention).
+
+    max_len is generous (paired-end reads are short): a mate LONGER
+    than it would be emitted as multiple chunk rows and silently
+    misalign the pairing, so rows are checked and over-long mates
+    rejected with a clear error."""
     it1 = read_batches_native([path1], batch_size, max_len, colour)
     it2 = read_batches_native([path2], batch_size, max_len, colour)
     for (c1, q1, _), (c2, q2, _) in zip(it1, it2):
+        if c1.shape[1] >= max_len or c2.shape[1] >= max_len:
+            raise ValueError(
+                f"paired-end mate >= {max_len}bp: chunked rows would "
+                f"misalign mate pairing ({path1} / {path2})")
         n = min(c1.shape[0], c2.shape[0])
         c1, c2 = mate_normalize(c1[:n], c2[:n], matedir)
         yield c1, c2, colour
+
+
+def read_batches_interleaved(path, batch_size: int = 512,
+                             max_len: int = 8192, colour: int = 0,
+                             matedir: str = "FR"):
+    """Yield (codes1, codes2, quals1, quals2, colour) from an
+    interleaved mate-pair file (even rows = r1).  Same over-length
+    guard as read_batches_pe: chunked rows would break the even/odd
+    pairing."""
+    for codes, quals, _ in read_batches_native([path], batch_size,
+                                               max_len, colour):
+        if codes.shape[1] >= max_len:
+            raise ValueError(
+                f"interleaved mate >= {max_len}bp: chunked rows would "
+                f"misalign mate pairing ({path})")
+        if codes.shape[0] % 2:
+            codes = codes[:-1]
+            quals = quals[:-1] if quals is not None else None
+        c1, c2 = codes[0::2], codes[1::2]
+        q1 = quals[0::2] if quals is not None else None
+        q2 = quals[1::2] if quals is not None else None
+        c1, c2, q1, q2 = mate_normalize(
+            c1, c2, matedir,
+            q1 if q1 is not None else np.zeros_like(c1),
+            q2 if q2 is not None else np.zeros_like(c2))
+        if quals is None:
+            q1 = q2 = None
+        yield c1, c2, q1, q2, colour
 
 
 def _chunk_read(rd: "Read", max_len: int, overlap: int):
