@@ -708,6 +708,7 @@ def cmd_contigs(argv):
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     visited = np.zeros(n, dtype=bool)
     lengths = []
+    stop_counts = np.zeros(len(T.STATUS_STR), np.int64)
     ncontig = 0
     batch = args.batch
     order = seed_rows if seed_rows is not None else np.arange(n)
@@ -758,6 +759,10 @@ def cmd_contigs(argv):
                         f" rt.max_gap={int(extra['max_gap'][i, 0])}")
             out.write(f"{hdr}\n{c}\n")
             lengths.append(len(c))
+            # both directions' halt reasons (ref assemble_stats
+            # stop_causes table)
+            for s_ in np.asarray(stats[i]).reshape(-1):
+                stop_counts[int(s_) % len(T.STATUS_STR)] += 1
             ncontig += 1
 
     # second pass: seed from links never fully used in a contig
@@ -784,6 +789,11 @@ def cmd_contigs(argv):
     st = contig_stats(lengths, genome_size=args.genome or None)
     _status(f"contigs: {st['n']} total={st['total']} max={st['max']} "
             f"N50={st['n50']} NG50={st['ng50']}")
+    if stop_counts.sum():
+        # halt-reason table (ref assemble_stats.c stop_causes)
+        parts = [f"{T.STATUS_STR[i]}={int(c)}"
+                 for i, c in enumerate(stop_counts) if c]
+        _status("contigs halt reasons: " + " ".join(parts))
     return 0
 
 
