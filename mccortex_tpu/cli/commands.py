@@ -22,8 +22,15 @@ from .common import status as _status, add_common, apply_common
 # ---------------------------------------------------------------------------
 
 def cmd_build(argv):
-    p = argparse.ArgumentParser(prog="mctx build",
-                                description="reads -> coloured .ctx graph")
+    p = argparse.ArgumentParser(
+        prog="mctx build",
+        description="reads -> coloured .ctx graph",
+        epilog="colour tasks (order on the command line defines the "
+               "colours): -s/--sample <name> starts a colour; "
+               "-1/--seq <in>, -2/--seq2 <in1>:<in2> (or two args), "
+               "-i/--seqi <interleaved> add that colour's reads; "
+               "-g/--graph <in.ctx> slots an existing graph's colours "
+               "in at its position (ref ctx_build.c)")
     p.add_argument("-k", "--kmer", type=int, required=True)
     p.add_argument("--sample", action="append", default=[],
                    help="start a new colour with this sample name")
