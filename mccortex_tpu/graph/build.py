@@ -198,7 +198,22 @@ def _sort_planes32(ops, num_keys: int, impl: str | None = None,
     pads to a power-of-two multiple of its block (key pad = sentinel
     0xFFFFFFFF sorts last; value pad = 0) and returns the padded length
     — callers slice; the sorted live prefix is unaffected."""
-    if (impl or "lax") != "bitonic":
+    impl = impl or "lax"
+    if impl == "lax64":
+        # halve the comparator key count: fuse (hi, lo) u32 pairs into
+        # u64 keys for the sort, split back after (unsigned order is
+        # identical; x64 mode keeps u64 native)
+        fused = tuple(
+            ops[2 * w].astype(jnp.uint64) << jnp.uint64(32)
+            | ops[2 * w + 1].astype(jnp.uint64)
+            for w in range(num_keys // 2)) + ops[num_keys:]
+        out = jax.lax.sort(fused, num_keys=num_keys // 2)
+        planes = ()
+        for w in range(num_keys // 2):
+            planes += ((out[w] >> jnp.uint64(32)).astype(jnp.uint32),
+                       out[w].astype(jnp.uint32))
+        return planes + out[num_keys // 2:]
+    if impl != "bitonic":
         return jax.lax.sort(ops, num_keys=num_keys)
     from ..ops.pallas import bitonic as _bt
     M = ops[0].shape[0]

@@ -99,6 +99,9 @@ def _make_kernel(W: int):
         fnd_ref = refs[3 + NQP]
         rows = refs[4 + NQP]
         sems = refs[5 + NQP]
+        # VMEM blocks are (1, LANES, NWQ): the leading grid axis keeps
+        # the trailing block dims (LANES, NWQ) legal for Mosaic (last
+        # dim == full array dim, sublane dim 128-aligned).
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
@@ -141,14 +144,14 @@ def _make_kernel(W: int):
             for p in range(NQP):
                 sh = (LANES - p * S) % LANES
                 rp = pltpu.roll(blk, _i32(sh), 1) if sh else blk
-                qv = qrefs[p][:, w:w + 1]          # (LANES, 1) u32
+                qv = qrefs[p][0, :, w:w + 1]       # (LANES, 1) u32
                 eq = eq * (rp == qv).astype(jnp.int32)
             idx_sec = pltpu.roll(blk, _i32(LANES - NQP * S), 1)
             fnd = jnp.max(eq, axis=1, keepdims=True)
             idxv = jnp.max(eq * idx_sec.astype(jnp.int32), axis=1,
                            keepdims=True)
-            idx_ref[:, w:w + 1] = idxv
-            fnd_ref[:, w:w + 1] = fnd
+            idx_ref[0, :, w:w + 1] = idxv
+            fnd_ref[0, :, w:w + 1] = fnd
 
     return kernel
 
@@ -179,12 +182,15 @@ def lookup_fused(table: jnp.ndarray, queries: jnp.ndarray, b_bits: int,
     for w in range(W):
         qplanes.append((q[:, w] >> jnp.uint64(32)).astype(jnp.uint32))
         qplanes.append(q[:, w].astype(jnp.uint32))
-    # transpose to (LANES, Qp/LANES): query i -> [i % 128, i // 128]
-    qT = [x.reshape(-1, LANES).T for x in qplanes]
-
     NB = Qp // QB
+    # layout (NB, LANES, NWQ): query i -> [i // QB, i % 128, (i % QB) // 128]
+    # (queries ride the sublane axis inside each block; the block's
+    # trailing dims (LANES, NWQ) satisfy Mosaic's (8,128)-or-full rule
+    # because NWQ == the array's full last dim).
+    qT = [x.reshape(NB, NWQ, LANES).transpose(0, 2, 1) for x in qplanes]
+
     zero = np.int32(0)
-    vspec = pl.BlockSpec((LANES, NWQ), lambda i: (zero, i),
+    vspec = pl.BlockSpec((1, LANES, NWQ), lambda i: (i, zero, zero),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _make_kernel(W),
@@ -194,16 +200,16 @@ def lookup_fused(table: jnp.ndarray, queries: jnp.ndarray, b_bits: int,
                                memory_space=pltpu.SMEM)]
         + [vspec] * (2 * W),
         out_specs=(vspec, vspec),
-        out_shape=(jax.ShapeDtypeStruct((LANES, Qp // LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((LANES, Qp // LANES), jnp.int32)),
+        out_shape=(jax.ShapeDtypeStruct((NB, LANES, NWQ), jnp.int32),
+                   jax.ShapeDtypeStruct((NB, LANES, NWQ), jnp.int32)),
         scratch_shapes=[pltpu.VMEM((2, LANES, LANES), jnp.uint32),
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(table, bkt, *qT)
     idxT, fndT = outs
-    idx = idxT.T.reshape(-1)[:Qp]
-    fnd = fndT.T.reshape(-1)[:Qp] != 0
+    idx = idxT.transpose(0, 2, 1).reshape(-1)[:Qp]
+    fnd = fndT.transpose(0, 2, 1).reshape(-1)[:Qp] != 0
     fnd = fnd & valid
     idx = jnp.where(fnd, idx, 0)
     return (idx[:Q].reshape(qshape) if pad else idx.reshape(qshape),

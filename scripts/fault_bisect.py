@@ -1,4 +1,7 @@
 """Bisect the TPU kernel fault in the clean path at ~2M kmers."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import time
 

@@ -9,6 +9,9 @@ one large deletion and checks the breakpoints path.
 Usage: python scripts/fuzz_callers.py [n_genomes] [seed]
 Prints one summary line; exits nonzero on any miss.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import tempfile

@@ -2,6 +2,9 @@
 synthetic genome -> build -> clean -> contigs, timed on the current
 device.  Usage: python scripts/scale_test.py [genome_mb] [coverage] [batch]
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

@@ -16,6 +16,9 @@ vs the 1-device run.  Runs on whatever devices JAX exposes:
 Prints one JSON line: {"devices": [...], "kmers_per_s_per_device":
 [...], "efficiency": [...]}.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import time
