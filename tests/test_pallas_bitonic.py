@@ -158,3 +158,51 @@ def test_merge_sorted_fused_bitonic_matches_lax(small_blocks):
     for x, y in zip(la[:3], bb[:3]):
         np.testing.assert_array_equal(np.asarray(x)[:nn],
                                       np.asarray(y)[:nn])
+
+
+def test_count_batch_fused_lax64_matches_lax():
+    # "lax64": (hi, lo) u32 key pairs fused into u64 sort keys (half the
+    # comparators); unsigned order must be identical to the plane sort.
+    from mccortex_tpu.graph import build as gb
+    rng = np.random.default_rng(13)
+    for k in (15, 33):  # W=1 and W=2
+        bases = rng.integers(0, 4, size=(16, 64), dtype=np.uint8)
+        ka, ca, ea, na = gb.count_batch_fused(
+            jnp.asarray(bases), k, 2, 1, interpret=True, sort_impl="lax")
+        kb, cb, eb, nb = gb.count_batch_fused(
+            jnp.asarray(bases), k, 2, 1, interpret=True,
+            sort_impl="lax64")
+        assert int(na) == int(nb)
+        n = int(na)
+        np.testing.assert_array_equal(np.asarray(ka)[:n],
+                                      np.asarray(kb)[:n])
+        np.testing.assert_array_equal(np.asarray(ca)[:n],
+                                      np.asarray(cb)[:n])
+        np.testing.assert_array_equal(np.asarray(ea)[:n],
+                                      np.asarray(eb)[:n])
+
+
+def test_merge_sorted_fused_lax64_matches_lax():
+    from mccortex_tpu.graph import build as gb
+    from mccortex_tpu.ops import sorted as sops
+    rng = np.random.default_rng(14)
+    W, C = 1, 2
+
+    def mk(nr, cap):
+        keys = np.full((cap, W), sops.SENTINEL64, np.uint64)
+        keys[:nr, 0] = np.sort(rng.choice(1 << 40, nr, replace=False))
+        covg = np.zeros((cap, C), np.uint32)
+        covg[:nr] = rng.integers(1, 5, (nr, C))
+        edges = np.zeros((cap, C), np.uint8)
+        edges[:nr] = rng.integers(0, 256, (nr, C))
+        return (jnp.asarray(keys), jnp.asarray(covg), jnp.asarray(edges))
+
+    a = mk(700, 1024)
+    b = mk(1100, 2048)
+    la = gb.merge_sorted_fused(*a, *b, interpret=True, sort_impl="lax")
+    lb = gb.merge_sorted_fused(*a, *b, interpret=True, sort_impl="lax64")
+    assert int(la[3]) == int(lb[3])
+    nn = int(la[3])
+    for x, y in zip(la[:3], lb[:3]):
+        np.testing.assert_array_equal(np.asarray(x)[:nn],
+                                      np.asarray(y)[:nn])
