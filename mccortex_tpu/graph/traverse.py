@@ -248,14 +248,27 @@ def walk(g: gstore.DBGraph, st: WalkState, colour: int | None,
 
 def walk_chunked(g, st, colour, max_steps, adj=None, chunk=512):
     """Resumable walking: repeated bounded walk() dispatches so no single
-    device execution runs long (relay watchdog; see ROUND1.md)."""
+    device execution runs long (relay watchdog; see ROUND1.md).
+
+    The all-halted check runs one chunk BEHIND the dispatches: each
+    chunk's `active.any()` is fetched asynchronously while the next
+    chunk executes, so the per-chunk host RPC round trip overlaps device
+    work (one speculative chunk on a fully-halted state is a masked
+    no-op).  Matters on axon where a blocking fetch costs ~10-20 ms."""
     done = 0
+    prev_active = None
     while done < max_steps:
         take = min(chunk, max_steps - done)
         st = walk(g, st, colour, max_steps=take, adj=adj)
         done += take
-        if not bool(st.active.any()):
+        act = st.active.any()
+        try:
+            act.copy_to_host_async()
+        except Exception:
+            pass
+        if prev_active is not None and not bool(prev_active):
             break
+        prev_active = act
     return st
 
 

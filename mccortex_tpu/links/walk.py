@@ -565,8 +565,13 @@ def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
                         missing_check=False, adj=None, chunk=512,
                         conf_table=None, min_step=-1.0, min_cumul=-1.0,
                         track_used=False):
-    """Resumable linked walking (bounded per-dispatch execution)."""
+    """Resumable linked walking (bounded per-dispatch execution).
+
+    As in graph/traverse.walk_chunked, the all-halted check runs one
+    chunk behind the dispatches so the per-chunk host fetch overlaps
+    device work (a speculative chunk on a halted state is a no-op)."""
     done = 0
+    prev_active = None
     while done < max_steps:
         take = min(chunk, max_steps - done)
         st = walk_linked(g, links, st, colour, max_steps=take,
@@ -575,8 +580,14 @@ def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
                          min_step=min_step, min_cumul=min_cumul,
                          track_used=track_used)
         done += take
-        if not bool(st.base.active.any()):
+        act = st.base.active.any()
+        try:
+            act.copy_to_host_async()
+        except Exception:
+            pass
+        if prev_active is not None and not bool(prev_active):
             break
+        prev_active = act
     return st
 
 
