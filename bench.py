@@ -233,6 +233,31 @@ def main():
         extras["build_bitonic_error"] = str(e)[:200]
         print("bench: bitonic A/B failed: %s" % e, file=sys.stderr)
 
+    # A/B: u64-fused-key lax sort (half the comparator keys)
+    try:
+        @jax.jit
+        def epoch_l64(bases, salt):
+            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                               axis=0)
+            from mccortex_tpu.graph.build import count_batch_fused
+            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
+                                              sort_impl="lax64")
+            return n
+
+        n = epoch_l64(bases, jnp.int64(0))
+        int(n)
+        n = epoch_l64(bases, n)
+        int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = epoch_l64(bases, n)
+        int(n)
+        extras["build_lax64_kmers_per_s"] = round(
+            kmers / ((time.perf_counter() - t0) / iters))
+    except Exception as e:
+        extras["build_lax64_error"] = str(e)[:200]
+        print("bench: lax64 A/B failed: %s" % e, file=sys.stderr)
+
     # k=63 epoch (two-word keys through the W=2 fused front-end)
     try:
         @jax.jit
@@ -292,11 +317,12 @@ def main():
         **extras,
     }
     # headline = the best exact build path measured this run
-    if extras.get("build_bitonic_kmers_per_s", 0) > out["value"]:
-        out["value"] = extras["build_bitonic_kmers_per_s"]
-        out["vs_baseline"] = round(
-            out["value"] / CPU_BASELINE_KMERS_PER_S, 3)
-        out["sort_impl"] = "bitonic"
+    for impl in ("bitonic", "lax64"):
+        v = extras.get("build_%s_kmers_per_s" % impl, 0)
+        if v > out["value"]:
+            out["value"] = v
+            out["vs_baseline"] = round(v / CPU_BASELINE_KMERS_PER_S, 3)
+            out["sort_impl"] = impl
     print(json.dumps(out))
     return 0
 
