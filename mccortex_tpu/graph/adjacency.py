@@ -36,6 +36,16 @@ def _probe(keys: jnp.ndarray, k: int, o: int, n: int):
     return kops.canonical(nxt, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "o"))
+def probe_var(keys: jnp.ndarray, nuc: jnp.ndarray, k: int, o: int):
+    """Canonical key + orientation of the per-kmer (o, nuc[i]) neighbour
+    (variable appended base; used by the adjacency-free unitig path)."""
+    N = keys.shape[0]
+    okm = kops.oriented(keys, jnp.full((N,), o, jnp.uint8), k)
+    nxt = kops.shift_append(okm, nuc, k)
+    return kops.canonical(nxt, k)
+
+
 @jax.jit
 def _vertex_of(idx, found, o2):
     return jnp.where(found, idx * 2 + o2.astype(jnp.int32), jnp.int32(-1))
@@ -83,8 +93,22 @@ def adj_at(adj: jnp.ndarray, v: jnp.ndarray, n) -> jnp.ndarray:
     return adj[v * 4 + n.astype(jnp.int32)]
 
 
+# Above this many kmers the flat (8N,) adjacency (plus its build
+# temporaries) no longer fits beside the planar table on one v5e's HBM;
+# unitigs/prune switch to direct probe sweeps (no materialised adj).
+ADJ_FREE_N = 1 << 25
+
 _cache: "weakref.WeakValueDictionary" = {}
 _cache_store = {}
+
+
+def cached_adjacency_for(keys: jnp.ndarray, k: int):
+    """The cached adjacency for this keys buffer, or None (never builds)."""
+    ck = (id(keys), keys.shape[0], k)
+    hit = _cache_store.get(ck)
+    if hit is not None and hit[0] is keys:
+        return hit[1]
+    return None
 
 
 def get_adjacency_for(keys: jnp.ndarray, k: int) -> jnp.ndarray:

@@ -7,6 +7,8 @@ clear any edge bits that point at deleted kmers (in every colour).
 from __future__ import annotations
 
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,11 +20,39 @@ from . import store as gstore
 def clear_dangling_edges(keys: jnp.ndarray, edges: jnp.ndarray,
                          keep: jnp.ndarray, k: int,
                          adj: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Clear, per colour, any edge bit whose neighbour kmer is not kept."""
+    """Clear, per colour, any edge bit whose neighbour kmer is not kept.
+
+    Large stores (> adjacency.ADJ_FREE_N kmers) with no cached adjacency
+    run direct probe sweeps per (orientation, base) instead of
+    materialising the flat (8N,) adjacency (HBM at 100M+ kmers)."""
     from . import adjacency as adjmod
+    if adj is None:
+        adj = adjmod.cached_adjacency_for(keys, k)
+    if adj is None and keys.shape[0] > adjmod.ADJ_FREE_N:
+        return _clear_dangling_direct(keys, edges, keep, k)
     if adj is None:
         adj = adjmod.get_adjacency_for(keys, k)
     return _clear_dangling_adj(edges, keep, adj)
+
+
+def _clear_dangling_direct(keys, edges, keep, k):
+    from . import adjacency as adjmod
+    from ..ops import hashidx
+    new_edges = edges
+    for o in (0, 1):
+        for n in range(4):
+            key2, _o2 = adjmod._probe(keys, k, o, n)
+            j, found = hashidx.lookup(keys, key2)
+            new_edges = _clear_bit(new_edges, keep, j, found, o, n)
+    return new_edges
+
+
+@functools.partial(jax.jit, static_argnames=("o", "n"))
+def _clear_bit(edges, keep, j, found, o: int, n: int):
+    bit = np.uint8(1 << (n + 4 * o))
+    kept = found & keep[jnp.maximum(j.astype(jnp.int32), 0)]
+    clear = (~kept)[:, None]
+    return jnp.where(clear, edges & np.uint8(0xFF ^ bit), edges)
 
 
 @jax.jit

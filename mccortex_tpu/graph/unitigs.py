@@ -14,6 +14,7 @@ db_unitig.c:100-120).
 
 from __future__ import annotations
 
+import functools
 
 import numpy as np
 import jax
@@ -46,11 +47,65 @@ def successors(keys: jnp.ndarray, uedges: jnp.ndarray, k: int,
     """succ[(2N,)] for all kmer-orientation vertices.
 
     uedges: union (across colours) edge byte per kmer.  Built from the
-    cached adjacency (one gather per vertex) when available."""
+    cached adjacency (one gather per vertex) when available.  Very large
+    stores (> adjacency.ADJ_FREE_N kmers) with no cached adjacency use
+    direct probe sweeps instead — materialising the flat (8N,) adjacency
+    beside the planar lookup table OOMs one chip at 100M+ kmers."""
     from . import adjacency as adjmod
+    if adj is None:
+        adj = adjmod.cached_adjacency_for(keys, k)
+    if adj is None and keys.shape[0] > adjmod.ADJ_FREE_N:
+        return _successors_direct(keys, uedges, k)
     if adj is None:
         adj = adjmod.get_adjacency_for(keys, k)
     return _successors_from_adj(uedges, adj)
+
+
+def _successors_direct(keys: jnp.ndarray, uedges: jnp.ndarray, k: int):
+    """Adjacency-free succ: one probe+lookup sweep per orientation (only
+    the single-out-edge base is probed)."""
+    from . import adjacency as adjmod
+    from ..ops import hashidx
+    outs = []
+    for o in (0, 1):
+        nuc = _succ_nuc(uedges, o)
+        key2, o2 = adjmod.probe_var(keys, nuc, k, o)
+        j, found = hashidx.lookup(keys, key2)
+        outs.append(_succ_from_lookup(uedges, j, found, o2, o))
+    return _interleave2(outs[0], outs[1])
+
+
+@functools.partial(jax.jit, static_argnames=("o",))
+def _succ_nuc(uedges: jnp.ndarray, o: int):
+    nib = E.with_orientation(uedges, jnp.full(uedges.shape,
+                                              o, jnp.uint8))
+    return jnp.asarray(_NIB2NUC)[nib.astype(jnp.int32)]
+
+
+@functools.partial(jax.jit, static_argnames=("o",))
+def _succ_from_lookup(uedges, j, found, o2, o: int):
+    N = uedges.shape[0]
+    pop4 = jnp.asarray(E.POPCOUNT4)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    oarr = jnp.full((N,), o, jnp.uint8)
+    nib = E.with_orientation(uedges, oarr)
+    single = pop4[nib.astype(jnp.int32)] == 1
+    o2 = o2.astype(jnp.uint8)
+    jc = jnp.maximum(j.astype(jnp.int32), 0)
+    nib_in = E.with_orientation(uedges[jc], (jnp.uint8(1) - o2))
+    indeg1 = pop4[nib_in.astype(jnp.int32)] == 1
+    ok = single & found & indeg1 & (jc != idx)
+    return jnp.where(ok, jc * 2 + o2.astype(jnp.int32), jnp.int32(-1))
+
+
+@jax.jit
+def _interleave2(a, b):
+    N = a.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    succ = jnp.full((2 * N,), -1, jnp.int32)
+    succ = succ.at[idx * 2].set(a)
+    succ = succ.at[idx * 2 + 1].set(b)
+    return succ
 
 
 @jax.jit

@@ -67,10 +67,15 @@ def build_table(keys_np: np.ndarray, b_bits: int | None = None):
 
     Returns (table (B, P*EPR) uint32, b_bits).  Grows b_bits until no
     bucket exceeds EPR entries (expected zero retries at OCC=26).
+    Very large stores (>32M keys) target a denser OCC=40 so the table
+    stays within the HBM budget at 100M+ kmers (the pow2 rounding of B
+    keeps the realised mean occupancy <= the target; Poisson tail past
+    EPR=64 is still negligible).
     """
     n, W = keys_np.shape
+    occ = OCC if n <= (32 << 20) else 40
     if b_bits is None:
-        b_bits = max(1, int(np.ceil(np.log2(max(n, 1) / OCC))) if n > OCC
+        b_bits = max(1, int(np.ceil(np.log2(max(n, 1) / occ))) if n > occ
                      else 1)
     h = _hash_np(keys_np)
     P = 2 * W + 1
@@ -203,15 +208,20 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
         return (jnp.concatenate(idxs).reshape(qshape),
                 jnp.concatenate(founds).reshape(qshape))
     table, b_bits = get_index_for(keys)
+    # cap the per-dispatch bucket-row gather temp (chunk x P*EPR u32) at
+    # ~0.8 GB so 100M+-kmer stores don't OOM with the table resident
+    P = 2 * W + 1
+    chunk = min(HCHUNK, max(1 << 18,
+                            (800 << 20) // (P * EPR * 4)))
     qshape = queries.shape[:-1]
     q = queries.reshape((-1, W))
     N = q.shape[0]
-    if N <= HCHUNK:
+    if N <= chunk:
         idx, found = lookup_planar(table, q, b_bits, W)
         return idx.reshape(qshape), found.reshape(qshape)
     idxs, founds = [], []
-    for s in range(0, N, HCHUNK):
-        i, f = lookup_planar(table, q[s:s + HCHUNK], b_bits, W)
+    for s in range(0, N, chunk):
+        i, f = lookup_planar(table, q[s:s + chunk], b_bits, W)
         idxs.append(i)
         founds.append(f)
     return (jnp.concatenate(idxs).reshape(qshape),

@@ -234,3 +234,31 @@ def test_cleaning_histogram_csvs(tmp_path):
     assert ahist.get(1, 0) == 0         # covg-1 kmers cleaned away
     llines = open(lb).read().splitlines()
     assert llines[0] == "UnitigKmerLength,bp,Count"
+
+
+def test_adjacency_free_paths_match(monkeypatch):
+    """successors/clear_dangling_edges direct probe sweeps (used above
+    ADJ_FREE_N kmers, where the flat adjacency would OOM) must equal the
+    adjacency-backed paths."""
+    from mccortex_tpu.graph import adjacency as adjmod
+    rng = np.random.default_rng(77)
+    k = 9
+    seqs = [(random_dna(200, seed=77 + i), 0) for i in range(6)]
+    g = gbuild.build(batchify(seqs), k, ncols=1)
+    uedges = gstore.union_edges(g)
+
+    adj = adjmod.get_adjacency(g)
+    succ_adj = np.asarray(U._successors_from_adj(uedges, adj))
+    succ_dir = np.asarray(U._successors_direct(g.keys, uedges, k))
+    np.testing.assert_array_equal(succ_adj, succ_dir)
+
+    keep = jnp.asarray(rng.integers(0, 2, g.capacity, np.uint8) > 0)
+    e_adj = np.asarray(P._clear_dangling_adj(g.edges, keep, adj))
+    e_dir = np.asarray(P._clear_dangling_direct(g.keys, g.edges, keep, k))
+    np.testing.assert_array_equal(e_adj, e_dir)
+
+    # and the public entry points pick the direct path at scale
+    monkeypatch.setattr(adjmod, "ADJ_FREE_N", 1)
+    adjmod._cache_store.clear()
+    succ_pub = np.asarray(U.successors(g.keys, uedges, k))
+    np.testing.assert_array_equal(succ_adj, succ_pub)
