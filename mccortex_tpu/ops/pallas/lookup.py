@@ -108,15 +108,18 @@ def _make_kernel(W: int):
         def issue(w: int, buf: int):
             base = _i32(w * LANES)
 
+            # i32 fori_loop bounds: python-int bounds trace the loop var
+            # as i64 under x64 mode, which Mosaic cannot lower
+            # (convert_element_type recursion)
             def body(q, _):
                 cp = pltpu.make_async_copy(
                     table.at[pl.ds(bkt[base + q], 1), :],
                     rows.at[_i32(buf), pl.ds(q, 1), :],
                     sems.at[_i32(buf)])
                 cp.start()
-                return 0
+                return _i32(0)
 
-            jax.lax.fori_loop(0, LANES, body, 0)
+            jax.lax.fori_loop(_i32(0), _i32(LANES), body, _i32(0))
 
         def wait(buf: int):
             def body(q, _):
@@ -124,9 +127,9 @@ def _make_kernel(W: int):
                     rows.at[_i32(buf), pl.ds(q, 1), :],
                     rows.at[_i32(buf), pl.ds(q, 1), :],
                     sems.at[_i32(buf)]).wait()
-                return 0
+                return _i32(0)
 
-            jax.lax.fori_loop(0, LANES, body, 0)
+            jax.lax.fori_loop(_i32(0), _i32(LANES), body, _i32(0))
 
         issue(0, 0)
         # waves unrolled: static lane-dim slices (dynamic lane slicing
