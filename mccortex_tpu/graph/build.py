@@ -12,6 +12,7 @@ reduction instead of per-kmer hash probes + atomics.
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -384,6 +385,11 @@ def build(reads_batches, k: int, ncols: int = 1,
     """
     from collections import deque
 
+    global _PROF
+    prof = _BuildProf() if __import__("os").environ.get(
+        "MCTX_BUILD_PROF") else None
+    _PROF = prof
+
     stack = []  # [(level, keys, covg, edges)] — at most one per level
     # BUILD_DEPTH-deep dispatch pipeline: batches i+1..i+D are enqueued
     # before batch i's live count is consumed, and every count is
@@ -400,11 +406,18 @@ def build(reads_batches, k: int, ncols: int = 1,
 
     def drain_one():
         keys, covg, edges, nu = pending.popleft()
-        fold(_compact_item(keys, covg, edges, int(nu)))
+        t0 = time.perf_counter() if prof else 0.0
+        n_live = int(nu)
+        if prof:
+            prof.add("count_fetch", time.perf_counter() - t0)
+        fold(_compact_item(keys, covg, edges, n_live))
 
     for bases, colour in reads_batches:
+        t0 = time.perf_counter() if prof else 0.0
         out = count_batch_best(jnp.asarray(bases), k, ncols, colour)
         _async_fetch(out[3])
+        if prof:
+            prof.add("batch_dispatch", time.perf_counter() - t0)
         pending.append(out)
         if len(pending) >= BUILD_DEPTH:
             drain_one()
@@ -416,6 +429,7 @@ def build(reads_batches, k: int, ncols: int = 1,
     while stack:
         item = _merge_items(item, stack.pop())
     _, keys, covg, edges = item
+    t0 = time.perf_counter() if prof else 0.0
     if isinstance(keys, np.ndarray):
         live = ~(keys == sops.SENTINEL64).all(axis=1)
         n = int(live.sum())
@@ -431,8 +445,39 @@ def build(reads_batches, k: int, ncols: int = 1,
     if capacity and capacity != g.capacity:
         g = gstore.merge_records(gstore.empty(k, capacity, ncols),
                                  g.keys, g.covg, g.edges)
-    return gstore.compacted(g)
+    g = gstore.compacted(g)
+    if prof:
+        g.keys.block_until_ready()
+        prof.add("final_assembly", time.perf_counter() - t0)
+        prof.report()
+    return g
 
+
+class _BuildProf:
+    """Wall-clock breakdown of build() (enable with MCTX_BUILD_PROF=1).
+
+    Host-side section timers; async device work charges to whichever
+    section blocks on it (count-fetch / host-merge fetches), which is
+    exactly the end-to-end attribution we need."""
+
+    def __init__(self):
+        self.t = {}
+        self.n = {}
+
+    def add(self, key, dt):
+        self.t[key] = self.t.get(key, 0.0) + dt
+        self.n[key] = self.n.get(key, 0) + 1
+
+    def report(self):
+        import sys
+        tot = sum(self.t.values())
+        for key in sorted(self.t, key=self.t.get, reverse=True):
+            print("build-prof: %-16s %8.1fs  (%5.1f%%, n=%d)"
+                  % (key, self.t[key], 100 * self.t[key] / max(tot, 1e-9),
+                     self.n[key]), file=sys.stderr)
+
+
+_PROF = None
 
 MIN_LEVEL = 1 << 15
 BUILD_DEPTH = 3   # epochs in flight before a live count is consumed
@@ -462,20 +507,32 @@ def _compact_item(keys, covg, edges, n_live: int):
 
 
 def _merge_items(a, b):
+    prof = _PROF
     lvl = max(a[0], b[0])
     host = lvl >= SPILL_LEVEL or isinstance(a[1], np.ndarray) \
         or isinstance(b[1], np.ndarray)
     if host:
+        t0 = time.perf_counter() if prof else 0.0
         a = _to_np(a)
         b = _to_np(b)
+        if prof:
+            prof.add("spill_fetch", time.perf_counter() - t0)
+            t0 = time.perf_counter()
         mk, mc, me = _merge2_np(a[1], a[2], a[3], b[1], b[2], b[3])
+        if prof:
+            prof.add("host_merge", time.perf_counter() - t0)
         return (mk.shape[0], mk, mc, me)
     if jax.default_backend() != "cpu":
+        t0 = time.perf_counter() if prof else 0.0
         mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
                                            b[1], b[2], b[3],
                                            sort_impl=SORT_IMPL)
         _async_fetch(n)
-        return _compact_item(mk, mc, me, int(n))
+        n_live = int(n)
+        if prof:
+            prof.add("dev_merge_l%d" % max(1, lvl).bit_length(),
+                     time.perf_counter() - t0)
+        return _compact_item(mk, mc, me, n_live)
     mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
     return (mk.shape[0], mk, mc, me)
 
