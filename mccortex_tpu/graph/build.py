@@ -106,13 +106,17 @@ def count_batch(bases: jnp.ndarray, k: int, ncols: int, colour: int):
     """
     B, L = bases.shape
     keys, ebyte, valid = reads_to_records(bases, k)
-    M = B * L
+    # only the first L-k+1 positions can hold a valid window: slicing
+    # them off statically cuts the sort volume ~12% at k=31 (24% at 63)
+    Lv = max(L - k + 1, 1)
+    M = B * Lv
     W = keys.shape[-1]
-    flat_keys = keys.reshape(M, W)
+    flat_keys = keys[:, :Lv].reshape(M, W)
     covg = jnp.zeros((M, ncols), jnp.uint32)
-    covg = covg.at[:, colour].set(valid.reshape(M).astype(jnp.uint32))
+    covg = covg.at[:, colour].set(
+        valid[:, :Lv].reshape(M).astype(jnp.uint32))
     edges = jnp.zeros((M, ncols), jnp.uint8)
-    edges = edges.at[:, colour].set(ebyte.reshape(M))
+    edges = edges.at[:, colour].set(ebyte[:, :Lv].reshape(M))
     skeys, scovg, sedges = sops.sort_by_key(flat_keys, covg, edges)
     return sops.unique_reduce(skeys, scovg, sedges, M)
 
@@ -134,7 +138,10 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
     from ..ops.pallas import segreduce as _sr
 
     B, L = bases.shape
-    M = B * L
+    # only the first L-k+1 positions can hold a valid window: slicing
+    # them off statically cuts the sort volume ~12% at k=31 (24% at 63)
+    Lv = max(L - k + 1, 1)
+    M = B * Lv
     W = nwords(k)
     if W <= 2:
         # fused Pallas front-end: rolling pack + canonicalise + edges
@@ -143,17 +150,17 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
         from ..ops.pallas import frontend as _fe
         planes = _fe.records_fused(bases, k, interpret=interpret)
         bc0 = jax.lax.bitcast_convert_type
-        ops = tuple(bc0(p.reshape(M), jnp.uint32)
+        ops = tuple(bc0(p[:, :Lv].reshape(M), jnp.uint32)
                     for p in planes[:2 * W])
-        ops += (bc0(planes[2 * W].reshape(M), jnp.uint32),)
+        ops += (bc0(planes[2 * W][:, :Lv].reshape(M), jnp.uint32),)
     else:
         keys, ebyte, valid = reads_to_records(bases, k)
-        flat = keys.reshape(M, W)
+        flat = keys[:, :Lv].reshape(M, W)
         ops = ()
         for w in range(W):
             ops += ((flat[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
                     flat[:, w].astype(jnp.uint32))
-        ops += (ebyte.reshape(M).astype(jnp.uint32),)
+        ops += (ebyte[:, :Lv].reshape(M).astype(jnp.uint32),)
     sorted_ops = _sort_planes32(ops, num_keys=2 * W, impl=sort_impl,
                                 interpret=interpret)
     Ms = sorted_ops[0].shape[0]          # >= M when the bitonic path pads
@@ -200,6 +207,9 @@ def _sort_planes32(ops, num_keys: int, impl: str | None = None,
     0xFFFFFFFF sorts last; value pad = 0) and returns the padded length
     — callers slice; the sorted live prefix is unaffected."""
     impl = impl or "lax"
+    if impl == "lax64" and num_keys % 2:
+        impl = "lax"   # pair fusion covers planes [0, 2*(num_keys//2));
+                       # an odd key plane would be silently dropped
     if impl == "lax64":
         # halve the comparator key count: fuse (hi, lo) u32 pairs into
         # u64 keys for the sort, split back after (unsigned order is

@@ -77,6 +77,12 @@ def build_table(keys_np: np.ndarray, b_bits: int | None = None):
     if b_bits is None:
         b_bits = max(1, int(np.ceil(np.log2(max(n, 1) / occ))) if n > occ
                      else 1)
+        # max-load criterion: if pow2 rounding leaves the realised mean
+        # occupancy near the dense target (>34), P(Poisson > EPR) x B is
+        # no longer negligible and the overflow retry below would waste a
+        # full table build at 100M+ keys — pre-bump b_bits instead
+        while n / (1 << b_bits) > 34:
+            b_bits += 1
     h = _hash_np(keys_np)
     P = 2 * W + 1
     while True:
@@ -209,10 +215,12 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
                 jnp.concatenate(founds).reshape(qshape))
     table, b_bits = get_index_for(keys)
     # cap the per-dispatch bucket-row gather temp (chunk x P*EPR u32) at
-    # ~0.8 GB so 100M+-kmer stores don't OOM with the table resident
+    # ~0.8 GB ONLY when the resident table is itself large (100M+-kmer
+    # stores); small stores keep the full HCHUNK the 62M/s tuning used
     P = 2 * W + 1
-    chunk = min(HCHUNK, max(1 << 18,
-                            (800 << 20) // (P * EPR * 4)))
+    chunk = HCHUNK
+    if table.size * 4 > (2 << 30):
+        chunk = min(HCHUNK, max(1 << 18, (800 << 20) // (P * EPR * 4)))
     qshape = queries.shape[:-1]
     q = queries.reshape((-1, W))
     N = q.shape[0]

@@ -46,8 +46,12 @@ def main():
         starts = rng.integers(0, gsize - rlen, nreads)
         reads = np.lib.stride_tricks.sliding_window_view(
             hap, rlen)[starts].copy()
-        for i in range(0, nreads - B + 1, B):
-            batches.append((reads[i:i + B], col))
+        for i in range(0, nreads, B):
+            chunk = reads[i:i + B]
+            if chunk.shape[0] < B:   # pad the tail batch: every read counts
+                pad = np.full((B - chunk.shape[0], rlen), 4, np.uint8)
+                chunk = np.concatenate([chunk, pad])
+            batches.append((chunk, col))
 
     t0 = time.perf_counter()
     g = gbuild.build(batches, k, ncols=2)
