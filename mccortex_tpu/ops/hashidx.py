@@ -21,10 +21,17 @@ Empty slots mark plane 0 (word-0 hi32) as 0xFFFFFFFF, which no valid
 canonical kmer can have: k is odd, so word 0 carries at most 62 payload
 bits (constants.py check_k).
 
-Mean bucket occupancy targets OCC (~26) with EPR=64 slots; overflow
-probability per bucket is ~1e-11 (Poisson tail), and the host build
-simply retries with twice the buckets if any bucket overflows, so the
-index is exact — never lossy.
+Mean bucket occupancy targets OCC (~13) with EPR=32 slots; overflow
+probability per bucket is tiny (Poisson tail past 32 at mean 13), and
+the host build simply retries with twice the buckets if any bucket
+overflows, so the index is exact — never lossy.
+
+Row width (round 4, scripts/perf_lab5.py on v5e): the bucket-row gather
+is row-ISSUE-rate bound (~60-70M rows/s), so halving the row from
+EPR=64 (768B, 58.2M lk/s) to EPR=32 (384B, 67.2M lk/s) helps ~15% while
+keeping total table bytes identical; EPR=16 leaves 48-lane rows that
+fall off the vector path (18.9M lk/s — CLAUDE.md lane-alignment
+landmine).
 """
 
 from __future__ import annotations
@@ -37,8 +44,8 @@ import jax.numpy as jnp
 
 from . import kmer as kops
 
-EPR = 64          # entries per row (per plane)
-OCC = 26          # target mean occupancy
+EPR = 32          # entries per row (per plane)
+OCC = 13          # target mean occupancy
 _EMPTY = np.uint32(0xFFFFFFFF)
 
 
@@ -66,22 +73,20 @@ def build_table(keys_np: np.ndarray, b_bits: int | None = None):
     """Build the planar table from live (n, W) uint64 keys (host numpy).
 
     Returns (table (B, P*EPR) uint32, b_bits).  Grows b_bits until no
-    bucket exceeds EPR entries (expected zero retries at OCC=26).
-    Very large stores (>32M keys) target a denser OCC=40 so the table
-    stays within the HBM budget at 100M+ kmers (the pow2 rounding of B
-    keeps the realised mean occupancy <= the target; Poisson tail past
-    EPR=64 is still negligible).
+    bucket exceeds EPR entries (expected zero retries at OCC=13).
+    Very large stores (>32M keys) target a denser OCC=20 so the table
+    stays within the HBM budget at 100M+ kmers.
     """
     n, W = keys_np.shape
-    occ = OCC if n <= (32 << 20) else 40
+    occ = OCC if n <= (32 << 20) else 20
     if b_bits is None:
         b_bits = max(1, int(np.ceil(np.log2(max(n, 1) / occ))) if n > occ
                      else 1)
         # max-load criterion: if pow2 rounding leaves the realised mean
-        # occupancy near the dense target (>34), P(Poisson > EPR) x B is
-        # no longer negligible and the overflow retry below would waste a
+        # occupancy near the dense target, P(Poisson > EPR) x B is no
+        # longer negligible and the overflow retry below would waste a
         # full table build at 100M+ keys — pre-bump b_bits instead
-        while n / (1 << b_bits) > 34:
+        while n / (1 << b_bits) > 17:
             b_bits += 1
     h = _hash_np(keys_np)
     P = 2 * W + 1
