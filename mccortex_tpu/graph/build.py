@@ -218,14 +218,18 @@ def _sort_planes32(ops, num_keys: int, impl: str | None = None,
             ops[2 * w].astype(jnp.uint64) << jnp.uint64(32)
             | ops[2 * w + 1].astype(jnp.uint64)
             for w in range(num_keys // 2)) + ops[num_keys:]
-        out = jax.lax.sort(fused, num_keys=num_keys // 2)
+        out = jax.lax.sort(fused, num_keys=num_keys // 2,
+                           is_stable=False)
         planes = ()
         for w in range(num_keys // 2):
             planes += ((out[w] >> jnp.uint64(32)).astype(jnp.uint32),
                        out[w].astype(jnp.uint32))
         return planes + out[num_keys // 2:]
     if impl != "bitonic":
-        return jax.lax.sort(ops, num_keys=num_keys)
+        # every consumer aggregates equal keys (segreduce sum/OR), so
+        # tie order is free — is_stable=False cuts the 2-key sort from
+        # 24.2ms to 16.0ms at 7.4M records on v5e (scripts/perf_lab5b)
+        return jax.lax.sort(ops, num_keys=num_keys, is_stable=False)
     from ..ops.pallas import bitonic as _bt
     M = ops[0].shape[0]
     Mp = max(_bt.BLK, 1 << (M - 1).bit_length())

@@ -220,7 +220,7 @@ def _stats_finish(keys, covg, uedges, uv):
     # (32-bit operands: TPU-native sort)
     order = jax.lax.sort(
         (uv.uid, sumcovg.astype(jnp.uint32),
-         jnp.arange(N, dtype=jnp.int32)), num_keys=2)
+         jnp.arange(N, dtype=jnp.int32)), num_keys=2, is_stable=False)
     s_uid, s_covg, _ = order
     # segment starts in the sorted-by-uid order
     first = jnp.concatenate(

@@ -39,6 +39,9 @@ def sort_by_key(keys: jnp.ndarray, *vals):
     Each uint64 word is decomposed into (hi, lo) uint32 sort keys: TPU
     has no native 64-bit compare, so a 2W-key 32-bit lexicographic sort
     is much faster than an emulated W-key 64-bit one.
+
+    NOT stable on ties: every caller aggregates equal keys afterwards
+    (unique_reduce sum/OR), and is_stable=False is ~1.5x faster on TPU.
     """
     N, W = keys.shape
     iota = jnp.arange(N, dtype=jnp.int32)
@@ -46,7 +49,8 @@ def sort_by_key(keys: jnp.ndarray, *vals):
     for w in range(W):
         ops += ((keys[:, w] >> jnp.uint64(32)).astype(jnp.uint32),
                 keys[:, w].astype(jnp.uint32))
-    perm = jax.lax.sort(ops + (iota,), num_keys=2 * W)[-1]
+    perm = jax.lax.sort(ops + (iota,), num_keys=2 * W,
+                        is_stable=False)[-1]
     out_vals = tuple(v[perm] for v in vals)
     return (keys[perm],) + out_vals
 
