@@ -282,6 +282,27 @@ def main():
         extras["build_k63_error"] = str(e)[:200]
         print("bench: k63 failed: %s" % e, file=sys.stderr)
 
+    # A/B: sort-merge-join bulk lookup (no table, three bandwidth passes)
+    try:
+        from mccortex_tpu.ops import sorted as sops
+
+        @jax.jit
+        def lkj(store, qk):
+            idx, found = sops.lookup_join(store, qk)
+            return (idx * found).astype(jnp.int64).sum()
+
+        np.asarray(lkj(store_keys, qks[0]))
+        np.asarray(lkj(store_keys, qks[1]))
+        t0 = time.perf_counter()
+        outsj = [lkj(store_keys, q) for q in qks]
+        valsj = [np.asarray(o) for o in outsj]
+        dtj = (time.perf_counter() - t0) / nbuf
+        assert all(v > 0 for v in valsj)
+        extras["lookup_join_kmers_per_s"] = round(Q / dtj)
+    except Exception as e:
+        extras["lookup_join_error"] = str(e)[:200]
+        print("bench: join lookup failed: %s" % e, file=sys.stderr)
+
     # A/B: Pallas DMA lookup vs the XLA planar row gather
     try:
         from mccortex_tpu.ops.pallas import lookup as PLK
@@ -313,9 +334,15 @@ def main():
         "vs_baseline": round(kmers_per_s / CPU_BASELINE_KMERS_PER_S, 3),
         "build_cov_kmers_per_s": round(cov_kmers_per_s),
         "lookup_kmers_per_s": round(lookups_per_s),
+        "lookup_planar_kmers_per_s": round(lookups_per_s),
         "breakdown_ms": bd,
         **extras,
     }
+    # lookup headline = best measured impl at this (store, batch) shape
+    for key in ("lookup_join_kmers_per_s", "lookup_fused_kmers_per_s"):
+        if extras.get(key, 0) > out["lookup_kmers_per_s"]:
+            out["lookup_kmers_per_s"] = extras[key]
+            out["lookup_impl"] = key.split("_")[1]
     # headline = the best exact build path measured this run
     for impl in ("bitonic", "lax64"):
         v = extras.get("build_%s_kmers_per_s" % impl, 0)

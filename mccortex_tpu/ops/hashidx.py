@@ -202,6 +202,24 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     chunking are host-side); inside jit use sops.lookup or the
     adjacency cache."""
     W = keys.shape[1]
+    if LOOKUP_IMPL == "join":
+        # sort-merge-join (ops/sorted.lookup_join): three bandwidth-bound
+        # passes over store+queries, no table build at all — wins when
+        # the batch is large relative to the store
+        from . import sorted as sops
+        qshape = queries.shape[:-1]
+        q = queries.reshape((-1, W))
+        N = q.shape[0]
+        if N <= HCHUNK:
+            idx, found = sops.lookup_join(keys, q)
+            return idx.reshape(qshape), found.reshape(qshape)
+        idxs, founds = [], []
+        for s in range(0, N, HCHUNK):
+            i, f = sops.lookup_join(keys, q[s:s + HCHUNK])
+            idxs.append(i)
+            founds.append(f)
+        return (jnp.concatenate(idxs).reshape(qshape),
+                jnp.concatenate(founds).reshape(qshape))
     if LOOKUP_IMPL == "fused":
         from .pallas import lookup as PLK
         table, b_bits = get_index128_for(keys)

@@ -94,6 +94,86 @@ def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     return idxc, found
 
 
+@jax.jit
+def lookup_join(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+    """Bulk exact lookup by sort-merge-join: (idx, found) per query, idx
+    is the store row when found else 0.
+
+    Replaces Q independent probes (one bucket-row gather each, the
+    row-issue-rate-bound ceiling of ops/hashidx.py) with three
+    bandwidth-bound passes: one unstable plane sort of the store+query
+    concatenation, two keep-nearest associative scans, and one 1-key
+    unsort sort.  Cost scales with (N+Q)*log, independent of query
+    pattern — wins when the batch is large (Q within ~2x of N).
+    TPU analogue of a sort-merge join; the reference's equivalent
+    workload is the per-kmer probe loop (src/graph/hash_table.c:84).
+
+    sorted_keys: (N, W) ascending with sentinel padding; queries (Q, W).
+    """
+    N, W = sorted_keys.shape
+    q = queries.reshape((-1, W))
+    Q = q.shape[0]
+    u32 = jnp.uint32
+
+    planes = ()
+    for w in range(W):
+        planes += (jnp.concatenate(
+            [(sorted_keys[:, w] >> jnp.uint64(32)).astype(u32),
+             (q[:, w] >> jnp.uint64(32)).astype(u32)]),)
+        planes += (jnp.concatenate(
+            [sorted_keys[:, w].astype(u32), q[:, w].astype(u32)]),)
+    # payload: pos in low 31 bits, query flag in the top bit
+    packed = jnp.concatenate(
+        [jnp.arange(N, dtype=u32),
+         jnp.arange(Q, dtype=u32) | u32(0x80000000)])
+    out = jax.lax.sort(planes + (packed,), num_keys=2 * W,
+                       is_stable=False)
+    mkeys, mp = out[:2 * W], out[2 * W]
+    is_store = (mp >> u32(31)) == u32(0)
+    pos = mp & u32(0x7FFFFFFF)
+
+    # nearest store element on each side, with its key planes (ties
+    # between a query and its equal store key land in either order
+    # under the unstable sort, so scan both directions)
+    carry = {"v": is_store, "pos": pos}
+    for i in range(2 * W):
+        carry["k%d" % i] = mkeys[i]
+
+    def _keep(a, b):
+        o = {k: jnp.where(b["v"], b[k], a[k]) for k in a if k != "v"}
+        o["v"] = a["v"] | b["v"]
+        return o
+
+    fwd = jax.lax.associative_scan(_keep, carry)
+    # reverse=True flips the array around the same operator, so "take b
+    # when valid" becomes nearest-valid-at-or-after
+    bwd = jax.lax.associative_scan(_keep, carry, reverse=True)
+
+    def _match(cand):
+        m = cand["v"]
+        for i in range(2 * W):
+            m &= cand["k%d" % i] == mkeys[i]
+        return m
+
+    mf, mb = _match(fwd), _match(bwd)
+    # sentinel queries (all-ones) would "match" sentinel store padding
+    sent = jnp.ones_like(is_store)
+    for i in range(2 * W):
+        sent &= mkeys[i] == u32(0xFFFFFFFF)
+    found = (mf | mb) & ~is_store & ~sent
+    idx = jnp.where(mf, fwd["pos"], bwd["pos"]) * found
+
+    # unsort: queries keep their rank, store rows sort last and are
+    # sliced off
+    rank = jnp.where(is_store, u32(0xFFFFFFFF), pos)
+    res = idx | found.astype(u32) << u32(31)
+    _, rout = jax.lax.sort((rank, res), num_keys=1, is_stable=False)
+    rq = rout[:Q]
+    return ((rq & u32(0x7FFFFFFF)).astype(jnp.int32).reshape(
+                queries.shape[:-1]),
+            ((rq >> u32(31)) == u32(1)).reshape(queries.shape[:-1]))
+
+
 def segment_bounds(sorted_keys: jnp.ndarray):
     """For sorted keys: (is_start, seg_id, nseg_incl_sentinel)."""
     N = sorted_keys.shape[0]

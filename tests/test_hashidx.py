@@ -40,6 +40,40 @@ def test_lookup_matches_binary_search(W):
     np.testing.assert_array_equal(np.asarray(idx)[f], np.asarray(ref_idx)[f])
 
 
+@pytest.mark.parametrize("W", [1, 2])
+def test_lookup_join_matches_binary_search(W):
+    store = _mk_store(5000, W, seed=11)
+    n = len(store)
+    rng = np.random.default_rng(12)
+    hits = store[rng.integers(0, n, size=700)]       # duplicates likely
+    misses = _mk_store(300, W, seed=13)
+    sent = np.full((10, W), np.uint64(2**64 - 1))
+    queries = np.concatenate([hits, misses, sent])
+    rng.shuffle(queries)
+    # store carries sentinel padding like a real store buffer
+    padded = np.concatenate([store, np.full((64, W), np.uint64(2**64 - 1))])
+    sk = jnp.asarray(padded)
+    q = jnp.asarray(queries)
+
+    ref_idx, ref_found = sops.lookup(sk, q)
+    idx, found = sops.lookup_join(sk, q)
+    np.testing.assert_array_equal(np.asarray(found), np.asarray(ref_found))
+    f = np.asarray(ref_found)
+    np.testing.assert_array_equal(np.asarray(idx)[f], np.asarray(ref_idx)[f])
+    assert (np.asarray(idx)[~f] == 0).all()
+
+
+def test_lookup_join_via_env_impl(monkeypatch):
+    monkeypatch.setattr(hashidx, "LOOKUP_IMPL", "join")
+    store = _mk_store(2000, 1, seed=21)
+    rng = np.random.default_rng(22)
+    queries = store[rng.integers(0, len(store), size=500)]
+    idx, found = hashidx.lookup(jnp.asarray(store), jnp.asarray(queries))
+    assert np.asarray(found).all()
+    got = np.asarray(store)[np.asarray(idx)]
+    np.testing.assert_array_equal(got, queries)
+
+
 def test_sentinel_queries_not_found():
     store = _mk_store(100, 1)
     q = jnp.concatenate([jnp.asarray(store[:5]),
