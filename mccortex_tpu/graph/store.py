@@ -137,6 +137,23 @@ def union_edges(g: DBGraph) -> jnp.ndarray:
     return E._union_fallback(g.edges)
 
 
+_uedges_cache: dict = {}
+
+
+def cached_union_edges(g: DBGraph) -> jnp.ndarray:
+    """union_edges memoised on the edges buffer identity, so downstream
+    identity-keyed caches (unitigs.cached_unitig_view) can hit."""
+    ck = id(g.edges)
+    hit = _uedges_cache.get(ck)
+    if hit is not None and hit[0] is g.edges:
+        return hit[1]
+    ue = union_edges(g)
+    if len(_uedges_cache) > 4:
+        _uedges_cache.clear()
+    _uedges_cache[ck] = (g.edges, ue)
+    return ue
+
+
 def to_host(g: DBGraph):
     """Compact live records to host numpy (for file IO)."""
     n = int(g.n)

@@ -128,22 +128,11 @@ def _candidates(g: gstore.DBGraph, st: WalkState, colour: int | None,
     one gather; otherwise a batched binary search per base."""
     N = g.capacity
     uedges = gstore.union_edges(g)
+    if adj is not None:
+        return _candidates_at(uedges, g.covg, st.idx, st.orient, colour,
+                              adj)
     pop_nib = E.with_orientation(uedges[st.idx], st.orient)
     col_bits = jnp.zeros_like(pop_nib)
-    if adj is not None:
-        from . import adjacency as adjmod
-        v = st.idx * 2 + st.orient.astype(jnp.int32)
-        for n in range(4):
-            nv = adjmod.adj_at(adj, v, n)
-            found = nv >= 0
-            j = jnp.maximum(nv, 0) >> 1
-            if colour is None:
-                incol = found
-            else:
-                incol = found & (g.covg[j, colour] > 0)
-            col_bits = col_bits | (incol.astype(jnp.uint8) << n)
-        col_nib = pop_nib & col_bits
-        return pop_nib, col_nib
     for n in range(4):
         nxt = kops.shift_append(st.okm, jnp.full(st.idx.shape, n, jnp.uint8),
                                 g.k)
@@ -156,6 +145,26 @@ def _candidates(g: gstore.DBGraph, st: WalkState, colour: int | None,
         col_bits = col_bits | (incol.astype(jnp.uint8) << n)
     col_nib = pop_nib & col_bits
     return pop_nib, col_nib
+
+
+def _candidates_at(uedges, covg, idx, orient, colour: int | None,
+                   adj: jnp.ndarray):
+    """(pop_nib, col_nib) at explicit (idx, orient) positions via the
+    adjacency cache (one gather per base)."""
+    from . import adjacency as adjmod
+    pop_nib = E.with_orientation(uedges[idx], orient)
+    col_bits = jnp.zeros_like(pop_nib)
+    v = idx * 2 + orient.astype(jnp.int32)
+    for n in range(4):
+        nv = adjmod.adj_at(adj, v, n)
+        found = nv >= 0
+        j = jnp.maximum(nv, 0) >> 1
+        if colour is None:
+            incol = found
+        else:
+            incol = found & (covg[j, colour] > 0)
+        col_bits = col_bits | (incol.astype(jnp.uint8) << n)
+    return pop_nib, pop_nib & col_bits
 
 
 _POP4 = E.POPCOUNT4
@@ -272,9 +281,281 @@ def walk_chunked(g, st, colour, max_steps, adj=None, chunk=512):
     return st
 
 
+# ---------------------------------------------------------------------------
+# unitig-hop walker: junction-to-junction traversal
+# ---------------------------------------------------------------------------
+#
+# The kmer-level walker above advances one base per while_loop iteration,
+# so a 100kb contig costs 100k sequential dependent steps.  But between
+# junctions the linkless walker's choice is forced (npop==1 is a "go"
+# status whatever the colour — COLFWD or POPFWD), so the only real
+# decisions happen at unitig ends.  The hop walker precomputes the unitig
+# decomposition (graph/unitigs.py pointer doubling) and advances one
+# WHOLE unitig per iteration: sequential depth = junctions crossed, not
+# bases emitted (~1000x fewer device steps at E.coli scale).
+#
+# Cycle semantics match the reference's visited-set walker (ref
+# repeat_walker.h: halt on first revisited (node, orient), emitting the
+# step INTO the revisited node): each hop records (chain end, max dist
+# covered); re-entering a covered chain halts at exactly the first
+# previously-visited kmer.  This is *closer* to the reference than the
+# kmer walker's Brent detection (which may overshoot within 2x the cycle
+# period); Brent stays as a backstop for walks that overflow the
+# visited-slot cap.
+
+HOPS_PER_DISPATCH = 64
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+@struct.dataclass
+class HopState:
+    v: jnp.ndarray        # (B,) int32 entry vertex (not yet emitted)
+    first: jnp.ndarray    # (B,) bool seed hop (no junction base)
+    active: jnp.ndarray   # (B,) bool
+    status: jnp.ndarray   # (B,) int32
+    out_len: jnp.ndarray  # (B,) int32 bases emitted
+    hop_v: jnp.ndarray    # (B, H) int32 first-emitting vertex per record
+    hop_n: jnp.ndarray    # (B, H) int32 emit count per record
+    hop_cnt: jnp.ndarray  # (B,) int32
+    vis_e: jnp.ndarray    # (B, H) int32 visited chain-end vertices
+    vis_p: jnp.ndarray    # (B, H) int32 max dist covered on that chain
+    vis_cnt: jnp.ndarray  # (B,) int32
+    brent_hash: jnp.ndarray   # (B,) uint64 backstop (visited-cap overflow)
+    brent_steps: jnp.ndarray  # (B,) int32
+    brent_limit: jnp.ndarray  # (B,) int32
+
+
+def hop_init(seed_vert: jnp.ndarray, alive: jnp.ndarray,
+             hop_cap: int) -> HopState:
+    B = seed_vert.shape[0]
+    H = hop_cap
+    return HopState(
+        v=seed_vert.astype(jnp.int32),
+        first=jnp.ones((B,), bool),
+        active=alive,
+        status=jnp.zeros((B,), jnp.int32),
+        out_len=jnp.zeros((B,), jnp.int32),
+        hop_v=jnp.full((B, H), -1, jnp.int32),
+        hop_n=jnp.zeros((B, H), jnp.int32),
+        hop_cnt=jnp.zeros((B,), jnp.int32),
+        vis_e=jnp.full((B, H), -2, jnp.int32),
+        vis_p=jnp.full((B, H), -1, jnp.int32),
+        vis_cnt=jnp.zeros((B,), jnp.int32),
+        brent_hash=jnp.zeros((B,), jnp.uint64),
+        brent_steps=jnp.zeros((B,), jnp.int32),
+        brent_limit=jnp.ones((B,), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("colour", "max_len",
+                                             "nhops"))
+def _hop_block(keys, covg, uedges, adj, succ, end, dist, is_cyc, ulen,
+               st: HopState, colour: int | None, max_len: int,
+               nhops: int) -> HopState:
+    """Advance all hop walkers up to nhops junction hops."""
+    B = st.v.shape[0]
+    H = st.vis_e.shape[1]
+    ar = jnp.arange(B)
+    slot = jnp.arange(H, dtype=jnp.int32)
+
+    def body(carry):
+        it, st = carry
+        i = st.v >> 1
+        e = end[st.v]
+        p = dist[st.v]
+        cyc_seed = st.first & is_cyc[i]
+        # exact visited query: max dist already covered on this chain
+        m = (st.vis_e == e[:, None]) & (slot[None, :] < st.vis_cnt[:, None])
+        q = jnp.max(jnp.where(m, st.vis_p, -1), axis=1)
+        # junction hop emits the junction base + the chain down to the
+        # first already-visited kmer (dist q) or the chain end (q = -1)
+        emit = jnp.where(
+            st.first, p,
+            jnp.maximum(1 + p - jnp.maximum(q, 0), 1))
+        emit = jnp.where(cyc_seed, ulen[i], emit)
+        room = max_len - st.out_len
+        # record-buffer cap: halt rather than silently dropping emission
+        # (each continuing hop emits >= 1 base, so H >= max_len never
+        # trips this)
+        cap = st.hop_cnt >= H
+        trunc = (emit > room) | cap
+        emit_c = jnp.where(cap, 0, jnp.minimum(emit, room))
+        fe = jnp.where(st.first, succ[st.v], st.v)
+        wr = st.active & (emit_c > 0)
+        pos = jnp.where(wr, st.hop_cnt, H)
+        hop_v = st.hop_v.at[ar, pos].set(fe, mode="drop")
+        hop_n = st.hop_n.at[ar, pos].set(emit_c, mode="drop")
+        hop_cnt = st.hop_cnt + wr
+        out_len = st.out_len + jnp.where(st.active, emit_c, 0)
+        vw = st.active & (st.vis_cnt < H) & ~cyc_seed
+        vpos = jnp.where(vw, st.vis_cnt, H)
+        vis_e = st.vis_e.at[ar, vpos].set(e, mode="drop")
+        vis_p = st.vis_p.at[ar, vpos].set(p, mode="drop")
+        vis_cnt = st.vis_cnt + vw
+        halt_cyc = st.active & ((~st.first & (q >= 0)) | cyc_seed)
+        halt_max = st.active & trunc & ~halt_cyc
+        cont = st.active & ~halt_cyc & ~halt_max
+        # junction choose at the chain end
+        pop_nib, col_nib = _candidates_at(
+            uedges, covg, e >> 1, (e & 1).astype(jnp.uint8), colour, adj)
+        nuc, go, jstatus = choose_linkless(pop_nib, col_nib)
+        from . import adjacency as adjmod
+        v2 = adjmod.adj_at(adj, e, nuc)
+        # Brent backstop over hop-entry vertices (fires only for walks
+        # that overflowed the visited cap; visited halts first otherwise)
+        h2 = (v2.astype(jnp.uint64) + jnp.uint64(1)) * _GOLD
+        h2 = (h2 ^ (h2 >> jnp.uint64(31)))
+        moved = cont & go
+        bcyc = moved & (h2 == st.brent_hash)
+        take_cp = moved & (st.brent_steps + 1 >= st.brent_limit)
+        brent_hash = jnp.where(take_cp, h2, st.brent_hash)
+        brent_steps = jnp.where(
+            moved, jnp.where(take_cp, 0, st.brent_steps + 1),
+            st.brent_steps)
+        brent_limit = jnp.where(take_cp, st.brent_limit * 2,
+                                st.brent_limit)
+        active = cont & go & ~bcyc
+        v_new = jnp.where(active, v2, st.v)
+        status = jnp.where(
+            halt_max, jnp.int32(HALT_MAXLEN),
+            jnp.where(halt_cyc | bcyc, jnp.int32(HALT_CYCLE),
+                      jnp.where(cont, jstatus, st.status)))
+        return it + 1, st.replace(
+            v=v_new, first=jnp.zeros_like(st.first), active=active,
+            status=status, out_len=out_len, hop_v=hop_v, hop_n=hop_n,
+            hop_cnt=hop_cnt, vis_e=vis_e, vis_p=vis_p, vis_cnt=vis_cnt,
+            brent_hash=brent_hash, brent_steps=brent_steps,
+            brent_limit=brent_limit)
+
+    def cond(carry):
+        it, st = carry
+        return (it < nhops) & st.active.any()
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _emit_chars(keys, k: int):
+    """(2N,) uint8: the base emitted on arrival at each vertex (last
+    nucleotide of the oriented kmer)."""
+    N = keys.shape[0]
+    last_fwd = (keys[:, -1] & jnp.uint64(3)).astype(jnp.uint8)
+    last_rev = jnp.uint8(3) - kops.first_base(keys, k)
+    out = jnp.zeros((2 * N,), jnp.uint8)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    out = out.at[idx * 2].set(last_fwd)
+    out = out.at[idx * 2 + 1].set(last_rev)
+    return out
+
+
+def hop_walk(g, uv, seed_vert: jnp.ndarray, colour: int | None,
+             max_len: int, adj, uedges, hop_cap: int = 2048):
+    """Run the hop walker to completion (chunked dispatches with a
+    1-chunk-lookahead halt check, as walk_chunked)."""
+    alive = ~sops.is_sentinel(g.keys[seed_vert >> 1])
+    st = hop_init(seed_vert, alive, hop_cap)
+    i32 = lambda x: x.astype(jnp.int32)  # noqa: E731
+    prev_active = None
+    # every continuing hop emits >= 1 base, so max_len/1 bounds the hops
+    max_iters = max_len + 2
+    done = 0
+    while done < max_iters:
+        take = min(HOPS_PER_DISPATCH, max_iters - done)
+        st = _hop_block(g.keys, g.covg, uedges, adj, i32(uv.succ),
+                        i32(uv.end), i32(uv.dist), uv.is_cycle,
+                        i32(uv.length), st, colour, max_len, take)
+        done += take
+        act = st.active.any()
+        try:
+            act.copy_to_host_async()
+        except Exception:
+            pass
+        if prev_active is not None and not bool(prev_active):
+            break
+        prev_active = act
+    return st
+
+
+def _reconstruct_hops(uv, chars_np, hop_v, hop_n, hop_cnt):
+    """Host assembly of emitted base runs from hop records.
+
+    Chain hops are slices of a per-chain walk-order layout (vertices
+    sorted by (end, -dist)); cycle hops follow succ directly."""
+    succ = np.asarray(uv.succ)
+    end = np.asarray(uv.end)
+    dist = np.asarray(uv.dist)
+    is_cyc = np.asarray(uv.is_cycle)
+    order = np.lexsort((-dist, end))
+    sorted_e = end[order]
+    sorted_chars = chars_np[order]
+    run_start = np.searchsorted(sorted_e, np.arange(end.shape[0]))
+    B = hop_v.shape[0]
+    out = []
+    for b in range(B):
+        parts = []
+        for h in range(int(hop_cnt[b])):
+            fe, cnt = int(hop_v[b, h]), int(hop_n[b, h])
+            if fe < 0 or cnt <= 0:
+                continue
+            if is_cyc[fe >> 1]:
+                vcur, buf = fe, []
+                for _ in range(cnt):
+                    buf.append(chars_np[vcur])
+                    vcur = succ[vcur]
+                parts.append(np.asarray(buf, np.uint8))
+                continue
+            e = end[fe]
+            base = run_start[e]
+            maxd = dist[order[base]]
+            i0 = base + (maxd - dist[fe])
+            parts.append(sorted_chars[i0:i0 + cnt])
+        out.append(np.concatenate(parts) if parts
+                   else np.zeros((0,), np.uint8))
+    return out
+
+
 def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
                               colour: int | None = 0,
                               max_len: int = 4096):
+    """Pull a contig for each seed row via unitig hops: walk right from
+    (seed, FORWARD) and left from (seed, REVERSE), join (ref
+    assemble_contigs.c:88-119 without links/confidence).  Returns
+    (contigs: list[str], stop_status: (B, 2) right/left halt codes)."""
+    from ..utils.text import kmers_to_strings
+    from . import unitigs as U
+    from . import adjacency as adjmod
+    B = len(seed_rows)
+    if B == 0:
+        return [], np.zeros((0, 2), np.int32)
+    seeds = jnp.asarray(np.asarray(seed_rows, np.int64), jnp.int32)
+    adj = adjmod.get_adjacency(g)
+    uedges = gstore.cached_union_edges(g)
+    uv = U.cached_unitig_view(g.keys, uedges, g.k)
+    chars_np = np.asarray(_emit_chars(g.keys, g.k))
+    halves = []
+    stats = []
+    for o in (0, 1):
+        st = hop_walk(g, uv, seeds * 2 + o, colour, max_len, adj, uedges)
+        runs = _reconstruct_hops(uv, chars_np, np.asarray(st.hop_v),
+                                 np.asarray(st.hop_n),
+                                 np.asarray(st.hop_cnt))
+        halves.append(runs)
+        stats.append(np.asarray(st.status))
+    seed_keys = np.asarray(g.keys)[np.asarray(seed_rows, np.int64)]
+    seed_strs = kmers_to_strings(seed_keys, g.k)
+    contigs = []
+    basechars = "ACGT"
+    for i in range(B):
+        right = "".join(basechars[b] for b in halves[0][i])
+        left = "".join(basechars[3 - b] for b in halves[1][i][::-1])
+        contigs.append(left + seed_strs[i] + right)
+    return contigs, np.stack([stats[0], stats[1]], axis=1)
+
+
+def assemble_linkless_contigs_steps(g: gstore.DBGraph,
+                                    seed_rows: np.ndarray,
+                                    colour: int | None = 0,
+                                    max_len: int = 4096):
     """Pull a contig for each seed row: walk right from (seed, FORWARD)
     and left from (seed, REVERSE), join (ref assemble_contigs.c:88-119
     without links/confidence).  Returns (contigs: list[str],

@@ -178,6 +178,25 @@ def unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> UnitigView:
     return _view_finish(keys, succ, end, dist, minv)
 
 
+_view_cache: dict = {}
+
+
+def cached_unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray,
+                       k: int) -> UnitigView:
+    """unitig_view memoised on the (keys, uedges) buffer identities —
+    clean/contigs/bubbles on the same store share one pointer-doubling
+    pass (the hop walker and unitig_stats both consume it)."""
+    ck = (id(keys), id(uedges), k)
+    hit = _view_cache.get(ck)
+    if hit is not None and hit[0] is keys and hit[1] is uedges:
+        return hit[2]
+    uv = unitig_view(keys, uedges, k)
+    if len(_view_cache) > 4:
+        _view_cache.clear()
+    _view_cache[ck] = (keys, uedges, uv)
+    return uv
+
+
 @jax.jit
 def _view_finish(keys, succ, end, dist, minv) -> UnitigView:
     N = keys.shape[0]
