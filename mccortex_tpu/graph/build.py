@@ -287,14 +287,11 @@ def _searchsorted_right(sorted_keys, queries):
     return lo
 
 
-# Device merge levels above this spill to host numpy: 64-bit compares
-# are native on the host but emulated on TPU, and very large device
-# merges risk the relay execution watchdog.
-# device merges spill to host numpy above this level.  Raised from 2**23
-# in round 2: merges are now sort + Pallas segreduce (no sort-scratch
-# blowup until ~9e7 records, and adaptive level compaction keeps live
-# sizes small), so E.coli-scale builds stay on-device end to end.
-SPILL_LEVEL = 1 << 25
+# (round 4) merges never spill to host by level any more — the axon
+# tunnel round trip dwarfed the merge itself at 100M records.  See
+# MERGE_HBM_BUDGET below: oversized merges switch to the rank-scatter
+# _merge2 and stay on device; the host native merge remains for inputs
+# that are already numpy (shard exchange paths).
 
 
 def _to_np(item):
@@ -394,8 +391,8 @@ def build(reads_batches, k: int, ncols: int = 1,
     batch is aggregated on device, then folded into the store with
     binary-counter (LSM-style) merges.  Every device op has a FIXED
     shape per size level, so the whole build compiles O(log n_batches)
-    programs; levels above SPILL_LEVEL merge on host (native u64
-    compares, no device watchdog exposure).
+    programs; merges estimated over MERGE_HBM_BUDGET use the O(n+m)
+    rank-scatter path (still on device).
     """
     from collections import deque
 
@@ -520,11 +517,31 @@ def _compact_item(keys, covg, edges, n_live: int):
     return (cap, keys[:cap], covg[:cap], edges[:cap])
 
 
+# Memory model of one device merge (bitonic path): padded input planes +
+# merged planes + segreduce outputs + the original record arrays come to
+# ~110 bytes per pow2-padded element at W=1,C=1.  Merges estimated over
+# the budget use the rank-scatter _merge2 (O(n+m) memory, no sort
+# scratch) and STAY ON DEVICE — round-tripping GBs through the axon
+# tunnel is what made 100Mb-genome builds 20x slower than E.coli-sized
+# ones (round-3 scale logs: host spills above the old 32M-record
+# SPILL_LEVEL dominated wall-clock).
+MERGE_HBM_BUDGET = int(__import__("os").environ.get(
+    "MCTX_MERGE_BUDGET", 10 << 30))
+# below this pow2 size a full re-sort (lax) beats the bitonic clean
+# stage; above it, exploiting input sortedness wins and avoids the
+# lax.sort scratch blowup (~100M records)
+BITONIC_MERGE_MIN = 16 << 20
+
+
+def _merge_est_bytes(na, nb, W, C):
+    mp = 1 << max(na, nb, 1).bit_length()
+    return (4 * (2 * W + 2 * C) * 4 + 8 * W + 4 * C + C + 14) * mp
+
+
 def _merge_items(a, b):
     prof = _PROF
     lvl = max(a[0], b[0])
-    host = lvl >= SPILL_LEVEL or isinstance(a[1], np.ndarray) \
-        or isinstance(b[1], np.ndarray)
+    host = isinstance(a[1], np.ndarray) or isinstance(b[1], np.ndarray)
     if host:
         t0 = time.perf_counter() if prof else 0.0
         a = _to_np(a)
@@ -536,11 +553,23 @@ def _merge_items(a, b):
         if prof:
             prof.add("host_merge", time.perf_counter() - t0)
         return (mk.shape[0], mk, mc, me)
+    na, nb = a[1].shape[0], b[1].shape[0]
+    W, C = a[1].shape[1], a[2].shape[1]
     if jax.default_backend() != "cpu":
         t0 = time.perf_counter() if prof else 0.0
+        if _merge_est_bytes(na, nb, W, C) > MERGE_HBM_BUDGET:
+            # oversized or very asymmetric (final-drain) merge: rank
+            # scatter, O(n+m) memory, still on device
+            mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
+            if prof:
+                prof.add("dev_merge_rank", time.perf_counter() - t0)
+            return (mk.shape[0], mk, mc, me)
+        impl = SORT_IMPL
+        if max(na, nb) >= BITONIC_MERGE_MIN and impl == "lax":
+            impl = "bitonic"
         mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
                                            b[1], b[2], b[3],
-                                           sort_impl=SORT_IMPL)
+                                           sort_impl=impl)
         _async_fetch(n)
         n_live = int(n)
         if prof:

@@ -347,11 +347,16 @@ def hop_init(seed_vert: jnp.ndarray, alive: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("colour", "max_len",
-                                             "nhops"))
+                                             "nhops", "k"))
 def _hop_block(keys, covg, uedges, adj, succ, end, dist, is_cyc, ulen,
                st: HopState, colour: int | None, max_len: int,
-               nhops: int) -> HopState:
-    """Advance all hop walkers up to nhops junction hops."""
+               nhops: int, k: int = 0) -> HopState:
+    """Advance all hop walkers up to nhops junction hops.
+
+    adj=None (very large stores, where the flat (8N,) adjacency would
+    not fit beside the store) probes the 4 junction candidates with
+    batched binary searches instead — junctions are rare, so the log(N)
+    gathers cost nothing at hop granularity."""
     B = st.v.shape[0]
     H = st.vis_e.shape[1]
     ar = jnp.arange(B)
@@ -395,11 +400,34 @@ def _hop_block(keys, covg, uedges, adj, succ, end, dist, is_cyc, ulen,
         halt_max = st.active & trunc & ~halt_cyc
         cont = st.active & ~halt_cyc & ~halt_max
         # junction choose at the chain end
-        pop_nib, col_nib = _candidates_at(
-            uedges, covg, e >> 1, (e & 1).astype(jnp.uint8), colour, adj)
-        nuc, go, jstatus = choose_linkless(pop_nib, col_nib)
-        from . import adjacency as adjmod
-        v2 = adjmod.adj_at(adj, e, nuc)
+        eo = (e & 1).astype(jnp.uint8)
+        if adj is not None:
+            pop_nib, col_nib = _candidates_at(
+                uedges, covg, e >> 1, eo, colour, adj)
+            nuc, go, jstatus = choose_linkless(pop_nib, col_nib)
+            from . import adjacency as adjmod
+            v2 = adjmod.adj_at(adj, e, nuc)
+        else:
+            okm_e = kops.oriented(keys[e >> 1], eo, k)
+            pop_nib = E.with_orientation(uedges[e >> 1], eo)
+            col_bits = jnp.zeros_like(pop_nib)
+            cand_v = jnp.full((B, 4), -1, jnp.int32)
+            for n in range(4):
+                nxt = kops.shift_append(
+                    okm_e, jnp.full((B,), n, jnp.uint8), k)
+                key2, o2 = kops.canonical(nxt, k)
+                j, found = sops.lookup(keys, key2)
+                if colour is None:
+                    incol = found
+                else:
+                    incol = found & (covg[j, colour] > 0)
+                col_bits = col_bits | (incol.astype(jnp.uint8) << n)
+                cand_v = cand_v.at[:, n].set(jnp.where(
+                    found, j * 2 + o2.astype(jnp.int32), -1))
+            nuc, go, jstatus = choose_linkless(pop_nib,
+                                               pop_nib & col_bits)
+            v2 = jnp.take_along_axis(
+                cand_v, nuc.astype(jnp.int32)[:, None], axis=1)[:, 0]
         # Brent backstop over hop-entry vertices (fires only for walks
         # that overflowed the visited cap; visited halts first otherwise)
         h2 = (v2.astype(jnp.uint64) + jnp.uint64(1)) * _GOLD
@@ -463,7 +491,8 @@ def hop_walk(g, uv, seed_vert: jnp.ndarray, colour: int | None,
         take = min(HOPS_PER_DISPATCH, max_iters - done)
         st = _hop_block(g.keys, g.covg, uedges, adj, i32(uv.succ),
                         i32(uv.end), i32(uv.dist), uv.is_cycle,
-                        i32(uv.length), st, colour, max_len, take)
+                        i32(uv.length), st, colour, max_len, take,
+                        k=g.k)
         done += take
         act = st.active.any()
         try:
@@ -528,7 +557,9 @@ def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
     if B == 0:
         return [], np.zeros((0, 2), np.int32)
     seeds = jnp.asarray(np.asarray(seed_rows, np.int64), jnp.int32)
-    adj = adjmod.get_adjacency(g)
+    adj = None
+    if g.capacity <= adjmod.ADJ_FREE_N:
+        adj = adjmod.get_adjacency(g)
     uedges = gstore.cached_union_edges(g)
     uv = U.cached_unitig_view(g.keys, uedges, g.k)
     chars_np = np.asarray(_emit_chars(g.keys, g.k))

@@ -149,24 +149,85 @@ def pointer_doubling(succ: jnp.ndarray):
     a single long-running device program trips the execution watchdog on
     relayed TPU backends ("kernel fault" at ~4M vertices), and per-pass
     dispatch also keeps each program small.
+
+    Random gathers are the whole cost (~100M elem/s on v5e whatever the
+    pattern — CLAUDE.md), so (p, d) are packed into ONE uint64 plane (one
+    gather per pass instead of three) and the loop exits as soon as every
+    chain has converged: the per-pass change count, fetched one pass
+    behind (async, overlapping device work), is strictly decreasing while
+    any chain is unconverged, so two equal consecutive counts mean only
+    cycle vertices (which rotate forever) remain.  Cycle minima are then
+    resolved on a compacted host subset — cycles are typically a
+    vanishing fraction of real graphs.
     """
     V = succ.shape[0]
     iota = jnp.arange(V, dtype=jnp.int32)
-    p = jnp.where(succ < 0, iota, succ)
-    d = jnp.where(succ < 0, 0, 1).astype(jnp.int32)
-    m = jnp.minimum(iota, p)
     steps = max(1, int(np.ceil(np.log2(max(V, 2)))) + 1)
-    for _ in range(steps):
-        p, d, m = _pd_step(p, d, m)
+    pk = _pd_init(succ)
+    prev_cnt = None
+    pending = None  # (cnt_dev,) fetched one pass behind
+    for t in range(steps):
+        pk, changed = _pd_step_packed(pk)
+        if pending is not None:
+            cnt = int(pending)
+            if prev_cnt is not None and cnt == prev_cnt:
+                break
+            prev_cnt = cnt
+        try:
+            changed.copy_to_host_async()
+        except Exception:
+            pass
+        pending = changed
+    p, d = _pd_unpack(pk)
+    # cycle labels on the compacted subset (usually empty)
+    cyc = np.asarray(_pd_cyc_mask(succ, p))
+    m = iota
+    if cyc.any():
+        idx = np.nonzero(cyc)[0].astype(np.int64)
+        sub_succ = np.asarray(succ)[idx]
+        # remap into the compact set: every cycle successor is a cycle
+        # vertex, so searchsorted is exact
+        sub = np.searchsorted(idx, sub_succ)
+        sub_m = idx.astype(np.int64)
+        for _ in range(max(1, int(np.ceil(np.log2(max(len(idx), 2)))) + 1)):
+            sub_m = np.minimum(sub_m, sub_m[sub])
+            sub = sub[sub]
+        m_np = np.arange(V, dtype=np.int32)
+        m_np[idx] = sub_m.astype(np.int32)
+        m = jnp.asarray(m_np)
     return p, d, m
+
+
+_PD_DMASK = jnp.uint64(0xFFFFFFFF)
 
 
 @jax.jit
-def _pd_step(p, d, m):
-    m = jnp.minimum(m, jnp.take(m, p, mode="clip"))
-    d = d + jnp.take(d, p, mode="clip")
-    p = jnp.take(p, p, mode="clip")
-    return p, d, m
+def _pd_init(succ):
+    V = succ.shape[0]
+    iota = jnp.arange(V, dtype=jnp.int32)
+    p = jnp.where(succ < 0, iota, succ)
+    d = jnp.where(succ < 0, 0, 1)
+    return (p.astype(jnp.uint64) << jnp.uint64(32)) | d.astype(jnp.uint64)
+
+
+@jax.jit
+def _pd_step_packed(pk):
+    p = (pk >> jnp.uint64(32)).astype(jnp.int32)
+    at = jnp.take(pk, p, mode="clip")
+    d = jnp.minimum((pk & _PD_DMASK) + (at & _PD_DMASK), _PD_DMASK)
+    new = (at & ~_PD_DMASK) | d
+    return new, (new != pk).sum(dtype=jnp.int32)
+
+
+@jax.jit
+def _pd_unpack(pk):
+    return ((pk >> jnp.uint64(32)).astype(jnp.int32),
+            (pk & _PD_DMASK).astype(jnp.int32))
+
+
+@jax.jit
+def _pd_cyc_mask(succ, p):
+    return jnp.take(succ, p, mode="clip") >= 0
 
 
 def unitig_view(keys: jnp.ndarray, uedges: jnp.ndarray, k: int) -> UnitigView:
@@ -224,8 +285,8 @@ def unitig_stats(g: gstore.DBGraph, k: int | None = None):
     ends sums to <= 1 (ref clean_graph.c:289 nodes_are_tip).
     """
     k = k or g.k
-    uedges = gstore.union_edges(g)
-    uv = unitig_view(g.keys, uedges, k)
+    uedges = gstore.cached_union_edges(g)
+    uv = cached_unitig_view(g.keys, uedges, k)
     return _stats_finish(g.keys, g.covg, uedges, uv)
 
 
@@ -236,11 +297,18 @@ def _stats_finish(keys, covg, uedges, uv):
     live = ~sops.is_sentinel(keys)
 
     # median: sort (uid, covg) then index the middle of each segment
-    # (32-bit operands: TPU-native sort)
-    order = jax.lax.sort(
-        (uv.uid, sumcovg.astype(jnp.uint32),
-         jnp.arange(N, dtype=jnp.int32)), num_keys=2, is_stable=False)
-    s_uid, s_covg, _ = order
+    # (32-bit operands: TPU-native sort; very large stores use the
+    # bitonic path — lax.sort scratch blows up past ~100M records)
+    ops = (uv.uid.astype(jnp.uint32), sumcovg.astype(jnp.uint32),
+           jnp.arange(N, dtype=jnp.int32).astype(jnp.uint32))
+    if N > (64 << 20) and jax.default_backend() != "cpu":
+        from . import build as _gb
+        sorted_ops = _gb._sort_planes32(ops, num_keys=2, impl="bitonic")
+        s_uid = sorted_ops[0][:N].astype(jnp.int32)
+        s_covg = sorted_ops[1][:N]
+    else:
+        s_uid, s_covg, _ = jax.lax.sort(ops, num_keys=2, is_stable=False)
+        s_uid = s_uid.astype(jnp.int32)
     # segment starts in the sorted-by-uid order
     first = jnp.concatenate(
         [jnp.ones((1,), bool), s_uid[1:] != s_uid[:-1]])

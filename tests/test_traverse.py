@@ -124,6 +124,25 @@ def test_max_len_halt():
     assert len(contigs[0]) <= 50 + 50 + k
 
 
+def test_adjacency_free_hop_walk():
+    # very large stores walk without the flat adjacency (binary-search
+    # probes at junctions); force that path on a small graph
+    from mccortex_tpu.graph import adjacency as adjmod
+    k = 11
+    seq = random_dna(300, seed=301)
+    g = build_g([(seq, 0)], k)
+    old = adjmod.ADJ_FREE_N
+    adjmod.ADJ_FREE_N = 0
+    try:
+        contigs, stats = T.assemble_linkless_contigs(
+            g, np.array([0, 7]), colour=0)
+    finally:
+        adjmod.ADJ_FREE_N = old
+    for c in contigs:
+        assert min(c, revcomp_str(c)) == min(seq, revcomp_str(seq))
+    assert (stats == T.NOCOVG).all()
+
+
 def test_contig_stats():
     st = contig_stats([100, 200, 300, 400], genome_size=1000)
     assert st["n"] == 4 and st["total"] == 1000
