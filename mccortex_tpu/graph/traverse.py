@@ -477,9 +477,11 @@ def _emit_chars(keys, k: int):
 
 
 def hop_walk(g, uv, seed_vert: jnp.ndarray, colour: int | None,
-             max_len: int, adj, uedges, hop_cap: int = 2048):
+             max_len: int, adj, uedges, hop_cap: int | None = None):
     """Run the hop walker to completion (chunked dispatches with a
     1-chunk-lookahead halt check, as walk_chunked)."""
+    if hop_cap is None:
+        hop_cap = min(2048, max_len + 2)
     alive = ~sops.is_sentinel(g.keys[seed_vert >> 1])
     st = hop_init(seed_vert, alive, hop_cap)
     i32 = lambda x: x.astype(jnp.int32)  # noqa: E731

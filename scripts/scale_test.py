@@ -45,7 +45,10 @@ def main():
     print(f"genome {gsize/1e6:.1f}Mb, {nreads} reads x {rlen}bp "
           f"({cov:.0f}x, {err*100}% err)", file=sys.stderr)
 
-    B = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
+    # 32768 reads x 150bp = 3.9M records/epoch: the compute-bound regime
+    # (bench.py shapes); smaller batches leave the chip idle between
+    # RPCs
+    B = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
     t0 = time.perf_counter()
     batches = [(reads[i:i + B], 0) for i in range(0, nreads - B + 1, B)]
     g = gbuild.build(batches, k, ncols=1)
