@@ -171,9 +171,27 @@ def get_index_for(keys: jnp.ndarray):
 
 
 # "planar" = XLA bucket-row gather (lookup_planar); "fused" = the
-# Pallas DMA-pipelined kernel (ops/pallas/lookup.py).  Module global
-# read per call (host level, never inside jit).
+# Pallas DMA-pipelined kernel (ops/pallas/lookup.py); "join" = the
+# sort-merge-join (ops/sorted.lookup_join — no table at all); "auto"
+# picks join for large batches against small/medium stores (the join
+# re-sorts the store per HCHUNK of queries, so huge stores keep the
+# planar row gather).  Module global read per call (host level, never
+# inside jit).
 LOOKUP_IMPL = __import__("os").environ.get("MCTX_LOOKUP", "planar")
+
+# auto mode thresholds (see bench.py A/B): join amortises its sorts
+# past ~1M queries and its per-chunk cost scales with store+chunk, so
+# cap the store size where it can win
+JOIN_MIN_Q = 1 << 20
+JOIN_MAX_STORE = 32 << 20
+
+
+def _pick_impl(n_store: int, n_queries: int) -> str:
+    if LOOKUP_IMPL != "auto":
+        return LOOKUP_IMPL
+    if n_queries >= JOIN_MIN_Q and n_store <= JOIN_MAX_STORE:
+        return "join"
+    return "planar"
 
 _cache128: dict = {}
 
@@ -202,7 +220,8 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     chunking are host-side); inside jit use sops.lookup or the
     adjacency cache."""
     W = keys.shape[1]
-    if LOOKUP_IMPL == "join":
+    impl = _pick_impl(keys.shape[0], queries.reshape((-1, W)).shape[0])
+    if impl == "join":
         # sort-merge-join (ops/sorted.lookup_join): three bandwidth-bound
         # passes over store+queries, no table build at all — wins when
         # the batch is large relative to the store
@@ -220,7 +239,7 @@ def lookup(keys: jnp.ndarray, queries: jnp.ndarray):
             founds.append(f)
         return (jnp.concatenate(idxs).reshape(qshape),
                 jnp.concatenate(founds).reshape(qshape))
-    if LOOKUP_IMPL == "fused":
+    if impl == "fused":
         from .pallas import lookup as PLK
         table, b_bits = get_index128_for(keys)
         qshape = queries.shape[:-1]
