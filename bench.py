@@ -80,9 +80,37 @@ def _wait_for_backend(max_wait_s=360.0):
             delay = min(delay * 1.7, 45.0)
 
 
+def _arm_watchdog():
+    """The axon tunnel can wedge mid-run (remote side unresponsive for
+    hours — observed round 4): a blocked remote call never raises, so
+    without a watchdog the driver's bench capture would hang forever.
+    If the run hasn't finished within MCTX_BENCH_WATCHDOG seconds
+    (default 50 min), emit the one-line error JSON and exit."""
+    import os
+    import threading
+
+    limit = float(os.environ.get("MCTX_BENCH_WATCHDOG", 3000))
+
+    def fire():
+        print(json.dumps({
+            "metric": "build_kmers_per_s_per_chip",
+            "value": 0,
+            "unit": "kmers/s",
+            "vs_baseline": 0.0,
+            "error": "watchdog: no completion within %.0fs (axon tunnel "
+                     "wedged?)" % limit,
+        }), flush=True)
+        os._exit(1)
+
+    t = threading.Timer(limit, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
     import jax
 
+    _arm_watchdog()
     _wait_for_backend()
     import jax.numpy as jnp
     import mccortex_tpu  # noqa: F401
