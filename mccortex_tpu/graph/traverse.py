@@ -462,6 +462,23 @@ def _hop_block(keys, covg, uedges, adj, succ, end, dist, is_cyc, ulen,
     return st
 
 
+_chars_cache: dict = {}
+
+
+def cached_emit_chars(keys, k: int) -> np.ndarray:
+    """Host copy of _emit_chars, memoised per store key buffer (CLI
+    contigs reconstructs per seed batch)."""
+    ck = id(keys)
+    hit = _chars_cache.get(ck)
+    if hit is not None and hit[0] is keys:
+        return hit[1]
+    chars = np.asarray(_emit_chars(keys, k))
+    if len(_chars_cache) > 4:
+        _chars_cache.clear()
+    _chars_cache[ck] = (keys, chars)
+    return chars
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _emit_chars(keys, k: int):
     """(2N,) uint8: the base emitted on arrival at each vertex (last
@@ -507,19 +524,37 @@ def hop_walk(g, uv, seed_vert: jnp.ndarray, colour: int | None,
     return st
 
 
+_layout_cache: dict = {}
+
+
+def _chain_layout(uv, chars_np):
+    """Walk-order layout (vertices sorted by (end, -dist)) + chars,
+    memoised per unitig view — CLI contigs reconstructs thousands of
+    seed batches against one view."""
+    ck = id(uv.succ)
+    hit = _layout_cache.get(ck)
+    if hit is not None and hit[0] is uv.succ:
+        return hit[1]
+    end = np.asarray(uv.end)
+    dist = np.asarray(uv.dist)
+    order = np.lexsort((-dist, end))
+    layout = (end, dist, np.asarray(uv.is_cycle), order,
+              chars_np[order],
+              np.searchsorted(end[order], np.arange(end.shape[0])))
+    if len(_layout_cache) > 4:
+        _layout_cache.clear()
+    _layout_cache[ck] = (uv.succ, layout)
+    return layout
+
+
 def _reconstruct_hops(uv, chars_np, hop_v, hop_n, hop_cnt):
     """Host assembly of emitted base runs from hop records.
 
     Chain hops are slices of a per-chain walk-order layout (vertices
     sorted by (end, -dist)); cycle hops follow succ directly."""
-    succ = np.asarray(uv.succ)
-    end = np.asarray(uv.end)
-    dist = np.asarray(uv.dist)
-    is_cyc = np.asarray(uv.is_cycle)
-    order = np.lexsort((-dist, end))
-    sorted_e = end[order]
-    sorted_chars = chars_np[order]
-    run_start = np.searchsorted(sorted_e, np.arange(end.shape[0]))
+    succ = None
+    end, dist, is_cyc, order, sorted_chars, run_start = \
+        _chain_layout(uv, chars_np)
     B = hop_v.shape[0]
     out = []
     for b in range(B):
@@ -529,6 +564,8 @@ def _reconstruct_hops(uv, chars_np, hop_v, hop_n, hop_cnt):
             if fe < 0 or cnt <= 0:
                 continue
             if is_cyc[fe >> 1]:
+                if succ is None:
+                    succ = np.asarray(uv.succ)
                 vcur, buf = fe, []
                 for _ in range(cnt):
                     buf.append(chars_np[vcur])
@@ -564,7 +601,7 @@ def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
         adj = adjmod.get_adjacency(g)
     uedges = gstore.cached_union_edges(g)
     uv = U.cached_unitig_view(g.keys, uedges, g.k)
-    chars_np = np.asarray(_emit_chars(g.keys, g.k))
+    chars_np = cached_emit_chars(g.keys, g.k)
     halves = []
     stats = []
     for o in (0, 1):
