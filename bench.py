@@ -161,20 +161,25 @@ def main():
     # per-stage breakdown (each stage fetch-timed separately)
     from mccortex_tpu.ops import kmer as kops
 
+    # stages mirror count_batch_fused exactly: fused Pallas front-end,
+    # record slice to the L-k+1 valid columns, unstable 2-key plane sort
+    Lv = L - k + 1
+    M = B * Lv
+
     @jax.jit
     def s_front(b):
-        keys, ebyte, valid = reads_to_records(b, k)
-        return keys[0, 0, 0] + ebyte[0, 0]
+        from mccortex_tpu.ops.pallas import frontend as fe
+        planes = fe.records_fused(b, k)
+        return planes[0][0, 0] + planes[2][0, 0]
 
     @jax.jit
     def s_sort(b):
-        keys, ebyte, valid = reads_to_records(b, k)
-        M = B * L
-        flat = keys.reshape(M, 1)
-        hi = (flat[:, 0] >> jnp.uint64(32)).astype(jnp.uint32)
-        lo = flat[:, 0].astype(jnp.uint32)
-        e32 = ebyte.reshape(M).astype(jnp.uint32)
-        sh, sl, se = jax.lax.sort((hi, lo, e32), num_keys=2)
+        from mccortex_tpu.ops.pallas import frontend as fe
+        planes = fe.records_fused(b, k)
+        bc = jax.lax.bitcast_convert_type
+        ops = tuple(bc(p[:, :Lv].reshape(M), jnp.uint32)
+                    for p in planes[:3])
+        sh, sl, se = jax.lax.sort(ops, num_keys=2, is_stable=False)
         return sh[0] + se[0]
 
     def t_stage(fn, iters=4):

@@ -148,7 +148,8 @@ def count_batch_fused(bases: jnp.ndarray, k: int, ncols: int, colour: int,
         # in one VMEM pass (ops/pallas/frontend.py); limb planes for
         # k <= 63
         from ..ops.pallas import frontend as _fe
-        planes = _fe.records_fused(bases, k, interpret=interpret)
+        planes = _fe.records_fused(bases, k, interpret=interpret,
+                                   with_valid=False)
         bc0 = jax.lax.bitcast_convert_type
         ops = tuple(bc0(p[:, :Lv].reshape(M), jnp.uint32)
                     for p in planes[:2 * W])

@@ -110,12 +110,13 @@ def _lt(a, b):
     return lt
 
 
-def _make_kernel(k: int, L: int, nl: int):
+def _make_kernel(k: int, L: int, nl: int, with_valid: bool = True):
     """nl = number of u32 limbs (2 for W=1, 4 for W=2)."""
     def kernel(*refs):
         bases_ref = refs[0]
         key_refs = refs[1:1 + nl]            # MSB-first outputs
-        eb_ref, valid_ref = refs[1 + nl], refs[2 + nl]
+        eb_ref = refs[1 + nl]
+        valid_ref = refs[2 + nl] if with_valid else None
         b = bases_ref[:]                     # (TILE_B, L) int32
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
         zero = jnp.zeros_like(b, jnp.uint32)
@@ -193,18 +194,24 @@ def _make_kernel(k: int, L: int, nl: int):
             key_refs[p][:] = jnp.where(
                 valid, key[nl - 1 - p].astype(jnp.int32), _i32(-1))
         eb_ref[:] = jnp.where(valid, ebyte, _i32(0))
-        valid_ref[:] = valid.astype(jnp.int32)
+        if with_valid:
+            valid_ref[:] = valid.astype(jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False):
-    """bases (B, L) uint8 -> (*key_planes, ebyte, valid): (B, L) i32
+@functools.partial(jax.jit, static_argnames=("k", "interpret",
+                                             "with_valid"))
+def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False,
+                  with_valid: bool = True):
+    """bases (B, L) uint8 -> (*key_planes, ebyte[, valid]): (B, L) i32
     planes, invalid windows sentinel-filled (-1 keys, 0 edges).
 
     key_planes are most-significant-first u32 halves of the canonical
-    key words: 2 planes for k <= 31, 4 planes for 31 < k <= 63."""
+    key words: 2 planes for k <= 31, 4 planes for 31 < k <= 63.
+    with_valid=False skips the validity plane write — the count path
+    derives everything from the sentinel fill, so the extra (B, L)
+    HBM write is pure waste there."""
     assert k <= 63
     nl = 2 if k <= 31 else 4
     B, L = bases.shape
@@ -223,9 +230,9 @@ def records_fused(bases: jnp.ndarray, k: int, *, interpret: bool = False):
             axis=1)
     NB = b32.shape[0] // TILE_B
     zero = np.int32(0)
-    n_out = nl + 2
+    n_out = nl + (2 if with_valid else 1)
     outs = pl.pallas_call(
-        _make_kernel(k, Lp, nl),
+        _make_kernel(k, Lp, nl, with_valid),
         grid=(NB,),
         in_specs=[pl.BlockSpec((TILE_B, Lp), lambda i: (i, zero),
                                memory_space=pltpu.VMEM)],
