@@ -528,15 +528,17 @@ def _compact_item(keys, covg, edges, n_live: int):
 # SPILL_LEVEL dominated wall-clock).
 MERGE_HBM_BUDGET = int(__import__("os").environ.get(
     "MCTX_MERGE_BUDGET", 10 << 30))
-# below this pow2 size a full re-sort (lax) beats the bitonic clean
-# stage; above it, exploiting input sortedness wins and avoids the
-# lax.sort scratch blowup (~100M records)
+# below this size a full re-sort (lax) is fine; above it, exploiting
+# input sortedness via the one-pass merge-path kernel wins and avoids
+# the lax.sort scratch blowup (~100M records)
 BITONIC_MERGE_MIN = 16 << 20
 
 
 def _merge_est_bytes(na, nb, W, C):
-    mp = 1 << max(na, nb, 1).bit_length()
-    return (4 * (2 * W + 2 * C) * 4 + 8 * W + 4 * C + C + 14) * mp
+    # merge-path peak: input planes + merged planes + segreduce outputs
+    # + the original record arrays — all linear in na+nb (no
+    # pow2-matched padding)
+    return (3 * (2 * W + 2 * C) * 4 + 8 * W + 4 * C + C + 14) * (na + nb)
 
 
 def _merge_items(a, b):
@@ -567,7 +569,7 @@ def _merge_items(a, b):
             return (mk.shape[0], mk, mc, me)
         impl = SORT_IMPL
         if max(na, nb) >= BITONIC_MERGE_MIN and impl == "lax":
-            impl = "bitonic"
+            impl = "mp"
         mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
                                            b[1], b[2], b[3],
                                            sort_impl=impl)
@@ -591,9 +593,35 @@ def merge_sorted_fused(ak, ac, ae, bk, bc, be, interpret: bool = False,
     end-to-end build wall-clock at genome scale (they are ~25x slower
     than sort+kernel at the same record count on v5e).
 
-    With SORT_IMPL == "bitonic" the inputs' sortedness is EXPLOITED: one
-    bitonic clean stage (ops/pallas/bitonic.merge_planes, log(M) passes)
-    replaces the full re-sort of the concatenation."""
+    With sort_impl == "mp" the inputs' sortedness is fully exploited:
+    ops/pallas/mergepath merges in ONE data pass (merge-path block
+    decomposition; no pow2-matched padding, so asymmetric merges cost
+    their true size).  "bitonic" is the older clean-stage variant
+    (log(M) passes)."""
+    if sort_impl == "mp":
+        from ..ops.pallas import mergepath as _mp
+        W, C = ak.shape[1], ac.shape[1]
+        np_ = 2 * W + 2 * C
+        blk = _mp._r_blk_for(np_) * _mp.LANES
+
+        def planes_padded(k_, c_, e_):
+            ops = _record_planes(k_, c_, e_)
+            n = ops[0].shape[0]
+            padn = (-n) % blk
+            if not padn:
+                return ops
+            return tuple(jnp.concatenate(
+                [x, jnp.full(padn,
+                             0xFFFFFFFF if i < 2 * W else 0, jnp.uint32)])
+                for i, x in enumerate(ops))
+
+        Ma, Mb = ak.shape[0], bk.shape[0]
+        merged = _mp.merge_path_planes(planes_padded(ak, ac, ae),
+                                       planes_padded(bk, bc, be),
+                                       num_keys=2 * W,
+                                       interpret=interpret)
+        return _aggregate_sorted(merged, W, C, Ma + Mb,
+                                 interpret=interpret)
     if sort_impl == "bitonic":
         from ..ops.pallas import bitonic as _bt
         Ma, Mb = ak.shape[0], bk.shape[0]
