@@ -266,6 +266,31 @@ def main():
         extras["build_bitonic_error"] = str(e)[:200]
         print("bench: bitonic A/B failed: %s" % e, file=sys.stderr)
 
+    # A/B: merge-path sort (bitonic local runs + one-pass merge tree)
+    try:
+        @jax.jit
+        def epoch_mp(bases, salt):
+            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                               axis=0)
+            from mccortex_tpu.graph.build import count_batch_fused
+            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
+                                              sort_impl="mp")
+            return n
+
+        n = epoch_mp(bases, jnp.int64(0))
+        int(n)
+        n = epoch_mp(bases, n)
+        int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = epoch_mp(bases, n)
+        int(n)
+        extras["build_mp_kmers_per_s"] = round(
+            kmers / ((time.perf_counter() - t0) / iters))
+    except Exception as e:
+        extras["build_mp_error"] = str(e)[:200]
+        print("bench: mp A/B failed: %s" % e, file=sys.stderr)
+
     # A/B: u64-fused-key lax sort (half the comparator keys)
     try:
         @jax.jit
@@ -377,7 +402,7 @@ def main():
             out["lookup_kmers_per_s"] = extras[key]
             out["lookup_impl"] = key.split("_")[1]
     # headline = the best exact build path measured this run
-    for impl in ("bitonic", "lax64"):
+    for impl in ("bitonic", "lax64", "mp"):
         v = extras.get("build_%s_kmers_per_s" % impl, 0)
         if v > out["value"]:
             out["value"] = v

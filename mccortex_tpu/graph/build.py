@@ -226,6 +226,22 @@ def _sort_planes32(ops, num_keys: int, impl: str | None = None,
             planes += ((out[w] >> jnp.uint64(32)).astype(jnp.uint32),
                        out[w].astype(jnp.uint32))
         return planes + out[num_keys // 2:]
+    if impl == "mp":
+        # merge-path sort: bitonic local runs + one-data-pass merge tree
+        from ..ops.pallas import mergepath as _mpk
+        M = ops[0].shape[0]
+        blk = _mpk._r_blk_for(len(ops)) * _mpk.LANES
+        nruns = max(1, 1 << (max((M + blk - 1) // blk, 1) - 1)
+                    .bit_length())
+        Mp = nruns * blk
+        if Mp != M:
+            ops = tuple(jnp.concatenate(
+                [x, jnp.full(Mp - M,
+                             0xFFFFFFFF if i < num_keys else 0,
+                             jnp.uint32)])
+                for i, x in enumerate(ops))
+        return _mpk.sort_planes_mp(ops, num_keys=num_keys,
+                                   interpret=interpret)
     if impl != "bitonic":
         # every consumer aggregates equal keys (segreduce sum/OR), so
         # tie order is free — is_stable=False cuts the 2-key sort from
@@ -531,7 +547,8 @@ MERGE_HBM_BUDGET = int(__import__("os").environ.get(
 # below this size a full re-sort (lax) is fine; above it, exploiting
 # input sortedness via the one-pass merge-path kernel wins and avoids
 # the lax.sort scratch blowup (~100M records)
-BITONIC_MERGE_MIN = 16 << 20
+BITONIC_MERGE_MIN = int(__import__("os").environ.get(
+    "MCTX_MERGE_MIN", 16 << 20))
 
 
 def _merge_est_bytes(na, nb, W, C):

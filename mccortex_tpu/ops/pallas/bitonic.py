@@ -103,11 +103,12 @@ def _cmpx(planes, j, dir_asc_i32, nk, r_blk):
             for x, p in zip(planes, partners)]
 
 
-def _make_blocksort_kernel(np_, nk, r_blk):
+def _make_blocksort_kernel(np_, nk, r_blk, all_asc: bool = False):
     """Full bitonic network for one block: stages k=2..BLK.  Direction
     for k < BLK comes from local index bits; for k == BLK from the block
     parity, so block g leaves ascending iff g is even — the alternating
-    layout the global network expects."""
+    layout the global network expects.  all_asc=True makes every block
+    ascending instead (the layout the merge-path sort tree expects)."""
     blk = r_blk * LANES
 
     def kernel(*refs):
@@ -120,6 +121,8 @@ def _make_blocksort_kernel(np_, nk, r_blk):
         while k <= blk:
             if k < blk:
                 dir_asc = ((flat & _i32(k)) == 0).astype(jnp.int32)
+            elif all_asc:
+                dir_asc = jnp.ones(planes[0].shape, jnp.int32)
             else:
                 dir_asc = jnp.broadcast_to(
                     ((g & _i32(1)) == 0).astype(jnp.int32),

@@ -73,27 +73,24 @@ def _splits(ka, kb, nk: int, NB: int, blk: int, Ma: int, Mb: int):
     return lo
 
 
-def _make_kernel(np_: int, nk: int, r_blk: int, fb_base: int):
+def _make_kernel(np_: int, nk: int, r_blk: int):
     blk = r_blk * LANES
 
     def kernel(*refs):
-        starts = refs[0]                     # SMEM (NB+1,)
-        a_refs = refs[1:1 + np_]             # ANY (rows_a, LANES)
-        b_refs = refs[1 + np_:1 + 2 * np_]   # ANY flipped B (rows_b, LANES)
-        out_refs = refs[1 + 2 * np_:1 + 3 * np_]
-        awin = refs[1 + 3 * np_]             # VMEM (np_, r_blk+1, LANES)
-        bwin = refs[2 + 3 * np_]
-        sem = refs[3 + 3 * np_]
+        # per-block scalars: A window element offset, flipped-B window
+        # element offset, and the A-consumption count (na)
+        a0g, fbg, nag = refs[0], refs[1], refs[2]   # SMEM (NB,)
+        a_refs = refs[3:3 + np_]             # ANY (rows_a, LANES)
+        b_refs = refs[3 + np_:3 + 2 * np_]   # ANY flipped B (rows_b, LANES)
+        out_refs = refs[3 + 2 * np_:3 + 3 * np_]
+        awin = refs[3 + 3 * np_]             # VMEM (np_, r_blk+8, LANES)
+        bwin = refs[4 + 3 * np_]
+        sem = refs[5 + 3 * np_]
 
         g = pl.program_id(0)
-        d = g * _i32(blk)
-        a0 = starts[g]
-        a1 = starts[g + _i32(1)]
-        b0 = d - a0
-        na = a1 - a0                          # A records this block eats
-        # flipped-B window: fp = [pad | flip(B) | tail] holds
-        # reverse(B[b0:b0+blk]) at element offset Mb + 8*LANES - b0
-        fb0 = _i32(fb_base) - b0
+        a0 = a0g[g]
+        na = nag[g]
+        fb0 = fbg[g]
 
         W_ROWS = r_blk + 8        # window rows (8-multiple: sublane tiling)
         for p in range(np_):
@@ -154,6 +151,113 @@ def _make_kernel(np_: int, nk: int, r_blk: int, fb_base: int):
     return kernel
 
 
+def _splits_batched(kp, nk: int, NB: int, NBpp: int, blk: int, R: int):
+    """Per-block merge-path splits for npairs independent (A, B) run
+    pairs laid out as [A0|B0|A1|B1|...], run length R.  Returns
+    (a0_local, na) per output block (both (NB,) i32)."""
+    t = jnp.arange(NB, dtype=jnp.int32)
+    q = t // jnp.int32(NBpp)
+    dd = (t % jnp.int32(NBpp)) * jnp.int32(blk)
+    base_a = q * jnp.int32(2 * R)
+    base_b = base_a + jnp.int32(R)
+
+    def search(dd):
+        lo = jnp.maximum(jnp.int32(0), dd - jnp.int32(R))
+        hi = jnp.minimum(dd, jnp.int32(R))
+        steps = int(np.ceil(np.log2(max(R, 2)))) + 2
+        for _ in range(steps):
+            go = lo < hi
+            mid = (lo + hi) >> 1
+            j = dd - mid - 1
+            mc = base_a + jnp.clip(mid, 0, R - 1)
+            jc = base_b + jnp.clip(j, 0, R - 1)
+            lt = jnp.zeros_like(go)
+            eq = jnp.ones_like(go)
+            for p in range(nk):
+                av, bv = kp[p][mc], kp[p][jc]
+                lt = lt | (eq & (av < bv))
+                eq = eq & (av == bv)
+            cond = lt | eq
+            lo = jnp.where(go & cond, mid + 1, lo)
+            hi = jnp.where(go & ~cond, mid, hi)
+        return lo
+
+    a0 = search(dd)
+    a1 = search(jnp.minimum(dd + jnp.int32(blk), jnp.int32(2 * R)))
+    return q, dd, a0, a1 - a0
+
+
+def _merge_level(sp, nk: int, R: int, r_blk: int, interpret: bool):
+    """One merge-path tree level over SORTABLE planes: runs of length R
+    (all ascending) -> runs of length 2R.  One data pass."""
+    np_ = len(sp)
+    blk = r_blk * LANES
+    M = sp[0].shape[0]
+    NBpp = (2 * R) // blk
+    NB = M // blk
+    npairs = M // (2 * R)
+    q, dd, a0l, nag = _splits_batched(sp, nk, NB, NBpp, blk, R)
+    base_a = q * jnp.int32(2 * R)
+    a0g = base_a + a0l
+    b0 = dd - a0l
+    # flipped odd runs, packed [flip(B0)|flip(B1)|...], front pad
+    # blk + 8*LANES of +inf, 8 tail rows: window offset for run q at
+    # within-run b0 is q*R + R - b0 + 8*LANES (see merge_path_planes)
+    fbg = q * jnp.int32(R) + jnp.int32(R + 8 * LANES) - b0
+    pad = jnp.full((blk + 8 * LANES,), _IMAX, jnp.int32)
+    tail8 = jnp.full((8 * LANES,), _IMAX, jnp.int32)
+    a_pad = [jnp.concatenate([x, pad]).reshape(-1, LANES) for x in sp]
+    b_flip = [jnp.concatenate(
+        [pad, jnp.flip(x.reshape(npairs, 2, R)[:, 1, :],
+                       axis=-1).reshape(-1), tail8]).reshape(-1, LANES)
+        for x in sp]
+
+    zero = np.int32(0)
+    ospec = pl.BlockSpec((r_blk, LANES), lambda i: (i, zero),
+                         memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel(np_, nk, r_blk),
+        grid=(NB,),
+        in_specs=[pl.BlockSpec((NB,), lambda i: (zero,),
+                               memory_space=pltpu.SMEM)] * 3
+        + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * np_),
+        out_specs=tuple([ospec] * np_),
+        out_shape=tuple(jax.ShapeDtypeStruct((NB * r_blk, LANES),
+                                             jnp.int32)
+                        for _ in range(np_)),
+        scratch_shapes=[pltpu.VMEM((np_, r_blk + 8, LANES), jnp.int32),
+                        pltpu.VMEM((np_, r_blk + 8, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(a0g, fbg, nag, *a_pad, *b_flip)
+    return [x.reshape(-1) for x in outs]
+
+
+@functools.partial(jax.jit, static_argnames=("num_keys", "interpret"))
+def sort_planes_mp(planes, num_keys: int, interpret: bool = False):
+    """Sort u32 planes by the first num_keys planes: per-block bitonic
+    local sort (all ascending) + a merge-path tree (ONE data pass per
+    level, vs the bitonic global network's log^2 passes).  Length must
+    be blk * 2^j — pad with 0xFFFFFFFF key sentinels."""
+    from . import bitonic as bt
+    np_ = len(planes)
+    r_blk = _r_blk_for(np_)
+    blk = r_blk * LANES
+    M = planes[0].shape[0]
+    nruns = M // blk
+    assert M % blk == 0 and (nruns & (nruns - 1)) == 0, (M, blk)
+    sp = _to_sortable(planes, num_keys)
+    sp = bt._pcall(bt._make_blocksort_kernel(np_, num_keys, r_blk,
+                                             all_asc=True),
+                   sp, r_blk, interpret)
+    R = blk
+    while R < M:
+        sp = _merge_level(sp, num_keys, R, r_blk, interpret)
+        R *= 2
+    return tuple(_from_sortable(sp, num_keys))
+
+
 @functools.partial(jax.jit, static_argnames=("num_keys", "interpret"))
 def merge_path_planes(planes_a, planes_b, num_keys: int,
                       interpret: bool = False):
@@ -172,6 +276,10 @@ def merge_path_planes(planes_a, planes_b, num_keys: int,
     sb = _to_sortable(planes_b, num_keys)
     starts = _splits(sa[:num_keys], sb[:num_keys], num_keys, NB, blk,
                      Ma, Mb)
+    d = jnp.arange(NB, dtype=jnp.int32) * jnp.int32(blk)
+    a0g = starts[:NB]
+    nag = starts[1:] - starts[:NB]
+    fbg = jnp.int32(Mb + 8 * LANES) - (d - a0g)
     # pads sized so every window DMA (r_blk+8 rows from the start row
     # of any element offset the splits can produce) stays in bounds:
     # A gets blk + 8 rows of +inf at the END; flipped B gets the same at
@@ -182,16 +290,14 @@ def merge_path_planes(planes_a, planes_b, num_keys: int,
     a_pad = [jnp.concatenate([x, pad]).reshape(-1, LANES) for x in sa]
     b_flip = [jnp.concatenate([pad, jnp.flip(x), tail8]).reshape(
         -1, LANES) for x in sb]
-    fb_base = Mb + 8 * LANES
-
     zero = np.int32(0)
     ospec = pl.BlockSpec((r_blk, LANES), lambda i: (i, zero),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel(np_, num_keys, r_blk, fb_base),
+        _make_kernel(np_, num_keys, r_blk),
         grid=(NB,),
-        in_specs=[pl.BlockSpec((NB + 1,), lambda i: (zero,),
-                               memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec((NB,), lambda i: (zero,),
+                               memory_space=pltpu.SMEM)] * 3
         + [pl.BlockSpec(memory_space=pl.ANY)] * (2 * np_),
         out_specs=tuple([ospec] * np_),
         out_shape=tuple(jax.ShapeDtypeStruct((NB * r_blk, LANES),
@@ -202,6 +308,6 @@ def merge_path_planes(planes_a, planes_b, num_keys: int,
                         pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, *a_pad, *b_flip)
+    )(a0g, fbg, nag, *a_pad, *b_flip)
     return tuple(x.reshape(-1)
                  for x in _from_sortable(list(outs), num_keys))

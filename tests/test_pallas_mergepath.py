@@ -98,3 +98,43 @@ def test_merge_sorted_fused_mp_matches_lax(W, C):
     np.testing.assert_array_equal(np.asarray(k1)[:n], np.asarray(k2)[:n])
     np.testing.assert_array_equal(np.asarray(c1)[:n], np.asarray(c2)[:n])
     np.testing.assert_array_equal(np.asarray(e1)[:n], np.asarray(e2)[:n])
+
+
+def test_sort_planes_mp_matches_lax():
+    import jax
+    np_, nk = 3, 2
+    blk = mp._r_blk_for(np_) * LANES
+    M_live = 5 * blk + 12345
+    M = 8 * blk
+    planes = [rng.integers(0, 1 << 31, M_live, dtype=np.uint64).astype(
+        np.uint32) for _ in range(np_)]
+    planes = [np.concatenate(
+        [x, np.full(M - M_live, 0xFFFFFFFF if p < nk else 0, np.uint32)])
+        for p, x in enumerate(planes)]
+    out = mp.sort_planes_mp(tuple(jnp.asarray(x) for x in planes),
+                            num_keys=nk, interpret=True)
+    ref = jax.lax.sort(tuple(jnp.asarray(x) for x in planes),
+                       num_keys=nk)
+    for p in range(nk):
+        np.testing.assert_array_equal(np.asarray(out[p]),
+                                      np.asarray(ref[p]))
+    ao = np.lexsort(tuple(np.stack([np.asarray(o) for o in out])[::-1]))
+    ar = np.lexsort(tuple(np.stack([np.asarray(r) for r in ref])[::-1]))
+    for p in range(np_):
+        np.testing.assert_array_equal(np.asarray(out[p])[ao],
+                                      np.asarray(ref[p])[ar])
+
+
+def test_count_batch_fused_mp_matches_lax():
+    from mccortex_tpu.graph import build as gb
+    r = np.random.default_rng(5)
+    bases = jnp.asarray(r.integers(0, 4, size=(512, 150), dtype=np.uint8))
+    k1, c1, e1, n1 = gb.count_batch_fused(bases, 31, 1, 0,
+                                          sort_impl=None, interpret=True)
+    k2, c2, e2, n2 = gb.count_batch_fused(bases, 31, 1, 0,
+                                          sort_impl="mp", interpret=True)
+    n = int(n1)
+    assert int(n2) == n
+    np.testing.assert_array_equal(np.asarray(k1)[:n], np.asarray(k2)[:n])
+    np.testing.assert_array_equal(np.asarray(c1)[:n], np.asarray(c2)[:n])
+    np.testing.assert_array_equal(np.asarray(e1)[:n], np.asarray(e2)[:n])
