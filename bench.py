@@ -169,13 +169,13 @@ def main():
     @jax.jit
     def s_front(b):
         from mccortex_tpu.ops.pallas import frontend as fe
-        planes = fe.records_fused(b, k)
+        planes = fe.records_fused(b, k, with_valid=False)
         return planes[0][0, 0] + planes[2][0, 0]
 
     @jax.jit
     def s_sort(b):
         from mccortex_tpu.ops.pallas import frontend as fe
-        planes = fe.records_fused(b, k)
+        planes = fe.records_fused(b, k, with_valid=False)
         bc = jax.lax.bitcast_convert_type
         ops = tuple(bc(p[:, :Lv].reshape(M), jnp.uint32)
                     for p in planes[:3])

@@ -94,8 +94,9 @@ def lookup(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     return idxc, found
 
 
-@jax.jit
-def lookup_join(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("variant", "interpret"))
+def lookup_join(sorted_keys: jnp.ndarray, queries: jnp.ndarray,
+                variant: str = "lax", interpret: bool = False):
     """Bulk exact lookup by sort-merge-join: (idx, found) per query, idx
     is the store row when found else 0.
 
@@ -109,6 +110,10 @@ def lookup_join(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     workload is the per-kmer probe loop (src/graph/hash_table.c:84).
 
     sorted_keys: (N, W) ascending with sentinel padding; queries (Q, W).
+
+    variant="mp" replaces the concat sort with a merge-path pipeline
+    (query-only mp sort + one-pass merge against the already-sorted
+    store, mp unsort) — bench A/B'd; exact either way.
     """
     N, W = sorted_keys.shape
     q = queries.reshape((-1, W))
@@ -126,52 +131,119 @@ def lookup_join(sorted_keys: jnp.ndarray, queries: jnp.ndarray):
     packed = jnp.concatenate(
         [jnp.arange(N, dtype=u32),
          jnp.arange(Q, dtype=u32) | u32(0x80000000)])
-    out = jax.lax.sort(planes + (packed,), num_keys=2 * W,
-                       is_stable=False)
+    if variant == "mp":
+        from .pallas import mergepath as _mpk
+        blk = _mpk._r_blk_for(2 * W + 1) * _mpk.LANES
+        # store planes (already sorted) + pos payload, padded to blk
+        spad = (-N) % blk
+        sp = ()
+        for w in range(W):
+            sp += (_pad_u32((sorted_keys[:, w] >> jnp.uint64(32))
+                            .astype(u32), spad, 0xFFFFFFFF),)
+            sp += (_pad_u32(sorted_keys[:, w].astype(u32), spad,
+                            0xFFFFFFFF),)
+        sp += (_pad_u32(jnp.arange(N, dtype=u32), spad, 0),)
+        # query planes mp-sorted (pad to blk * pow2)
+        nruns = max(1, 1 << (max((Q + blk - 1) // blk, 1) - 1)
+                    .bit_length())
+        qpad = nruns * blk - Q
+        qp = ()
+        for w in range(W):
+            qp += (_pad_u32((q[:, w] >> jnp.uint64(32)).astype(u32),
+                            qpad, 0xFFFFFFFF),)
+            qp += (_pad_u32(q[:, w].astype(u32), qpad, 0xFFFFFFFF),)
+        # pad queries' packed payload with rank 0x7FFFFFFE: >= Q so it
+        # slices off in the unsort, NOT all-ones so it never ties with
+        # the kernel's masked-fill records.  The packed plane rides as
+        # an extra KEY plane here: with a payload plane, live
+        # sentinel-key rows tie with the kernel's +inf masked fills and
+        # can lose their payload (a query rank) to a fill — as keys,
+        # ties only happen between identical records.
+        qp += (_pad_u32(jnp.arange(Q, dtype=u32) | u32(0x80000000),
+                        qpad, 0xFFFFFFFE),)
+        qs = _mpk.sort_planes_mp(qp, num_keys=2 * W + 1,
+                                 interpret=interpret)
+        out = _mpk.merge_path_planes(sp, qs, num_keys=2 * W + 1,
+                                     interpret=interpret)
+    else:
+        out = jax.lax.sort(planes + (packed,), num_keys=2 * W,
+                           is_stable=False)
     mkeys, mp = out[:2 * W], out[2 * W]
     is_store = (mp >> u32(31)) == u32(0)
     pos = mp & u32(0x7FFFFFFF)
 
-    # nearest store element on each side, with its key planes (ties
-    # between a query and its equal store key land in either order
-    # under the unstable sort, so scan both directions)
-    carry = {"v": is_store, "pos": pos}
+    # a query matches iff its EQUAL-KEY RUN contains a store element
+    # (store keys are unique, so at most one per run).  Segmented
+    # max-propagation of (is_store ? pos : -1) by doubling passes with
+    # boundary resets — the associative_scan pytree formulation OOM'd
+    # the TPU AOT compiler at 8M records; this shifted-select pattern
+    # (as sops.segmented_or / segreduce._seg_scan_fwd) compiles flat.
+    Mm = pos.shape[0]
+    bound = jnp.zeros((Mm,), bool)
     for i in range(2 * W):
-        carry["k%d" % i] = mkeys[i]
+        bound = bound | jnp.concatenate(
+            [jnp.ones((1,), bool), mkeys[i][1:] != mkeys[i][:-1]])
+    val0 = jnp.where(is_store, pos.astype(jnp.int32), -1)
 
-    def _keep(a, b):
-        o = {k: jnp.where(b["v"], b[k], a[k]) for k in a if k != "v"}
-        o["v"] = a["v"] | b["v"]
-        return o
+    def seg_max(val, bnd):
+        # inclusive forward segmented max scan
+        f = bnd.astype(jnp.int32)
+        v = val
+        iota = jnp.arange(Mm, dtype=jnp.int32)
+        d = 1
+        while d < Mm:
+            vd = jnp.concatenate([jnp.full(d, -1, jnp.int32), v[:-d]])
+            fd = jnp.concatenate([jnp.zeros(d, jnp.int32), f[:-d]])
+            before = iota < d
+            take = (f == 0) & ~before
+            v = jnp.where(take, jnp.maximum(v, vd), v)
+            f = jnp.where(before, f, f | fd)
+            d *= 2
+        return v
 
-    fwd = jax.lax.associative_scan(_keep, carry)
-    # reverse=True flips the array around the same operator, so "take b
-    # when valid" becomes nearest-valid-at-or-after
-    bwd = jax.lax.associative_scan(_keep, carry, reverse=True)
-
-    def _match(cand):
-        m = cand["v"]
-        for i in range(2 * W):
-            m &= cand["k%d" % i] == mkeys[i]
-        return m
-
-    mf, mb = _match(fwd), _match(bwd)
-    # sentinel queries (all-ones) would "match" sentinel store padding
+    mf = seg_max(val0, bound)
+    # backward: flip, with boundaries shifted to the run's other end
+    bound_r = jnp.concatenate(
+        [jnp.ones((1,), bool), jnp.flip(bound[1:])])
+    mb = jnp.flip(seg_max(jnp.flip(val0), bound_r))
+    best = jnp.maximum(mf, mb)
     sent = jnp.ones_like(is_store)
     for i in range(2 * W):
-        sent &= mkeys[i] == u32(0xFFFFFFFF)
-    found = (mf | mb) & ~is_store & ~sent
-    idx = jnp.where(mf, fwd["pos"], bwd["pos"]) * found
+        sent = sent & (mkeys[i] == u32(0xFFFFFFFF))
+    found = (best >= 0) & ~is_store & ~sent
+    idx = jnp.where(found, best, 0).astype(u32)
 
     # unsort: queries keep their rank, store rows sort last and are
     # sliced off
     rank = jnp.where(is_store, u32(0xFFFFFFFF), pos)
     res = idx | found.astype(u32) << u32(31)
-    _, rout = jax.lax.sort((rank, res), num_keys=1, is_stable=False)
+    if variant == "mp":
+        from .pallas import mergepath as _mpk
+        blk = _mpk._r_blk_for(2) * _mpk.LANES
+        Mm = rank.shape[0]
+        nruns = max(1, 1 << (max((Mm + blk - 1) // blk, 1) - 1)
+                    .bit_length())
+        upad = nruns * blk - Mm
+        # same key-not-payload trick for the unsort: rank is unique
+        # among live rows, so (rank, res) as a 2-key sort never loses a
+        # res to a masked fill; pad ranks 0xFFFFFFFE stay distinguishable
+        # from fills
+        rout = _mpk.sort_planes_mp(
+            (_pad_u32(rank, upad, 0xFFFFFFFE), _pad_u32(res, upad, 0)),
+            num_keys=2, interpret=interpret)[1]
+    else:
+        _, rout = jax.lax.sort((rank, res), num_keys=1, is_stable=False)
     rq = rout[:Q]
     return ((rq & u32(0x7FFFFFFF)).astype(jnp.int32).reshape(
                 queries.shape[:-1]),
             ((rq >> u32(31)) == u32(1)).reshape(queries.shape[:-1]))
+
+
+def _pad_u32(x, padn, fill):
+    if padn == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full(padn, np.uint32(fill), jnp.uint32)])
 
 
 def segment_bounds(sorted_keys: jnp.ndarray):

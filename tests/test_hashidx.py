@@ -114,3 +114,23 @@ def test_cache_identity():
     t1, b1 = hashidx.get_index_for(store)
     t2, b2 = hashidx.get_index_for(store)
     assert t1 is t2 and b1 == b2
+
+
+@pytest.mark.parametrize("W", [1, 2])
+def test_lookup_join_mp_variant(W):
+    store = _mk_store(4000, W, seed=31)
+    n = len(store)
+    rng = np.random.default_rng(32)
+    hits = store[rng.integers(0, n, size=500)]
+    misses = _mk_store(200, W, seed=33)
+    sent = np.full((7, W), np.uint64(2**64 - 1))
+    queries = np.concatenate([hits, misses, sent])
+    rng.shuffle(queries)
+    padded = np.concatenate([store, np.full((64, W), np.uint64(2**64 - 1))])
+    sk, q = jnp.asarray(padded), jnp.asarray(queries)
+    ref_idx, ref_found = sops.lookup(sk, q)
+    idx, found = sops.lookup_join(sk, q, variant="mp", interpret=True)
+    np.testing.assert_array_equal(np.asarray(found), np.asarray(ref_found))
+    f = np.asarray(ref_found)
+    np.testing.assert_array_equal(np.asarray(idx)[f], np.asarray(ref_idx)[f])
+    assert (np.asarray(idx)[~f] == 0).all()
