@@ -361,6 +361,27 @@ def main():
         extras["lookup_join_error"] = str(e)[:200]
         print("bench: join lookup failed: %s" % e, file=sys.stderr)
 
+    # A/B: merge-path variant of the join lookup (store never re-sorted)
+    try:
+        from mccortex_tpu.ops import sorted as sops2
+
+        @jax.jit
+        def lkjm(store, qk):
+            idx, found = sops2.lookup_join(store, qk, variant="mp")
+            return (idx * found).astype(jnp.int64).sum()
+
+        np.asarray(lkjm(store_keys, qks[0]))
+        np.asarray(lkjm(store_keys, qks[1]))
+        t0 = time.perf_counter()
+        outsm = [lkjm(store_keys, q) for q in qks]
+        valsm = [np.asarray(o) for o in outsm]
+        dtm = (time.perf_counter() - t0) / nbuf
+        assert all(v > 0 for v in valsm)
+        extras["lookup_join_mp_kmers_per_s"] = round(Q / dtm)
+    except Exception as e:
+        extras["lookup_join_mp_error"] = str(e)[:200]
+        print("bench: join-mp lookup failed: %s" % e, file=sys.stderr)
+
     # A/B: Pallas DMA lookup vs the XLA planar row gather
     try:
         from mccortex_tpu.ops.pallas import lookup as PLK
@@ -397,7 +418,8 @@ def main():
         **extras,
     }
     # lookup headline = best measured impl at this (store, batch) shape
-    for key in ("lookup_join_kmers_per_s", "lookup_fused_kmers_per_s"):
+    for key in ("lookup_join_kmers_per_s", "lookup_join_mp_kmers_per_s",
+                "lookup_fused_kmers_per_s"):
         if extras.get(key, 0) > out["lookup_kmers_per_s"]:
             out["lookup_kmers_per_s"] = extras[key]
             out["lookup_impl"] = key.split("_")[1]
