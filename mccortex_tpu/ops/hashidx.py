@@ -177,7 +177,9 @@ def get_index_for(keys: jnp.ndarray):
 # re-sorts the store per HCHUNK of queries, so huge stores keep the
 # planar row gather).  Module global read per call (host level, never
 # inside jit).
-LOOKUP_IMPL = __import__("os").environ.get("MCTX_LOOKUP", "planar")
+# default "auto" since the round-4 on-chip A/B: join 97.9M lookups/s vs
+# planar 65.8M at Q=4M against a 4M-kmer store
+LOOKUP_IMPL = __import__("os").environ.get("MCTX_LOOKUP", "auto")
 
 # auto mode thresholds (see bench.py A/B): join amortises its sorts
 # past ~1M queries and its per-chunk cost scales with store+chunk, so
