@@ -181,9 +181,10 @@ def get_index_for(keys: jnp.ndarray):
 # planar 65.8M at Q=4M against a 4M-kmer store
 LOOKUP_IMPL = __import__("os").environ.get("MCTX_LOOKUP", "auto")
 
-# auto mode thresholds (see bench.py A/B): join amortises its sorts
-# past ~1M queries and its per-chunk cost scales with store+chunk, so
-# cap the store size where it can win
+# auto mode cost model (on-chip, round 4): planar ~= Q * 15.2ns (row
+# issue rate); join ~= (N+Q) * 5ns (sort+scans+unsort over the
+# concatenation) -> join wins iff N < ~2Q.  Measured: Q=4M/N=4.2M join
+# 97.9M lk/s vs planar 65.8M; Q=1M/N=4.6M join 15.1M vs planar 39.3M.
 JOIN_MIN_Q = 1 << 20
 JOIN_MAX_STORE = 32 << 20
 
@@ -191,7 +192,8 @@ JOIN_MAX_STORE = 32 << 20
 def _pick_impl(n_store: int, n_queries: int) -> str:
     if LOOKUP_IMPL != "auto":
         return LOOKUP_IMPL
-    if n_queries >= JOIN_MIN_Q and n_store <= JOIN_MAX_STORE:
+    if (n_queries >= JOIN_MIN_Q and n_store <= JOIN_MAX_STORE
+            and n_store < 2 * n_queries):
         return "join"
     return "planar"
 
