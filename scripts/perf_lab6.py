@@ -118,6 +118,21 @@ def main():
         print(f"lookup {name:8s} N={nkeys} Q={Q}  {dt * 1e3:7.2f} ms "
               f"({Q / dt / 1e6:6.1f} M lk/s)", file=_sys.stderr)
 
+    # H2D transfer bandwidth over the tunnel: decides whether 2-bit
+    # host-side read packing (4x smaller batches) is worth building
+    buf = np.ascontiguousarray(
+        rng.integers(0, 4, size=(8192 if small else 32768, 1504),
+                     dtype=np.uint8))
+    dev = jax.devices()[0]
+    jax.device_put(buf, dev).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(4):
+        jax.device_put(buf, dev).block_until_ready()
+    dt = (time.perf_counter() - t0) / 4
+    print(f"h2d: {buf.nbytes / dt / 1e6:.0f} MB/s "
+          f"({buf.nbytes >> 20}MB in {dt * 1e3:.0f} ms)",
+          file=_sys.stderr)
+
     print("lab6 done", file=_sys.stderr)
 
 
