@@ -543,7 +543,7 @@ def _compact_item(keys, covg, edges, n_live: int):
 # ones (round-3 scale logs: host spills above the old 32M-record
 # SPILL_LEVEL dominated wall-clock).
 MERGE_HBM_BUDGET = int(__import__("os").environ.get(
-    "MCTX_MERGE_BUDGET", 10 << 30))
+    "MCTX_MERGE_BUDGET", 8 << 30))
 # below this size a full re-sort (lax) is fine; above it, exploiting
 # input sortedness via the one-pass merge-path kernel wins and avoids
 # the lax.sort scratch blowup (~100M records)
@@ -552,10 +552,14 @@ BITONIC_MERGE_MIN = int(__import__("os").environ.get(
 
 
 def _merge_est_bytes(na, nb, W, C):
-    # merge-path peak: input planes + merged planes + segreduce outputs
-    # + the original record arrays — all linear in na+nb (no
-    # pow2-matched padding)
-    return (3 * (2 * W + 2 * C) * 4 + 8 * W + 4 * C + C + 14) * (na + nb)
+    # merge-path peak: padded input plane copies + merged output planes
+    # (+ pallas double buffering) + segreduce outputs + the original
+    # record arrays + compaction slack — all linear in na+nb.  The
+    # first 100Mb run OOM'd a 64M+64M merge with a 75B/record model and
+    # a 10GB budget (the LSM stack's other levels are also resident),
+    # hence the fatter constant and 8GB default.
+    return (4 * (2 * W + 2 * C) * 4 + 2 * (8 * W + 4 * C + C) + 12) \
+        * (na + nb)
 
 
 def _merge_items(a, b):
