@@ -591,17 +591,57 @@ def _merge_items(a, b):
         impl = SORT_IMPL
         if max(na, nb) >= BITONIC_MERGE_MIN and impl == "lax":
             impl = "mp"
-        mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
-                                           b[1], b[2], b[3],
-                                           sort_impl=impl)
-        _async_fetch(n)
-        n_live = int(n)
+        try:
+            mk, mc, me, n = _merge_sorted_donated(a[1], a[2], a[3],
+                                                  b[1], b[2], b[3],
+                                                  sort_impl=impl)
+            _async_fetch(n)
+            n_live = int(n)
+        except jax.errors.JaxRuntimeError as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # the static budget can't see the rest of the LSM stack's
+            # residency — self-heal with the O(n+m) rank-scatter merge
+            import sys as _sys
+            print("[mctx] merge of %d+%d records exhausted HBM; "
+                  "retrying via rank-scatter" % (na, nb),
+                  file=_sys.stderr)
+            try:
+                mk, mc, me = _merge2(a[1], a[2], a[3],
+                                     b[1], b[2], b[3])
+            except jax.errors.JaxRuntimeError as e2:
+                if "RESOURCE_EXHAUSTED" not in str(e2):
+                    raise
+                print("[mctx] rank-scatter also exhausted HBM; host "
+                      "native merge", file=_sys.stderr)
+                an, bn = _to_np(a), _to_np(b)
+                mk, mc, me = _merge2_np(an[1], an[2], an[3],
+                                        bn[1], bn[2], bn[3])
+            if prof:
+                prof.add("dev_merge_rank", time.perf_counter() - t0)
+            return (mk.shape[0], mk, mc, me)
         if prof:
             prof.add("dev_merge_l%d" % max(1, lvl).bit_length(),
                      time.perf_counter() - t0)
         return _compact_item(mk, mc, me, n_live)
     mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
     return (mk.shape[0], mk, mc, me)
+
+
+def _merge_sorted_donated(ak, ac, ae, bk, bc, be, sort_impl=None):
+    """merge_sorted_fused with the six input buffers DONATED: the LSM
+    fold pops both items off the stack, so XLA may reuse their HBM for
+    the outputs (~21B/record less peak at the biggest merges)."""
+    return _msf_donate(ak, ac, ae, bk, bc, be, sort_impl=sort_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"),
+                   donate_argnums=(0, 1, 2, 3, 4, 5))
+def _msf_donate(ak, ac, ae, bk, bc, be, interpret: bool = False,
+                sort_impl: str | None = None):
+    return merge_sorted_fused.__wrapped__(ak, ac, ae, bk, bc, be,
+                                          interpret=interpret,
+                                          sort_impl=sort_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
