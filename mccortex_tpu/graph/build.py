@@ -592,9 +592,11 @@ def _merge_items(a, b):
         if max(na, nb) >= BITONIC_MERGE_MIN and impl == "lax":
             impl = "mp"
         try:
-            mk, mc, me, n = _merge_sorted_donated(a[1], a[2], a[3],
-                                                  b[1], b[2], b[3],
-                                                  sort_impl=impl)
+            # NOTE: no buffer donation here — the RESOURCE_EXHAUSTED
+            # fallback below must be able to retry with the same inputs
+            mk, mc, me, n = merge_sorted_fused(a[1], a[2], a[3],
+                                               b[1], b[2], b[3],
+                                               sort_impl=impl)
             _async_fetch(n)
             n_live = int(n)
         except jax.errors.JaxRuntimeError as e:
@@ -626,22 +628,6 @@ def _merge_items(a, b):
         return _compact_item(mk, mc, me, n_live)
     mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
     return (mk.shape[0], mk, mc, me)
-
-
-def _merge_sorted_donated(ak, ac, ae, bk, bc, be, sort_impl=None):
-    """merge_sorted_fused with the six input buffers DONATED: the LSM
-    fold pops both items off the stack, so XLA may reuse their HBM for
-    the outputs (~21B/record less peak at the biggest merges)."""
-    return _msf_donate(ak, ac, ae, bk, bc, be, sort_impl=sort_impl)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"),
-                   donate_argnums=(0, 1, 2, 3, 4, 5))
-def _msf_donate(ak, ac, ae, bk, bc, be, interpret: bool = False,
-                sort_impl: str | None = None):
-    return merge_sorted_fused.__wrapped__(ak, ac, ae, bk, bc, be,
-                                          interpret=interpret,
-                                          sort_impl=sort_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
