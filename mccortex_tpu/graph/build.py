@@ -432,12 +432,24 @@ def build(reads_batches, k: int, ncols: int = 1,
             item = _merge_items(item, stack.pop())
         stack.append(item)
 
+    drains = [0]
+
     def drain_one():
         keys, covg, edges, nu = pending.popleft()
         t0 = time.perf_counter() if prof else 0.0
         n_live = int(nu)
         if prof:
             prof.add("count_fetch", time.perf_counter() - t0)
+            drains[0] += 1
+            if drains[0] % 16 == 1:
+                try:
+                    ms = jax.devices()[0].memory_stats() or {}
+                    print("build-prof: drain %d hbm_in_use=%.2fGB" % (
+                        drains[0],
+                        ms.get("bytes_in_use", 0) / 2**30),
+                        file=__import__("sys").stderr)
+                except Exception:
+                    pass
         fold(_compact_item(keys, covg, edges, n_live))
 
     for bases, colour in reads_batches:
