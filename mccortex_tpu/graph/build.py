@@ -574,10 +574,20 @@ def _merge_est_bytes(na, nb, W, C):
         * (na + nb)
 
 
+# merges with more total records than this go straight to the host
+# native C++ merge: at ~120M resident kmers the device merge temps
+# (~100B/record) collide with the store itself.  After the first host
+# merge the big item STAYS host-side (numpy folds onward through the
+# native merger) and uploads once at final assembly.
+MERGE_HOST_MIN = int(__import__("os").environ.get(
+    "MCTX_MERGE_HOST_MIN", 80 << 20))
+
+
 def _merge_items(a, b):
     prof = _PROF
     lvl = max(a[0], b[0])
-    host = isinstance(a[1], np.ndarray) or isinstance(b[1], np.ndarray)
+    host = isinstance(a[1], np.ndarray) or isinstance(b[1], np.ndarray) \
+        or (a[1].shape[0] + b[1].shape[0]) > MERGE_HOST_MIN
     if host:
         t0 = time.perf_counter() if prof else 0.0
         a = _to_np(a)
