@@ -306,9 +306,9 @@ def _searchsorted_right(sorted_keys, queries):
 
 # (round 4) merges never spill to host by level any more — the axon
 # tunnel round trip dwarfed the merge itself at 100M records.  See
-# MERGE_HBM_BUDGET below: oversized merges switch to the rank-scatter
-# _merge2 and stay on device; the host native merge remains for inputs
-# that are already numpy (shard exchange paths).
+# the residency-aware ceilings below: oversized merges switch to the
+# rank-scatter _merge2 and stay on device; the host native merge
+# remains for already-numpy inputs and >160M-record totals.
 
 
 def _to_np(item):
@@ -408,8 +408,9 @@ def build(reads_batches, k: int, ncols: int = 1,
     batch is aggregated on device, then folded into the store with
     binary-counter (LSM-style) merges.  Every device op has a FIXED
     shape per size level, so the whole build compiles O(log n_batches)
-    programs; merges estimated over MERGE_HBM_BUDGET use the O(n+m)
-    rank-scatter path (still on device).
+    programs; merges whose estimated temps + the resident LSM stack
+    exceed the device ceilings use the O(n+m) rank-scatter path (still
+    on device), then the host native merge as a last resort.
     """
     from collections import deque
 
@@ -427,9 +428,22 @@ def build(reads_batches, k: int, ncols: int = 1,
     # (VERDICT r2 item 3: close the end-to-end vs epoch gap).
     pending: deque = deque()
 
+    def _resident_bytes(exclude=None):
+        tot = 0
+        for it in stack:
+            if it is exclude or isinstance(it[1], np.ndarray):
+                continue
+            W_, C_ = it[1].shape[1], it[2].shape[1]
+            tot += it[1].shape[0] * (8 * W_ + 5 * C_)
+        for kk, cc, ee, _nu in pending:
+            tot += kk.shape[0] * (8 * kk.shape[1] + 5 * cc.shape[1])
+        return tot
+
     def fold(item):
         while stack and stack[-1][0] == item[0]:
-            item = _merge_items(item, stack.pop())
+            other = stack.pop()
+            item = _merge_items(item, other,
+                                resident_bytes=_resident_bytes())
         stack.append(item)
 
     drains = [0]
@@ -467,7 +481,8 @@ def build(reads_batches, k: int, ncols: int = 1,
         return gstore.empty(k, capacity or 1024, ncols)
     item = stack.pop()
     while stack:
-        item = _merge_items(item, stack.pop())
+        item = _merge_items(item, stack.pop(),
+                            resident_bytes=_resident_bytes())
     _, keys, covg, edges = item
     t0 = time.perf_counter() if prof else 0.0
     if isinstance(keys, np.ndarray):
@@ -554,8 +569,7 @@ def _compact_item(keys, covg, edges, n_live: int):
 # tunnel is what made 100Mb-genome builds 20x slower than E.coli-sized
 # ones (round-3 scale logs: host spills above the old 32M-record
 # SPILL_LEVEL dominated wall-clock).
-MERGE_HBM_BUDGET = int(__import__("os").environ.get(
-    "MCTX_MERGE_BUDGET", 8 << 30))
+
 # below this size a full re-sort (lax) is fine; above it, exploiting
 # input sortedness via the one-pass merge-path kernel wins and avoids
 # the lax.sort scratch blowup (~100M records)
@@ -574,16 +588,28 @@ def _merge_est_bytes(na, nb, W, C):
         * (na + nb)
 
 
-# merges with more total records than this go straight to the host
-# native C++ merge: at ~120M resident kmers the device merge temps
-# (~100B/record) collide with the store itself.  After the first host
-# merge the big item STAYS host-side (numpy folds onward through the
-# native merger) and uploads once at final assembly.
+# absolute ceiling on device merges: above this total record count even
+# the rank-scatter path cannot fit beside the resident store, so the
+# merge goes to the host native C++ merge (the axon tunnel moves only
+# ~22MB/s, so this is a last resort — round-4 100Mb profiling: 275s of
+# spill fetches + 114s final upload vs 18s of device merges).
 MERGE_HOST_MIN = int(__import__("os").environ.get(
-    "MCTX_MERGE_HOST_MIN", 80 << 20))
+    "MCTX_MERGE_HOST_MIN", 160 << 20))
+# device ceilings for the two merge engines, counting estimated temps
+# PLUS the resident LSM stack (passed by build's fold)
+MERGE_MP_CEIL = int(__import__("os").environ.get(
+    "MCTX_MERGE_MP_CEIL", 8 << 30))
+MERGE_RANK_CEIL = int(__import__("os").environ.get(
+    "MCTX_MERGE_RANK_CEIL", 13 << 30))
 
 
-def _merge_items(a, b):
+def _rank_est_bytes(na, nb, W, C):
+    # rank-scatter peak: inputs + scattered outputs + rank arrays +
+    # unique_reduce temps — all linear, no sort scratch
+    return (2 * (8 * W + 4 * C + C) + 8 + 12) * (na + nb)
+
+
+def _merge_items(a, b, resident_bytes: int = 0):
     prof = _PROF
     lvl = max(a[0], b[0])
     host = isinstance(a[1], np.ndarray) or isinstance(b[1], np.ndarray) \
@@ -603,9 +629,13 @@ def _merge_items(a, b):
     W, C = a[1].shape[1], a[2].shape[1]
     if jax.default_backend() != "cpu":
         t0 = time.perf_counter() if prof else 0.0
-        if _merge_est_bytes(na, nb, W, C) > MERGE_HBM_BUDGET:
-            # oversized or very asymmetric (final-drain) merge: rank
-            # scatter, O(n+m) memory, still on device
+        if (_merge_est_bytes(na, nb, W, C) + resident_bytes
+                > MERGE_MP_CEIL):
+            if (_rank_est_bytes(na, nb, W, C) + resident_bytes
+                    > MERGE_RANK_CEIL):
+                # cannot fit beside the resident store at all: host
+                return _merge_items(_to_np(a), b)
+            # oversized merge: rank scatter, O(n+m) memory, on device
             mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
             if prof:
                 prof.add("dev_merge_rank", time.perf_counter() - t0)

@@ -164,10 +164,25 @@ def pointer_doubling(succ: jnp.ndarray):
     iota = jnp.arange(V, dtype=jnp.int32)
     steps = max(1, int(np.ceil(np.log2(max(V, 2)))) + 1)
     pk = _pd_init(succ)
+    # chunk the gather pass at very large V: the one-shot pass peaks at
+    # ~4.5x the packed array (in + indices + gather-out + new) beside a
+    # 100M+-kmer store and its lookup table (round-4 100Mb clean OOM)
+    nch = max(1, V // (48 << 20)) if V > (96 << 20) else 1
     prev_cnt = None
     pending = None  # (cnt_dev,) fetched one pass behind
     for t in range(steps):
-        pk, changed = _pd_step_packed(pk)
+        if nch == 1:
+            pk, changed = _pd_step_packed(pk)
+        else:
+            bounds = np.linspace(0, V, nch + 1, dtype=np.int64)
+            outs = []
+            changed = jnp.zeros((), jnp.int32)
+            for c in range(nch):
+                o, ch = _pd_step_chunk(pk, int(bounds[c]),
+                                       int(bounds[c + 1] - bounds[c]))
+                outs.append(o)
+                changed = changed + ch
+            pk = jnp.concatenate(outs)
         if pending is not None:
             cnt = int(pending)
             if prev_cnt is not None and cnt == prev_cnt:
@@ -217,6 +232,18 @@ def _pd_step_packed(pk):
     d = jnp.minimum((pk & _PD_DMASK) + (at & _PD_DMASK), _PD_DMASK)
     new = (at & ~_PD_DMASK) | d
     return new, (new != pk).sum(dtype=jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("start", "size"))
+def _pd_step_chunk(pk, start: int, size: int):
+    """One doubling pass over pk[start:start+size] (gathers from the
+    full array); separate dispatches bound the temp footprint."""
+    seg = jax.lax.dynamic_slice(pk, (start,), (size,))
+    p = (seg >> jnp.uint64(32)).astype(jnp.int32)
+    at = jnp.take(pk, p, mode="clip")
+    d = jnp.minimum((seg & _PD_DMASK) + (at & _PD_DMASK), _PD_DMASK)
+    new = (at & ~_PD_DMASK) | d
+    return new, (new != seg).sum(dtype=jnp.int32)
 
 
 @jax.jit
