@@ -1,8 +1,17 @@
 """Benchmark: graph-build + batched-lookup throughput on the current
 device (TPU under the driver; CPU with JAX_PLATFORMS=cpu).
 
-Prints ONE JSON line:
+Prints JSON lines of the form
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+The LAST line printed is always the most complete capture; every line
+is a complete, parseable record of everything measured so far.  This
+incremental-emit protocol exists because round 4's capture was killed
+by the driver timeout before the single final print fired (BENCH_r04
+rc=124): now the headline is measured and emitted FIRST, optional
+A/B extras run under a wall-clock budget (MCTX_BENCH_BUDGET, default
+900 s) and each re-emits the refined line, and a watchdog (default
+1500 s, well under the driver budget) emits the latest state if the
+axon tunnel wedges.
 
 The headline metric is build kmers/s/chip on the inner epoch (rolling
 extraction + canonicalise + 32-bit-plane sort + Pallas segreduce_compact
@@ -22,8 +31,11 @@ Extra keys:
   build_cov_kmers_per_s — same epoch on duplicate-heavy reads tiled
                         from a 1Mb genome (realistic coverage; drives
                         the dedup/aggregation path like real data).
-  lookup_kmers_per_s  — planar hashed-bucket index batched lookup
-                        (ops/hashidx.py), 4M-key store, fetch-timed.
+  lookup_planar_kmers_per_s — planar hashed-bucket index batched
+                        lookup (ops/hashidx.py), 4M-key store.
+  lookup_join_kmers_per_s — sort-merge-join bulk lookup (the winner
+                        at Q >= N/2 shapes).
+  lookup_kmers_per_s  — best measured lookup impl at this shape.
   breakdown_ms        — per-stage device times of one build epoch
                         (front = extract+canonicalise+edges, sort,
                         reduce = Pallas kernel), each fetch-timed; the
@@ -32,12 +44,36 @@ Extra keys:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 CPU_BASELINE_KMERS_PER_S = 4.0e6  # mccortex hash insert, 1 core (see above)
+
+# cold XLA compiles are the round-4 failure mode: persist them.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    _plat = os.environ.get("JAX_PLATFORMS", "axon")
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = (
+        "/tmp/mctx_jax_cache" if _plat == "cpu" else "/tmp/mctx_tpu_cache")
+
+T_START = time.monotonic()
+BUDGET = float(os.environ.get("MCTX_BENCH_BUDGET", 900))  # stop NEW extras
+LATEST = {}  # most recent complete output dict (shared with watchdog)
+
+
+def _elapsed():
+    return time.monotonic() - T_START
+
+
+def emit(out):
+    """Print a complete JSON line (flushed) and remember it for the
+    watchdog.  Called after the headline and after every extra, so the
+    last stdout line is always the best capture so far."""
+    LATEST.clear()
+    LATEST.update(out)
+    print(json.dumps(out), flush=True)
 
 
 def _wait_for_backend(max_wait_s=360.0):
@@ -85,19 +121,24 @@ def _arm_watchdog():
     hours — observed round 4): a blocked remote call never raises, so
     without a watchdog the driver's bench capture would hang forever.
     If the run hasn't finished within MCTX_BENCH_WATCHDOG seconds
-    (default 50 min), emit the one-line error JSON and exit."""
-    import os
+    (default 25 min — under the driver's own budget), emit the latest
+    complete capture (or the error JSON if nothing finished) and exit."""
     import threading
 
-    limit = float(os.environ.get("MCTX_BENCH_WATCHDOG", 3000))
+    limit = float(os.environ.get("MCTX_BENCH_WATCHDOG", 1500))
 
     def fire():
+        if LATEST:
+            out = dict(LATEST)
+            out["watchdog"] = "fired at %.0fs; emitting last capture" % limit
+            print(json.dumps(out), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": "build_kmers_per_s_per_chip",
             "value": 0,
             "unit": "kmers/s",
             "vs_baseline": 0.0,
-            "error": "watchdog: no completion within %.0fs (axon tunnel "
+            "error": "watchdog: no headline within %.0fs (axon tunnel "
                      "wedged?)" % limit,
         }), flush=True)
         os._exit(1)
@@ -142,6 +183,16 @@ def main():
     kmers = B * (L - k + 1)
     kmers_per_s = kmers / dt
 
+    # ---- FIRST EMIT: the headline exists; nothing can now zero the run
+    out = {
+        "metric": "build_kmers_per_s_per_chip",
+        "value": round(kmers_per_s),
+        "unit": "kmers/s",
+        "vs_baseline": round(kmers_per_s / CPU_BASELINE_KMERS_PER_S, 3),
+    }
+    emit(out)
+    print("bench: headline at %.0fs" % _elapsed(), file=sys.stderr)
+
     # realistic-coverage variant: reads tiled from a 1Mb synthetic
     # genome (~8.4x in-batch coverage) — duplicate-heavy input drives
     # the dedup/aggregation path the way real sequencing data does.
@@ -156,67 +207,19 @@ def main():
     for _ in range(iters):
         n = epoch(cov_reads, n)
     int(n)
-    cov_kmers_per_s = kmers / ((time.perf_counter() - t0) / iters)
+    out["build_cov_kmers_per_s"] = round(
+        kmers / ((time.perf_counter() - t0) / iters))
+    emit(out)
 
-    # per-stage breakdown (each stage fetch-timed separately)
-    from mccortex_tpu.ops import kmer as kops
-
-    # stages mirror count_batch_fused exactly: fused Pallas front-end,
-    # record slice to the L-k+1 valid columns, unstable 2-key plane sort
-    Lv = L - k + 1
-    M = B * Lv
-
-    @jax.jit
-    def s_front(b):
-        from mccortex_tpu.ops.pallas import frontend as fe
-        planes = fe.records_fused(b, k, with_valid=False)
-        return planes[0][0, 0] + planes[2][0, 0]
-
-    @jax.jit
-    def s_sort(b):
-        from mccortex_tpu.ops.pallas import frontend as fe
-        planes = fe.records_fused(b, k, with_valid=False)
-        bc = jax.lax.bitcast_convert_type
-        ops = tuple(bc(p[:, :Lv].reshape(M), jnp.uint32)
-                    for p in planes[:3])
-        sh, sl, se = jax.lax.sort(ops, num_keys=2, is_stable=False)
-        return sh[0] + se[0]
-
-    def t_stage(fn, iters=4):
-        np.asarray(fn(bases))
-        ts = []
-        for _ in range(iters):
-            t1 = time.perf_counter()
-            np.asarray(fn(bases))
-            ts.append(time.perf_counter() - t1)
-        return float(np.median(ts) * 1e3)
-
-    @jax.jit
-    def s_full(b):
-        _, _, _, n = count_batch_best(b, k, ncols, colour)
-        return n
-
-    bd = {}
-    try:
-        t_f = t_stage(s_front)
-        t_fs = t_stage(s_sort)
-        t_all = t_stage(s_full)
-        bd = {"front": round(t_f, 1), "sort": round(t_fs - t_f, 1),
-              "reduce": round(t_all - t_fs, 1), "epoch": round(t_all, 1)}
-    except Exception:
-        pass
-
-    # secondary: batched lookup via the planar hashed-bucket index
-    # (ops/hashidx.py).  Every dispatch gets a DISTINCT pre-staged query
-    # buffer and every result is fetched to host: the axon backend's
-    # block_until_ready does not actually synchronise, so fetch-timing is
-    # the only honest clock (scripts/perf_lab4.py).
+    # secondary: batched lookup.  Every dispatch gets a DISTINCT
+    # pre-staged query buffer and every result is fetched to host: the
+    # axon backend's block_until_ready does not actually synchronise, so
+    # fetch-timing is the only honest clock (scripts/perf_lab4.py).
     from mccortex_tpu.ops import hashidx
     N_STORE = 4 << 20
     raw = np.unique(rng.integers(0, 1 << 62, size=N_STORE,
                                  dtype=np.uint64))
     store_keys = jnp.asarray(np.sort(raw)[:, None])
-    table, b_bits = hashidx.get_index_for(store_keys)
     Q = 1 << 22
     nbuf = 6
     nu_i = store_keys.shape[0]
@@ -225,122 +228,19 @@ def main():
     for q in qks:
         q.block_until_ready()
 
-    @jax.jit
-    def lk(table, qk):
-        idx, found = hashidx.lookup_planar(table, qk, b_bits, 1)
-        return (idx * found).astype(jnp.int64).sum()
+    def _promote_lookup():
+        best_v, best_impl = 0, None
+        for key, impl in (("lookup_planar_kmers_per_s", "planar"),
+                          ("lookup_join_kmers_per_s", "join"),
+                          ("lookup_join_mp_kmers_per_s", "join_mp"),
+                          ("lookup_fused_kmers_per_s", "fused")):
+            if out.get(key, 0) > best_v:
+                best_v, best_impl = out[key], impl
+        if best_impl is not None:
+            out["lookup_kmers_per_s"] = best_v
+            out["lookup_impl"] = best_impl
 
-    np.asarray(lk(table, qks[0]))  # compile + warm
-    np.asarray(lk(table, qks[1]))
-    t0 = time.perf_counter()
-    outs = [lk(table, q) for q in qks]
-    vals = [np.asarray(o) for o in outs]
-    dt_lk = (time.perf_counter() - t0) / nbuf
-    assert all(v > 0 for v in vals)
-    lookups_per_s = Q / dt_lk
-
-    extras = {}
-
-    # A/B: bitonic Pallas sort vs lax.sort in the same epoch
-    try:
-        @jax.jit
-        def epoch_bt(bases, salt):
-            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
-                               axis=0)
-            from mccortex_tpu.graph.build import count_batch_fused
-            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
-                                              sort_impl="bitonic")
-            return n
-
-        n = epoch_bt(bases, jnp.int64(0))
-        int(n)
-        n = epoch_bt(bases, n)
-        int(n)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            n = epoch_bt(bases, n)
-        int(n)
-        extras["build_bitonic_kmers_per_s"] = round(
-            kmers / ((time.perf_counter() - t0) / iters))
-    except Exception as e:
-        extras["build_bitonic_error"] = str(e)[:200]
-        print("bench: bitonic A/B failed: %s" % e, file=sys.stderr)
-
-    # A/B: merge-path sort (bitonic local runs + one-pass merge tree)
-    try:
-        @jax.jit
-        def epoch_mp(bases, salt):
-            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
-                               axis=0)
-            from mccortex_tpu.graph.build import count_batch_fused
-            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
-                                              sort_impl="mp")
-            return n
-
-        n = epoch_mp(bases, jnp.int64(0))
-        int(n)
-        n = epoch_mp(bases, n)
-        int(n)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            n = epoch_mp(bases, n)
-        int(n)
-        extras["build_mp_kmers_per_s"] = round(
-            kmers / ((time.perf_counter() - t0) / iters))
-    except Exception as e:
-        extras["build_mp_error"] = str(e)[:200]
-        print("bench: mp A/B failed: %s" % e, file=sys.stderr)
-
-    # A/B: u64-fused-key lax sort (half the comparator keys)
-    try:
-        @jax.jit
-        def epoch_l64(bases, salt):
-            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
-                               axis=0)
-            from mccortex_tpu.graph.build import count_batch_fused
-            _k, _c, _e, n = count_batch_fused(shifted, k, ncols, colour,
-                                              sort_impl="lax64")
-            return n
-
-        n = epoch_l64(bases, jnp.int64(0))
-        int(n)
-        n = epoch_l64(bases, n)
-        int(n)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            n = epoch_l64(bases, n)
-        int(n)
-        extras["build_lax64_kmers_per_s"] = round(
-            kmers / ((time.perf_counter() - t0) / iters))
-    except Exception as e:
-        extras["build_lax64_error"] = str(e)[:200]
-        print("bench: lax64 A/B failed: %s" % e, file=sys.stderr)
-
-    # k=63 epoch (two-word keys through the W=2 fused front-end)
-    try:
-        @jax.jit
-        def epoch63(bases, salt):
-            shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
-                               axis=0)
-            keys, covg, edges, n = count_batch_best(shifted, 63, 1, 0)
-            return n
-
-        n = epoch63(bases, jnp.int64(0))
-        int(n)
-        n = epoch63(bases, n)
-        int(n)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            n = epoch63(bases, n)
-        int(n)
-        kmers63 = B * (L - 63 + 1)
-        extras["build_k63_kmers_per_s"] = round(
-            kmers63 / ((time.perf_counter() - t0) / iters))
-    except Exception as e:
-        extras["build_k63_error"] = str(e)[:200]
-        print("bench: k63 failed: %s" % e, file=sys.stderr)
-
-    # A/B: sort-merge-join bulk lookup (no table, three bandwidth passes)
+    # sort-merge-join bulk lookup — round-4 winner at Q >= N/2 shapes
     try:
         from mccortex_tpu.ops import sorted as sops
 
@@ -352,85 +252,202 @@ def main():
         np.asarray(lkj(store_keys, qks[0]))
         np.asarray(lkj(store_keys, qks[1]))
         t0 = time.perf_counter()
-        outsj = [lkj(store_keys, q) for q in qks]
-        valsj = [np.asarray(o) for o in outsj]
+        valsj = [np.asarray(lkj(store_keys, q)) for q in qks]
         dtj = (time.perf_counter() - t0) / nbuf
         assert all(v > 0 for v in valsj)
-        extras["lookup_join_kmers_per_s"] = round(Q / dtj)
+        out["lookup_join_kmers_per_s"] = round(Q / dtj)
     except Exception as e:
-        extras["lookup_join_error"] = str(e)[:200]
+        out["lookup_join_error"] = str(e)[:200]
         print("bench: join lookup failed: %s" % e, file=sys.stderr)
+    _promote_lookup()
+    emit(out)
+    print("bench: join lookup at %.0fs" % _elapsed(), file=sys.stderr)
+
+    # planar hashed-bucket index lookup (the traversal-shape default)
+    try:
+        table, b_bits = hashidx.get_index_for(store_keys)
+
+        @jax.jit
+        def lk(table, qk):
+            idx, found = hashidx.lookup_planar(table, qk, b_bits, 1)
+            return (idx * found).astype(jnp.int64).sum()
+
+        np.asarray(lk(table, qks[0]))  # compile + warm
+        np.asarray(lk(table, qks[1]))
+        t0 = time.perf_counter()
+        vals = [np.asarray(lk(table, q)) for q in qks]
+        dt_lk = (time.perf_counter() - t0) / nbuf
+        assert all(v > 0 for v in vals)
+        out["lookup_planar_kmers_per_s"] = round(Q / dt_lk)
+    except Exception as e:
+        out["lookup_planar_error"] = str(e)[:200]
+        print("bench: planar lookup failed: %s" % e, file=sys.stderr)
+    _promote_lookup()
+    emit(out)
+    print("bench: planar lookup at %.0fs" % _elapsed(), file=sys.stderr)
+
+    # ---- optional extras, each started only while inside the budget ----
+    def _budget_left(label):
+        ok = _elapsed() < BUDGET
+        if not ok:
+            skipped = out.setdefault("extras_skipped", [])
+            if label not in skipped:
+                skipped.append(label)
+            print("bench: budget exhausted (%.0fs), skipping %s"
+                  % (_elapsed(), label), file=sys.stderr)
+        return ok
+
+    def _timed_epoch(fn, n_kmers):
+        n = fn(bases, jnp.int64(0))
+        int(n)
+        n = fn(bases, n)
+        int(n)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            n = fn(bases, n)
+        int(n)
+        return round(n_kmers / ((time.perf_counter() - t0) / iters))
+
+    # per-stage breakdown (each stage fetch-timed separately)
+    if _budget_left("breakdown"):
+        try:
+            from mccortex_tpu.ops.pallas import frontend as fe
+            Lv = L - k + 1
+            M = B * Lv
+
+            @jax.jit
+            def s_front(b):
+                planes = fe.records_fused(b, k, with_valid=False)
+                return planes[0][0, 0] + planes[2][0, 0]
+
+            @jax.jit
+            def s_sort(b):
+                planes = fe.records_fused(b, k, with_valid=False)
+                bc = jax.lax.bitcast_convert_type
+                ops = tuple(bc(p[:, :Lv].reshape(M), jnp.uint32)
+                            for p in planes[:3])
+                sh, sl, se = jax.lax.sort(ops, num_keys=2, is_stable=False)
+                return sh[0] + se[0]
+
+            @jax.jit
+            def s_full(b):
+                _, _, _, n = count_batch_best(b, k, ncols, colour)
+                return n
+
+            def t_stage(fn, n_it=4):
+                np.asarray(fn(bases))
+                ts = []
+                for _ in range(n_it):
+                    t1 = time.perf_counter()
+                    np.asarray(fn(bases))
+                    ts.append(time.perf_counter() - t1)
+                return float(np.median(ts) * 1e3)
+
+            t_f = t_stage(s_front)
+            t_fs = t_stage(s_sort)
+            t_all = t_stage(s_full)
+            out["breakdown_ms"] = {
+                "front": round(t_f, 1), "sort": round(t_fs - t_f, 1),
+                "reduce": round(t_all - t_fs, 1), "epoch": round(t_all, 1)}
+        except Exception as e:
+            print("bench: breakdown failed: %s" % e, file=sys.stderr)
+        emit(out)
+
+    # k=63 epoch (two-word keys through the W=2 fused front-end)
+    if _budget_left("k63"):
+        try:
+            @jax.jit
+            def epoch63(bases, salt):
+                shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                                   axis=0)
+                _k, _c, _e, n = count_batch_best(shifted, 63, 1, 0)
+                return n
+
+            out["build_k63_kmers_per_s"] = _timed_epoch(
+                epoch63, B * (L - 63 + 1))
+        except Exception as e:
+            out["build_k63_error"] = str(e)[:200]
+            print("bench: k63 failed: %s" % e, file=sys.stderr)
+        emit(out)
+
+    # A/B: alternative sort impls in the same epoch (lax64 close second
+    # round 4; bitonic/mp historical losers, kept as regression tripwires)
+    for impl in ("lax64", "bitonic", "mp"):
+        if not _budget_left("build_" + impl):
+            continue
+        try:
+            from mccortex_tpu.graph.build import count_batch_fused
+
+            @jax.jit
+            def epoch_ab(bases, salt, _impl=impl):
+                shifted = jnp.roll(bases, (salt % 7).astype(jnp.int32),
+                                   axis=0)
+                _k, _c, _e, n = count_batch_fused(shifted, k, ncols,
+                                                  colour, sort_impl=_impl)
+                return n
+
+            v = _timed_epoch(epoch_ab, kmers)
+            out["build_%s_kmers_per_s" % impl] = v
+            if v > out["value"]:
+                out["value"] = v
+                out["vs_baseline"] = round(v / CPU_BASELINE_KMERS_PER_S, 3)
+                out["sort_impl"] = impl
+        except Exception as e:
+            out["build_%s_error" % impl] = str(e)[:200]
+            print("bench: %s A/B failed: %s" % (impl, e), file=sys.stderr)
+        emit(out)
 
     # A/B: merge-path variant of the join lookup (store never re-sorted)
-    try:
-        from mccortex_tpu.ops import sorted as sops2
+    if _budget_left("lookup_join_mp"):
+        try:
+            from mccortex_tpu.ops import sorted as sops2
 
-        @jax.jit
-        def lkjm(store, qk):
-            idx, found = sops2.lookup_join(store, qk, variant="mp")
-            return (idx * found).astype(jnp.int64).sum()
+            @jax.jit
+            def lkjm(store, qk):
+                idx, found = sops2.lookup_join(store, qk, variant="mp")
+                return (idx * found).astype(jnp.int64).sum()
 
-        np.asarray(lkjm(store_keys, qks[0]))
-        np.asarray(lkjm(store_keys, qks[1]))
-        t0 = time.perf_counter()
-        outsm = [lkjm(store_keys, q) for q in qks]
-        valsm = [np.asarray(o) for o in outsm]
-        dtm = (time.perf_counter() - t0) / nbuf
-        assert all(v > 0 for v in valsm)
-        extras["lookup_join_mp_kmers_per_s"] = round(Q / dtm)
-    except Exception as e:
-        extras["lookup_join_mp_error"] = str(e)[:200]
-        print("bench: join-mp lookup failed: %s" % e, file=sys.stderr)
+            np.asarray(lkjm(store_keys, qks[0]))
+            np.asarray(lkjm(store_keys, qks[1]))
+            t0 = time.perf_counter()
+            valsm = [np.asarray(lkjm(store_keys, q)) for q in qks]
+            dtm = (time.perf_counter() - t0) / nbuf
+            assert all(v > 0 for v in valsm)
+            out["lookup_join_mp_kmers_per_s"] = round(Q / dtm)
+        except Exception as e:
+            out["lookup_join_mp_error"] = str(e)[:200]
+            print("bench: join-mp lookup failed: %s" % e, file=sys.stderr)
+        _promote_lookup()
+        emit(out)
 
     # A/B: Pallas DMA lookup vs the XLA planar row gather
-    try:
-        from mccortex_tpu.ops.pallas import lookup as PLK
-        keys_live = np.asarray(store_keys)
-        t128, bb128 = PLK.build_table128(keys_live)
-        t128j = jnp.asarray(t128)
+    if _budget_left("lookup_fused"):
+        try:
+            from mccortex_tpu.ops.pallas import lookup as PLK
+            keys_live = np.asarray(store_keys)
+            t128, bb128 = PLK.build_table128(keys_live)
+            t128j = jnp.asarray(t128)
 
-        @jax.jit
-        def lkp(tbl, qk):
-            idx, found = PLK.lookup_fused(tbl, qk, bb128, 1)
-            return (idx * found).astype(jnp.int64).sum()
+            @jax.jit
+            def lkp(tbl, qk):
+                idx, found = PLK.lookup_fused(tbl, qk, bb128, 1)
+                return (idx * found).astype(jnp.int64).sum()
 
-        np.asarray(lkp(t128j, qks[0]))
-        np.asarray(lkp(t128j, qks[1]))
-        t0 = time.perf_counter()
-        outs2 = [lkp(t128j, q) for q in qks]
-        vals2 = [np.asarray(o) for o in outs2]
-        dt2 = (time.perf_counter() - t0) / nbuf
-        assert all(v > 0 for v in vals2)
-        extras["lookup_fused_kmers_per_s"] = round(Q / dt2)
-    except Exception as e:
-        extras["lookup_fused_error"] = str(e)[:200]
-        print("bench: fused lookup failed: %s" % e, file=sys.stderr)
+            np.asarray(lkp(t128j, qks[0]))
+            np.asarray(lkp(t128j, qks[1]))
+            t0 = time.perf_counter()
+            vals2 = [np.asarray(lkp(t128j, q)) for q in qks]
+            dt2 = (time.perf_counter() - t0) / nbuf
+            assert all(v > 0 for v in vals2)
+            out["lookup_fused_kmers_per_s"] = round(Q / dt2)
+        except Exception as e:
+            out["lookup_fused_error"] = str(e)[:200]
+            print("bench: fused lookup failed: %s" % e, file=sys.stderr)
+        _promote_lookup()
+        emit(out)
 
-    out = {
-        "metric": "build_kmers_per_s_per_chip",
-        "value": round(kmers_per_s),
-        "unit": "kmers/s",
-        "vs_baseline": round(kmers_per_s / CPU_BASELINE_KMERS_PER_S, 3),
-        "build_cov_kmers_per_s": round(cov_kmers_per_s),
-        "lookup_kmers_per_s": round(lookups_per_s),
-        "lookup_planar_kmers_per_s": round(lookups_per_s),
-        "breakdown_ms": bd,
-        **extras,
-    }
-    # lookup headline = best measured impl at this (store, batch) shape
-    for key in ("lookup_join_kmers_per_s", "lookup_join_mp_kmers_per_s",
-                "lookup_fused_kmers_per_s"):
-        if extras.get(key, 0) > out["lookup_kmers_per_s"]:
-            out["lookup_kmers_per_s"] = extras[key]
-            out["lookup_impl"] = key.split("_")[1]
-    # headline = the best exact build path measured this run
-    for impl in ("bitonic", "lax64", "mp"):
-        v = extras.get("build_%s_kmers_per_s" % impl, 0)
-        if v > out["value"]:
-            out["value"] = v
-            out["vs_baseline"] = round(v / CPU_BASELINE_KMERS_PER_S, 3)
-            out["sort_impl"] = impl
-    print(json.dumps(out))
+    out["bench_seconds"] = round(_elapsed(), 1)
+    emit(out)
     return 0
 
 
@@ -440,11 +457,16 @@ if __name__ == "__main__":
     except Exception as e:  # never emit a bare traceback: one JSON line
         import traceback
         traceback.print_exc(file=sys.stderr)
+        if LATEST:
+            out = dict(LATEST)
+            out["error_late"] = "%s: %s" % (type(e).__name__, str(e)[:300])
+            print(json.dumps(out), flush=True)
+            sys.exit(0)
         print(json.dumps({
             "metric": "build_kmers_per_s_per_chip",
             "value": 0,
             "unit": "kmers/s",
             "vs_baseline": 0.0,
             "error": "%s: %s" % (type(e).__name__, str(e)[:500]),
-        }))
+        }), flush=True)
         sys.exit(1)
