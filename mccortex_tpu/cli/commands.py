@@ -190,8 +190,18 @@ def cmd_build(argv):
         budget = mb.parse_mem(args.memory)
         cap = mb.kmers_in_budget(budget, _nw(k), ncols)
         _status(f"memory budget {mb.mem_str(budget)}: up to {cap} kmers")
-    from .common import nkmers_hint
-    g = gbuild.build(batches, k, ncols=ncols, capacity=nkmers_hint(args))
+    from .common import nkmers_hint, devices_arg
+    n_dev = devices_arg(args)
+    if n_dev > 1:
+        from ..parallel import shard as psh
+        mesh = psh.make_mesh(n_dev)
+        _status(f"sharded build over {n_dev} devices "
+                f"(kmer-space hash partition)")
+        g = psh.build_sharded(batches, k, ncols, mesh,
+                              capacity_hint=nkmers_hint(args))
+    else:
+        g = gbuild.build(batches, k, ncols=ncols,
+                         capacity=nkmers_hint(args))
     if gmerge:
         hk, hc, he = gstore.to_host(g)
         allk, allc, alle = [hk], [hc], [he]
@@ -657,6 +667,24 @@ def cmd_contigs(argv):
     h, g = _load_graph(args.ctx)
     n = int(g.n)
 
+    from .common import devices_arg
+    n_dev = devices_arg(args)
+    mesh = None
+    if n_dev > 1:
+        # walk_dp scaling mode: graph replicated on every device, the
+        # seed batch sharded (parallel/shard.py walk_dp; linkless path)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from ..parallel import shard as psh
+        from ..graph import store as gstore_
+        mesh = psh.make_mesh(n_dev)
+        repl = NamedSharding(mesh, PS())
+        g = gstore_.DBGraph(keys=jax.device_put(g.keys, repl),
+                            covg=jax.device_put(g.covg, repl),
+                            edges=jax.device_put(g.edges, repl),
+                            n=g.n, k=g.k)
+        _status(f"contigs: walkers sharded over {n_dev} devices")
+
     links = None
     if args.paths:
         from ..io import ctp as ctpio
@@ -746,7 +774,8 @@ def cmd_contigs(argv):
                 used_links |= extra["used"]
         else:
             contigs, stats = T.assemble_linkless_contigs(
-                g, seeds, colour=args.colour, max_len=args.max_len)
+                g, seeds, colour=args.colour, max_len=args.max_len,
+                mesh=mesh)
         for i, c in enumerate(contigs):
             if args.ncontigs > 0 and ncontig >= args.ncontigs:
                 break

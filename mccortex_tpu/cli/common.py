@@ -77,7 +77,31 @@ def add_common(p, memory: bool = True, nkmers: bool = True,
         g.add_argument("-t", "--threads", type=int, default=None,
                        help="host worker threads for ingest/spill "
                             "(device compute is parallel regardless)")
+    g.add_argument("--devices", default=None,
+                   help="devices to run on: a count, or 'auto' for all "
+                        "visible devices (the kmer space is hash-"
+                        "sharded over a 1-D mesh; replaces the ref's "
+                        "-t shared-memory hash table parallelism for "
+                        "device-side work)")
     return p
+
+
+def devices_arg(args) -> int:
+    """Resolve -D/--devices to a device count (1 = single-device)."""
+    v = getattr(args, "devices", None)
+    if v is None:
+        return 1
+    if str(v).lower() == "auto":
+        import jax
+        return len(jax.devices())
+    n = int(v)
+    if n < 1:
+        raise ValueError("--devices must be >= 1")
+    import jax
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(f"--devices {n} > {avail} visible devices")
+    return n
 
 
 def check_outfile(path, force: bool) -> None:

@@ -584,18 +584,36 @@ def _reconstruct_hops(uv, chars_np, hop_v, hop_n, hop_cnt):
 
 def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
                               colour: int | None = 0,
-                              max_len: int = 4096):
+                              max_len: int = 4096, mesh=None):
     """Pull a contig for each seed row via unitig hops: walk right from
     (seed, FORWARD) and left from (seed, REVERSE), join (ref
     assemble_contigs.c:88-119 without links/confidence).  Returns
-    (contigs: list[str], stop_status: (B, 2) right/left halt codes)."""
+    (contigs: list[str], stop_status: (B, 2) right/left halt codes).
+
+    mesh: optional jax Mesh — the walk_dp scaling mode (graph arrays
+    replicated, the seed batch sharded over the mesh axis); walkers are
+    the parallel work, so contigs scale linearly with devices."""
     from ..utils.text import kmers_to_strings
     from . import unitigs as U
     from . import adjacency as adjmod
     B = len(seed_rows)
     if B == 0:
         return [], np.zeros((0, 2), np.int32)
-    seeds = jnp.asarray(np.asarray(seed_rows, np.int64), jnp.int32)
+    seeds_np = np.asarray(seed_rows, np.int64)
+    B_orig = B
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        nd = mesh.devices.size
+        Bp = -(-B // nd) * nd
+        if Bp != B:
+            seeds_np = np.concatenate(
+                [seeds_np, np.full(Bp - B, seeds_np[0], np.int64)])
+        seeds = jax.device_put(
+            jnp.asarray(seeds_np, jnp.int32),
+            NamedSharding(mesh, _P(mesh.axis_names[0])))
+        B = Bp
+    else:
+        seeds = jnp.asarray(seeds_np, jnp.int32)
     adj = None
     if g.capacity <= adjmod.ADJ_FREE_N:
         adj = adjmod.get_adjacency(g)
@@ -615,11 +633,12 @@ def assemble_linkless_contigs(g: gstore.DBGraph, seed_rows: np.ndarray,
     seed_strs = kmers_to_strings(seed_keys, g.k)
     contigs = []
     basechars = "ACGT"
-    for i in range(B):
+    for i in range(B_orig):
         right = "".join(basechars[b] for b in halves[0][i])
         left = "".join(basechars[3 - b] for b in halves[1][i][::-1])
         contigs.append(left + seed_strs[i] + right)
-    return contigs, np.stack([stats[0], stats[1]], axis=1)
+    return contigs, np.stack([stats[0][:B_orig], stats[1][:B_orig]],
+                             axis=1)
 
 
 def assemble_linkless_contigs_steps(g: gstore.DBGraph,
