@@ -635,8 +635,23 @@ def _merge_items(a, b, resident_bytes: int = 0):
                     > MERGE_RANK_CEIL):
                 # cannot fit beside the resident store at all: host
                 return _merge_items(_to_np(a), b)
-            # oversized merge: rank scatter, O(n+m) memory, on device
-            mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
+            # oversized merge: rank scatter, O(n+m) memory, on device.
+            # Same self-healing as the mp branch below: the memory
+            # model has underestimated twice already (ROUND4.md), so a
+            # RESOURCE_EXHAUSTED here falls back to the host native
+            # merge instead of crashing the build.
+            try:
+                mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
+            except jax.errors.JaxRuntimeError as e:
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                import sys as _sys
+                print("[mctx] rank-scatter merge of %d+%d records "
+                      "exhausted HBM; host native merge" % (na, nb),
+                      file=_sys.stderr)
+                an, bn = _to_np(a), _to_np(b)
+                mk, mc, me = _merge2_np(an[1], an[2], an[3],
+                                        bn[1], bn[2], bn[3])
             if prof:
                 prof.add("dev_merge_rank", time.perf_counter() - t0)
             return (mk.shape[0], mk, mc, me)

@@ -496,9 +496,36 @@ def _emit_chars(keys, k: int):
 def hop_walk(g, uv, seed_vert: jnp.ndarray, colour: int | None,
              max_len: int, adj, uedges, hop_cap: int | None = None):
     """Run the hop walker to completion (chunked dispatches with a
-    1-chunk-lookahead halt check, as walk_chunked)."""
+    1-chunk-lookahead halt check, as walk_chunked).
+
+    The hop/visited record buffers start at 2048 entries (a hop covers a
+    whole unitig, so junction-dense graphs are the only way to need
+    more before max_len bases are emitted); if any walker halts on the
+    buffer cap short of max_len the whole batch is re-run with a grown
+    cap — truncation is exact-detectable (cap halts leave
+    out_len < max_len; genuine max_len halts always fill it), so this
+    never silently shortens a contig (ADVICE r4 item 4)."""
+    grow = hop_cap is None
     if hop_cap is None:
-        hop_cap = min(2048, max_len + 2)
+        hop_cap = min(HOP_CAP0, max_len + 2)
+    while True:
+        st = _hop_walk_once(g, uv, seed_vert, colour, max_len, adj,
+                            uedges, hop_cap)
+        if not grow or hop_cap >= max_len + 2:
+            return st
+        trunc = np.asarray((st.status == HALT_MAXLEN)
+                           & (st.out_len < max_len)
+                           & (st.hop_cnt >= hop_cap))
+        if not trunc.any():
+            return st
+        hop_cap = min(hop_cap * 4, max_len + 2)
+
+
+HOP_CAP0 = 2048  # initial hop/visited record-buffer entries per walker
+
+
+def _hop_walk_once(g, uv, seed_vert, colour, max_len, adj, uedges,
+                   hop_cap):
     alive = ~sops.is_sentinel(g.keys[seed_vert >> 1])
     st = hop_init(seed_vert, alive, hop_cap)
     i32 = lambda x: x.astype(jnp.int32)  # noqa: E731

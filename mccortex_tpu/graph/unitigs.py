@@ -36,7 +36,10 @@ class UnitigView:
     """Per-kmer unitig labelling."""
     succ: jnp.ndarray      # (2N,) int32, -1 = end of unitig
     end: jnp.ndarray       # (2N,) int32 terminal vertex (self-ref if end)
-    dist: jnp.ndarray      # (2N,) int32 steps to end (cycle: >= len)
+    dist: jnp.ndarray      # (2N,) int32 steps to end (cycle: UNSPECIFIED
+                           # — the pointer-doubling early exit can leave
+                           # a stale 2^t here; cycle lengths come from
+                           # `length`, never from dist)
     uid: jnp.ndarray       # (N,) int32 unitig id (a representative vertex)
     is_cycle: jnp.ndarray  # (N,) bool
     length: jnp.ndarray    # (N,) int32 unitig length in kmers

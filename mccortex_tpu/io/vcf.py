@@ -1,7 +1,7 @@
 """Minimal VCF text IO (role of the htslib VCF subset the reference
 links: read/write records with INFO/FORMAT fields; ctx_calls2vcf.c /
-ctx_vcfcov.c / ctx_vcfgeno.c consumers).  Plain or gzipped text;
-BCF is out of scope (binary htslib format — document as unsupported).
+ctx_vcfcov.c / ctx_vcfgeno.c consumers).  Plain or gzipped text; the
+binary BCF 2.2 container lives in io/bcf.py.
 """
 
 from __future__ import annotations

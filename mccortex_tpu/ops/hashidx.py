@@ -82,11 +82,25 @@ def build_table(keys_np: np.ndarray, b_bits: int | None = None):
     if b_bits is None:
         b_bits = max(1, int(np.ceil(np.log2(max(n, 1) / occ))) if n > occ
                      else 1)
-        # max-load criterion: if pow2 rounding leaves the realised mean
-        # occupancy near the dense target, P(Poisson > EPR) x B is no
-        # longer negligible and the overflow retry below would waste a
-        # full table build at 100M+ keys — pre-bump b_bits instead
-        while n / (1 << b_bits) > 17:
+        # max-load criterion: pre-bump b_bits until the EXPECTED number
+        # of overflowing buckets B x P(Poisson(n/B) > EPR) is < 0.01 —
+        # otherwise the overflow retry below wastes a full table build
+        # at 100M+ keys (the old flat occupancy<=17 cutoff expected
+        # ~2200 overflows at 100M keys, so the retry fired almost
+        # always).  Chernoff upper bound on the Poisson tail keeps this
+        # dependency-free and errs toward one extra doubling only near
+        # the boundary.
+        import math
+
+        def _exp_overflow(bb):
+            lam = n / (1 << bb)
+            a = EPR + 1.0
+            if lam <= 0:
+                return 0.0
+            return (1 << bb) * math.exp(a * math.log(math.e * lam / a)
+                                        - lam)
+
+        while _exp_overflow(b_bits) > 0.01:
             b_bits += 1
     h = _hash_np(keys_np)
     P = 2 * W + 1
@@ -192,8 +206,12 @@ JOIN_MAX_STORE = 32 << 20
 def _pick_impl(n_store: int, n_queries: int) -> str:
     if LOOKUP_IMPL != "auto":
         return LOOKUP_IMPL
-    if (n_queries >= JOIN_MIN_Q and n_store <= JOIN_MAX_STORE
-            and n_store < 2 * n_queries):
+    # gate on the PER-DISPATCH batch: lookup() chunks joins at HCHUNK
+    # queries, re-sorting the store each chunk, so the cost model must
+    # compare the store against one chunk, not the whole batch
+    q_dispatch = min(n_queries, HCHUNK)
+    if (q_dispatch >= JOIN_MIN_Q and n_store <= JOIN_MAX_STORE
+            and n_store < 2 * q_dispatch):
         return "join"
     return "planar"
 

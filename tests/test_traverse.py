@@ -173,3 +173,48 @@ def test_confidence_table():
     assert t[1] > 0.99
     assert t[99] < t[10]
     assert (np.diff(t[1:]) <= 1e-12).all()  # monotone nonincreasing
+
+
+def test_hop_cap_growth_never_truncates(monkeypatch):
+    """A junction-dense walk needing more hops than the initial
+    hop/visited buffer must grow the cap and retry, not halt short with
+    HALT_MAXLEN (ADVICE r4: the 2048-entry cap could truncate contigs
+    below max_len).  Junction density is forced by merging an extra
+    incoming read every ~10 bases, so each merge point starts a new
+    unitig (one hop each)."""
+    k = 11
+    seq = random_dna(400, seed=4040)
+    inputs = [(seq, 0)]
+    for pos in range(20, 380, 10):
+        inputs.append((random_dna(15, seed=5000 + pos)
+                       + seq[pos:pos + k], 0))
+    g = build_g(inputs, k)
+    from mccortex_tpu.ops import kmer as K
+    from mccortex_tpu.ops import sorted as sops
+    from mccortex_tpu.constants import CHAR_TO_BASE
+    codes = jnp.asarray(CHAR_TO_BASE[np.frombuffer(
+        seq[:k].encode(), np.uint8)])[None]
+    key, _ = K.canonical(K.pack_kmers(codes, k), k)
+    row, found = sops.lookup(g.keys, key)
+    assert bool(np.asarray(found)[0])
+    seed = np.asarray(row)
+
+    ref_contigs, ref_stats = T.assemble_linkless_contigs(
+        g, seed, colour=0, max_len=1024)
+    monkeypatch.setattr(T, "HOP_CAP0", 4)
+    caps_used = []
+    real_once = T._hop_walk_once
+
+    def spy(g_, uv, sv, col, ml, adj, ue, hop_cap):
+        caps_used.append(hop_cap)
+        return real_once(g_, uv, sv, col, ml, adj, ue, hop_cap)
+
+    monkeypatch.setattr(T, "_hop_walk_once", spy)
+    got_contigs, got_stats = T.assemble_linkless_contigs(
+        g, seed, colour=0, max_len=1024)
+    assert got_contigs == ref_contigs
+    assert (got_stats == ref_stats).all()
+    assert max(caps_used) > 4   # the retry actually grew the buffers
+    # the contig passes many merge points (each is a hop), far more
+    # than the starting cap of 4
+    assert len(ref_contigs[0]) >= 200
