@@ -26,6 +26,9 @@ _MAGIC = b"BCF\x02\x02"
 _INT8_MISSING = -128
 _INT16_MISSING = -32768
 _INT32_MISSING = -2147483648
+_INT8_EOV = -127           # END_OF_VECTOR sentinels (spec table 4)
+_INT16_EOV = -32767
+_INT32_EOV = -2147483647
 _FLOAT_MISSING = struct.unpack("<f", struct.pack("<I", 0x7F800001))[0]
 
 
@@ -238,6 +241,33 @@ def write_bcf(path: str, vcf: VcfFile, compressed: bool = True) -> None:
             vals = [smp.get(key, ".") if i < len(r.samples) else "."
                     for i, smp in enumerate(
                         r.samples + [{}] * (nsmp - len(r.samples)))]
+            if key == "GT":
+                # spec GT int coding (VCFv4.x section 6.3.3):
+                # (allele+1)<<1 | phased, 0 = missing allele, short
+                # genotypes padded with END_OF_VECTOR — this is what
+                # htslib emits and expects, so GT must never take the
+                # generic char path
+                import re as _re
+                gts = []
+                for gstr in (str(v) for v in vals):
+                    if gstr in (".", "", "None"):
+                        gts.append([0])
+                        continue
+                    toks = _re.split("([/|])", gstr)
+                    alleles, seps = toks[0::2], toks[1::2]
+                    vec = []
+                    for j, a in enumerate(alleles):
+                        ph = 1 if (j > 0 and seps[j - 1] == "|") else 0
+                        vec.append(0 if a == "." else
+                                   (((int(a) + 1) << 1) | ph))
+                    gts.append(vec)
+                P = max(len(v) for v in gts)
+                flat = []
+                for vec in gts:
+                    flat += vec + [_INT8_EOV] * (P - len(vec))
+                indiv += _typed_size(P, 1) + struct.pack(
+                    f"<{nsmp * P}b", *flat)
+                continue
             if all(isinstance(v, (int, np.integer)) or v == "."
                    for v in vals):
                 ints = [int(v) if v != "." else _INT32_MISSING
@@ -337,6 +367,23 @@ def read_bcf(path: str) -> VcfFile:
             else:
                 # one typed descriptor covers all samples' vectors
                 _t2, vals = _read_fmt_vector(r, n_smp)
+                if key == "GT" and _t2 in (1, 2, 3):
+                    eov = {1: _INT8_EOV, 2: _INT16_EOV,
+                           3: _INT32_EOV}[_t2]
+                    for s in range(n_smp):
+                        v = vals[s]
+                        vv = v if isinstance(v, list) else [v]
+                        out = ""
+                        for j, x in enumerate(vv):
+                            if x == eov:
+                                break
+                            # coded alleles are >= 2 ((allele+1)<<1);
+                            # 0/1 = missing, negative = sentinel
+                            al = "." if x < 2 else str((x >> 1) - 1)
+                            out += al if j == 0 else \
+                                ("|" if x & 1 else "/") + al
+                        samples[s][key] = out or "."
+                    continue
                 for s in range(n_smp):
                     v = vals[s]
                     if v in (_INT8_MISSING, _INT16_MISSING,

@@ -353,3 +353,25 @@ def test_native_merge_matches_numpy():
     b[1][:10] = 0x20
     nat = gb._merge2_native(*a, *b)
     assert (nat[1][:10] == 0xFFFFFFFF).all()
+
+
+def test_packed_host_batch_matches_direct():
+    """2-bit host packing (H2D reduction, ROUND5): count_batch_host
+    must equal count_batch_best on the same codes, incl. N bases and
+    non-multiple-of-4/8 read lengths."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(77)
+    for L in (33, 70, 150):
+        codes = rng.integers(0, 4, size=(6, L), dtype=np.uint8)
+        codes[0, L // 2] = 4
+        codes[3, 1] = 4
+        o1 = gbuild.count_batch_host(codes, 11, 2, 1)
+        o2 = gbuild.count_batch_best(jnp.asarray(codes), 11, 2, 1)
+        for a, b in zip(o1, o2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # packing round-trip unit props
+    codes = rng.integers(0, 4, size=(4, 50), dtype=np.uint8)
+    packed, nmask, L = gbuild.pack_reads_np(codes)
+    assert nmask is None and packed.shape == (4, 13) and L == 50
+    dec = np.asarray(gbuild.unpack_reads(jnp.asarray(packed), None, L))
+    np.testing.assert_array_equal(dec, codes)
