@@ -34,6 +34,18 @@ def main():
 
     rng = np.random.default_rng(0)
     genome = rng.integers(0, 4, gsize, dtype=np.uint8)
+    # plant repeat families (~8% of the genome): a uniform random
+    # genome has no junctions after cleaning, which makes the
+    # link-dependent phases (thread / linked contigs / correct)
+    # trivially easy; real genomes are repeat-ridden
+    n_fam = max(4, gsize // 300_000)
+    copies_per_fam = 24
+    for f in range(n_fam):
+        ulen = int(rng.integers(500, 1500))
+        unit = rng.integers(0, 4, ulen, dtype=np.uint8)
+        for _ in range(copies_per_fam):
+            p = int(rng.integers(0, gsize - ulen))
+            genome[p:p + ulen] = unit
     nreads = int(gsize * cov / rlen)
     starts = rng.integers(0, gsize - rlen, nreads)
     reads = np.lib.stride_tricks.sliding_window_view(
@@ -125,6 +137,60 @@ def main():
     print(f"longest contig {len(best)}bp exact-match: {exact}",
           file=sys.stderr)
 
+    # thread (generate_paths SE, no gap fill) — the link build phase
+    # (ref generate_paths.c:499); measured over a read subsample
+    from mccortex_tpu.links import thread as lthread
+    n_thr = min(nreads, 131072)
+    tbat = []
+    for i in range(0, n_thr, B):
+        chunk = reads[i:i + B]
+        if chunk.shape[0] < B:
+            chunk = np.concatenate(
+                [chunk, np.full((B - chunk.shape[0], rlen), 4,
+                                np.uint8)])
+        tbat.append((chunk, 0))
+    t0 = time.perf_counter()
+    links = lthread.thread_reads(g2, tbat, 1)
+    links.offsets.block_until_ready()
+    t_thread_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    links = lthread.thread_reads(g2, tbat, 1)
+    links.offsets.block_until_ready()
+    t_thread = time.perf_counter() - t0
+    print(f"thread(cold/warm): {t_thread_c:.1f}/{t_thread:.1f}s  "
+          f"{n_thr} reads -> {links.nlinks} links "
+          f"({n_thr / t_thread / 1e3:.1f}k reads/s warm)",
+          file=sys.stderr)
+
+    # linked contigs (walk_linked pickup path) on the same seeds
+    from mccortex_tpu.links import walk as lwalk
+    t0 = time.perf_counter()
+    lcontigs, _ = lwalk.assemble_contigs_primed(
+        g2, links, seeds, colour=0, max_len=200_000)
+    t_lcontig_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lcontigs, _ = lwalk.assemble_contigs_primed(
+        g2, links, seeds, colour=0, max_len=200_000)
+    t_lcontig = time.perf_counter() - t0
+    print(f"linked-contigs(cold/warm, 256 seeds): "
+          f"{t_lcontig_c:.1f}/{t_lcontig:.1f}s", file=sys.stderr)
+
+    # correct (gap-fill read correction, ref ctx_correct.c)
+    from mccortex_tpu.align import correct as acorrect
+    n_cor = min(nreads, 8192)
+    cor_reads = reads[:n_cor]
+    t0 = time.perf_counter()
+    res = acorrect.correct_batch(g2, links, cor_reads, colour=0)
+    t_correct_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = acorrect.correct_batch(g2, links, cor_reads, colour=0)
+    t_correct = time.perf_counter() - t0
+    n_changed = sum(1 for r in res if r.seq and "N" not in r.seq)
+    print(f"correct(cold/warm, {n_cor} reads): "
+          f"{t_correct_c:.1f}/{t_correct:.1f}s "
+          f"({n_cor / t_correct / 1e3:.2f}k reads/s warm)",
+          file=sys.stderr)
+
     print(json.dumps({
         "genome_mb": gsize / 1e6, "coverage": cov,
         "build_warm_s": round(t_build, 1),
@@ -132,6 +198,12 @@ def main():
         "clean_s": round(t_clean, 1),
         "lookup_mkmers_per_s": round(Q / t_lookup / 1e6, 1),
         "contigs_s": round(t_contig, 1),
+        "thread_s": round(t_thread, 1),
+        "thread_reads_per_s": round(n_thr / t_thread),
+        "n_links": int(links.nlinks),
+        "linked_contigs_s": round(t_lcontig, 1),
+        "correct_s": round(t_correct, 1),
+        "correct_reads_per_s": round(n_cor / t_correct),
         "n50": st["n50"], "longest_exact": bool(exact),
         "kmers_raw": int(g.n), "kmers_clean": int(g2.n),
     }))
