@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_B = 256          # reads per grid step
+# reads per grid step: fewer, larger tiles amortise per-step grid/DMA
+# overhead (the kernel is compute-light relative to its VMEM traffic);
+# MCTX_FE_TILE overrides for A/B (perf_lab7)
+TILE_B = int(__import__("os").environ.get("MCTX_FE_TILE", 256))
 
 
 def _i32(v):
