@@ -53,10 +53,13 @@ def find_fork_vertices(g: gstore.DBGraph):
     return np.sort(verts)
 
 
-def _branch_walks(g, links, fork_verts, max_allele, ncols):
+def _branch_walks(g, links, fork_verts, max_allele, ncols, mesh=None):
     """Launch walks for every (fork, branch, colour).  Returns arrays of
     shape (F, 4, C): lengths, halt, plus vertex paths (F,4,C,La) and
-    base chars."""
+    base chars.
+
+    mesh: optional jax Mesh — walk_dp scaling (graph/links replicated,
+    the walker batch sharded over the mesh axis)."""
     F = len(fork_verts)
     C = ncols
     rows = fork_verts >> 1
@@ -111,7 +114,21 @@ def _branch_walks(g, links, fork_verts, max_allele, ncols):
         sel = np.nonzero(meta[:, 2] == c)[0]
         if len(sel) == 0:
             continue
+        if mesh is not None:
+            # pad to a mesh multiple (duplicate walkers are harmless:
+            # their outputs scatter the same values to the same rows)
+            nd = mesh.devices.size
+            Bp = -(-len(sel) // nd) * nd
+            if Bp != len(sel):
+                sel = np.concatenate(
+                    [sel, np.full(Bp - len(sel), sel[0])])
         sub = _take_walkers(st, sel)
+        if mesh is not None:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            shd = NamedSharding(mesh, _P(mesh.axis_names[0]))
+            sub = _jax.tree_util.tree_map(
+                lambda a: _jax.device_put(a, shd), sub)
         sub = lwalk.walk_linked(g, links, sub, c, max_steps=max_allele,
                                 ctpcol=min(c, links.nseen.shape[1] - 1),
                                 adj=adj)
@@ -191,7 +208,8 @@ def unitig_chain(g, start_vertex, succ, max_len):
 
 def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
                  max_allele: int = 300, max_flank: int = 1000,
-                 haploid_cols=(), remove_serial: bool = True):
+                 haploid_cols=(), remove_serial: bool = True,
+                 mesh=None):
     """Find all bubbles.  Returns list[Bubble].
 
     Matches the reference's per-shared-unitig enumeration
@@ -207,7 +225,8 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
     fork_verts = find_fork_vertices(g)
     if len(fork_verts) == 0:
         return []
-    res = _branch_walks(g, links, fork_verts, max_allele, ncols)
+    res = _branch_walks(g, links, fork_verts, max_allele, ncols,
+                        mesh=mesh)
     if not res:
         return []
     meta, walks, B = res

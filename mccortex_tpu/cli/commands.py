@@ -1143,9 +1143,28 @@ def cmd_bubbles(argv):
         links = ctpio.load_link_store(args.paths, g)
     haploid = (list(range(h.ncols)) if args.haploid.strip() == "*"
                else [int(x) for x in args.haploid.split(",") if x != ""])
+    from .common import devices_arg
+    n_dev = devices_arg(args)
+    mesh = None
+    if n_dev > 1:
+        # walk_dp scaling: graph + links replicated, walkers sharded
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+        from ..parallel import shard as psh
+        from ..graph import store as gstore_
+        mesh = psh.make_mesh(n_dev)
+        repl = NamedSharding(mesh, PS())
+        g = gstore_.DBGraph(keys=jax.device_put(g.keys, repl),
+                            covg=jax.device_put(g.covg, repl),
+                            edges=jax.device_put(g.edges, repl),
+                            n=g.n, k=g.k)
+        if links is not None:
+            links = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, repl), links)
+        _status(f"bubbles: walkers sharded over {n_dev} devices")
     bl = bub.call_bubbles(g, links, max_allele=args.max_allele,
                           max_flank=args.max_flank, haploid_cols=haploid,
-                          remove_serial=not args.keep_serial)
+                          remove_serial=not args.keep_serial, mesh=mesh)
     callfile.write_bubble_file(
         args.out, bl, g.k, h.ncols, args.max_allele, args.max_flank,
         sample_names=[gi.sample_name for gi in h.ginfo])

@@ -285,3 +285,33 @@ def test_cli_contigs_devices_identical(tmp_path):
     assert mctx(["contigs", "-o", str(o8), "--devices", "8",
                  str(ctx)]) == 0
     assert o1.read_text() == o8.read_text()
+
+
+def test_cli_bubbles_devices_identical(tmp_path):
+    """`mctx bubbles --devices 8` (graph/links replicated, walker batch
+    sharded) produces the same calls as the single-device run."""
+    import gzip
+    from mccortex_tpu.cli.main import main as mctx
+    from test_ctx_io import write_fasta
+    stem = random_dna(120, seed=3100)
+    tailseq = random_dna(120, seed=3101)
+    a = stem + "A" + tailseq
+    b = stem + "C" + tailseq
+    fa = tmp_path / "reads.fa"
+    write_fasta(str(fa), [a, a, b, b])
+    ctx = tmp_path / "g.ctx"
+    assert mctx(["build", "-k", "15", "--sample", "s0",
+                 "--seq", str(fa), str(ctx)]) == 0
+    o1 = tmp_path / "b1.txt.gz"
+    o8 = tmp_path / "b8.txt.gz"
+    assert mctx(["bubbles", "-o", str(o1), str(ctx)]) == 0
+    assert mctx(["bubbles", "-o", str(o8), "--devices", "8",
+                 str(ctx)]) == 0
+
+    def calls(p):
+        with gzip.open(p, "rt") as fh:
+            return [l for l in fh if not l.startswith("#")]
+
+    c1, c8 = calls(o1), calls(o8)
+    assert len(c1) > 0
+    assert c1 == c8
