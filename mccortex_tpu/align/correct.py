@@ -177,16 +177,38 @@ def _two_way_meet(Lp, Rp, gap_max: int):
     return False, gap_len, app[0], app[1], pos[0], pos[1]
 
 
+_keys_host_cache: dict = {}
+
+
+def _keys_host(g: gstore.DBGraph) -> np.ndarray:
+    """Host copy of g.keys, memoised per buffer identity.  correct's
+    per-gap bookkeeping reads a handful of rows thousands of times; a
+    fresh np.asarray(g.keys) per read was a full store D2H each time
+    (catastrophic over the TPU tunnel, 2s/1k-gaps even on CPU)."""
+    ck = id(g.keys)
+    hit = _keys_host_cache.get(ck)
+    if hit is not None and hit[0] is g.keys:
+        return hit[1]
+    kh = np.asarray(g.keys)
+    if len(_keys_host_cache) > 4:
+        _keys_host_cache.clear()
+    _keys_host_cache[ck] = (g.keys, kh)
+    return kh
+
+
 def _verts_bases(g: gstore.DBGraph, verts: np.ndarray, k: int):
     """Last base code of each vert's oriented kmer (the base each
-    bridge node contributes reading left to right)."""
+    bridge node contributes reading left to right).  Pure numpy over
+    the cached host keys — called per gap, so no jax dispatch here."""
     if len(verts) == 0:
         return np.zeros(0, np.uint8)
+    from ..utils import npkmer
     rows = (verts >> 1).astype(np.int64)
-    ors = (verts & 1).astype(np.uint8)
-    okm = kops.oriented(jnp.asarray(np.asarray(g.keys)[rows]),
-                        jnp.asarray(ors), k)
-    return np.asarray(okm[:, -1] & np.uint64(3)).astype(np.uint8)
+    ors = (verts & 1).astype(bool)
+    kk = _keys_host(g)[rows]
+    rc = npkmer.revcmp_np(kk, k)
+    last = np.where(ors, rc[:, -1], kk[:, -1])
+    return (last & np.uint64(3)).astype(np.uint8)
 
 
 def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
@@ -447,7 +469,7 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
     # splice per read (vectorised base extraction, python only for the
     # short per-read run bookkeeping)
     okm_all = np.asarray(kops.oriented(
-        jnp.asarray(np.asarray(g.keys)[idx.reshape(-1)]),
+        jnp.asarray(_keys_host(g)[idx.reshape(-1)]),
         jnp.asarray(orient.reshape(-1).astype(np.uint8)), k))
     basechars = np.array(list("ACGT"))
     lastb = basechars[(okm_all[:, -1] & 3).astype(int)].reshape(B, P)
