@@ -30,7 +30,10 @@ def main():
     k, rlen, err = 21, 150, 0.003
     nsnp_priv, nsnp_shared = max(20, gsize // 4600), max(10, gsize // 9200)
 
+    import _tpu_wait
+    _tpu_wait.arm_watchdog({"phase": "joint_call_10"})
     import jax  # noqa: F401
+    _tpu_wait.wait_backend()
     from mccortex_tpu.graph import build as gbuild
     from mccortex_tpu.graph import clean as gclean
     from mccortex_tpu.calls import bubbles as cbub

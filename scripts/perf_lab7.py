@@ -19,7 +19,10 @@ import numpy as np
 
 
 def main():
+    import _tpu_wait
+    _tpu_wait.arm_watchdog({"phase": "perf_lab7"})
     import jax
+    _tpu_wait.wait_backend()
     import jax.numpy as jnp
     import mccortex_tpu  # noqa: F401
 

@@ -25,7 +25,10 @@ def main():
     gsize = int(gmb * 1e6)
     k, rlen = 31, 150
 
+    import _tpu_wait
+    _tpu_wait.arm_watchdog({"phase": "scale_bubbles"})
     import jax  # noqa: F401
+    _tpu_wait.wait_backend()
     from mccortex_tpu.graph import build as gbuild
     from mccortex_tpu.calls import bubbles as cbub
     from mccortex_tpu.calls import calls2vcf as c2v

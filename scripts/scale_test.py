@@ -20,7 +20,10 @@ def main():
     rlen = 150
     k = 31
 
+    import _tpu_wait
+    _tpu_wait.arm_watchdog({"phase": "scale_test"})
     import jax
+    _tpu_wait.wait_backend()
     import jax.numpy as jnp
     import mccortex_tpu
     from mccortex_tpu.graph import build as gbuild

@@ -19,8 +19,18 @@ echo "=== joint calling: 10 samples E.coli-scale" | tee -a "$OUT/log"
 python scripts/joint_call_10.py 4.6 10 10 > "$OUT/joint10.json" 2>> "$OUT/log"
 cat "$OUT/joint10.json" | tee -a "$OUT/log"
 
+echo "=== perf lab 7 (RPC-free stage split, FE tile A/B)" | tee -a "$OUT/log"
+python scripts/perf_lab7.py > "$OUT/lab7.json" 2>> "$OUT/log"
+cat "$OUT/lab7.json" | tee -a "$OUT/log"
+
 echo "=== scale: 100Mb @ 5x (completed wall-clock capture)" | tee -a "$OUT/log"
 MCTX_BUILD_PROF=1 python scripts/scale_test.py 100 5 > "$OUT/scale_100mb.json" 2>> "$OUT/log"
 cat "$OUT/scale_100mb.json" | tee -a "$OUT/log"
+
+echo "=== bench retry (in case the tunnel recovered late)" | tee -a "$OUT/log"
+if ! grep -q '"value": [1-9]' "$OUT/bench.json" 2>/dev/null; then
+  python bench.py > "$OUT/bench2.json" 2>> "$OUT/log"
+  tail -1 "$OUT/bench2.json" | tee -a "$OUT/log"
+fi
 
 echo "=== done $(date -u)" | tee -a "$OUT/log"
