@@ -215,7 +215,7 @@ def parse_bam_alignments(path: str):
             yield (name, flag, rname, pos0, mapq, ref_len)
 
 
-def read_batches(paths, batch_size: int = 512, max_len: int | None = None,
+def read_batches(paths, batch_size: int = 2048, max_len: int | None = None,
                  colour: int = 0) -> Iterator[tuple]:
     """Group reads into (codes (B, L) uint8, quals (B, L) uint8 | None,
     colour) batches, padded with the invalid code 4.  With the default
@@ -256,7 +256,7 @@ def total_bases(paths) -> int:
     return sum(len(r.seq) for p in paths for r in parse_reads(p))
 
 
-def read_batches_native(paths, batch_size: int = 512, max_len: int = 1024,
+def read_batches_native(paths, batch_size: int = 2048, max_len: int = 1024,
                         colour: int = 0, prefetch: int = 4,
                         overlap: int | None = None):
     """Native (C++) batch reader; yields the same (codes, quals, colour)
@@ -392,7 +392,7 @@ def mate_normalize(c1: np.ndarray, c2: np.ndarray, matedir: str = "FR",
     return c1, c2, q1, q2
 
 
-def read_batches_pe(path1, path2, batch_size: int = 512,
+def read_batches_pe(path1, path2, batch_size: int = 2048,
                     max_len: int = 8192, colour: int = 0,
                     matedir: str = "FR"):
     """Yield mate-pair batches (codes1, codes2, colour); files must have
@@ -414,7 +414,7 @@ def read_batches_pe(path1, path2, batch_size: int = 512,
         yield c1, c2, colour
 
 
-def read_batches_interleaved(path, batch_size: int = 512,
+def read_batches_interleaved(path, batch_size: int = 2048,
                              max_len: int = 8192, colour: int = 0,
                              matedir: str = "FR"):
     """Yield (codes1, codes2, quals1, quals2, colour) from an
