@@ -1,9 +1,12 @@
-"""Reference-scale end-to-end gate (VERDICT r2 item 5): two diploid
-samples over a 50kb genome with SNPs + deletions + insertions and a
-tandem-repeat region, full pipeline to genotyped VCF, truth-VCF
-intersection — no truth variant may be missed (ref
-tests/pipeline/Makefile:34-44 semantics at readsim-like scale)."""
+"""Reference-scale end-to-end gate (VERDICT r2 item 5, grown to 100kb
+with PE reads + a breakpoint-sized event per VERDICT r4 item 7): two
+diploid samples over a 100kb genome with SNPs, multi-bp indels, a
+tandem-repeat region and a 400bp deletion, full pipeline (SE + PE
+ingest) to genotyped VCF + breakpoints, truth-VCF intersection — no
+truth variant may be missed (ref tests/pipeline/Makefile:34-44
+semantics at readsim-like scale)."""
 
+import gzip
 import os
 import random
 
@@ -12,7 +15,7 @@ import pytest
 from mccortex_tpu.cli.main import main as mctx
 from mccortex_tpu.io import vcf as vcfio
 
-from util import random_dna
+from util import random_dna, revcomp_str
 from test_pipeline import simulate_reads
 
 
@@ -28,59 +31,99 @@ def _apply_variants(seq, variants):
     return "".join(out)
 
 
+def simulate_pe(hapA, hapB, npairs, rlen, insert, err, rng):
+    """FR mate pairs: read1 = fragment start, read2 = revcomp of the
+    fragment end."""
+    r1s, r2s = [], []
+    for _ in range(npairs):
+        hap = hapA if rng.random() < 0.5 else hapB
+        ins = insert + rng.randrange(-30, 31)
+        pos = rng.randrange(0, len(hap) - ins)
+        frag = hap[pos:pos + ins]
+
+        def noisy(s):
+            out = list(s)
+            for i in range(len(out)):
+                if rng.random() < err:
+                    out[i] = rng.choice("ACGT")
+            return "".join(out)
+
+        r1s.append(noisy(frag[:rlen]))
+        r2s.append(noisy(revcomp_str(frag[-rlen:])))
+    return r1s, r2s
+
+
 @pytest.mark.slow
-def test_pipeline_diploid_50kb(tmp_path):
+def test_pipeline_diploid_100kb(tmp_path):
     rng = random.Random(515151)
     k = 31
-    G = 50_000
+    G = 100_000
     base = random_dna(G, seed=4100)
-    # tandem repeat region: an 60bp unit duplicated at position 30k
+    # tandem repeat region: a 60bp unit duplicated at position 30k
     unit = base[30_000:30_060]
     ref = base[:30_060] + unit + base[30_060:]
 
     # truth variants (pos0 on REF coords, ref-str, alt-str), spread out
-    # and clear of the repeat; SNPs + dels + insertions
+    # and clear of the repeat; SNPs + multi-bp dels + insertions
     truth = []
     snp_pos = [2_000, 6_500, 11_000, 17_500, 22_000, 27_000,
-               36_000, 41_000, 46_000, 48_500]
+               36_000, 41_000, 46_000, 48_500,
+               55_000, 62_000, 81_000, 92_000]
     for pp in snp_pos:
         alt = "ACGT"[("ACGT".index(ref[pp]) + 1) % 4]
         truth.append((pp, ref[pp], alt))
-    dels = [(8_000, 5), (38_500, 12)]
+    dels = [(8_000, 5), (38_500, 12), (58_000, 3), (86_000, 25)]
     for pp, ln in dels:
         truth.append((pp, ref[pp:pp + ln + 1], ref[pp]))
     inss = [(14_000, random_dna(6, seed=4201)),
-            (44_000, random_dna(10, seed=4202))]
+            (44_000, random_dna(10, seed=4202)),
+            (66_000, random_dna(18, seed=4203)),
+            (95_000, random_dna(4, seed=4204))]
     for pp, insseq in inss:
         truth.append((pp, ref[pp], ref[pp] + insseq))
+
+    # breakpoint-sized event: a 400bp deletion, hom in sample 2 —
+    # beyond bubble scale, must be recovered by the breakpoint caller
+    BRK_POS, BRK_LEN = 72_000, 400
 
     # genotype matrix: sample1 carries the first half het, second half
     # absent; sample2 carries the second half (hom) + one shared SNP
     t_sorted = sorted(truth)
     half = len(t_sorted) // 2
     s1_vars = t_sorted[:half] + [t_sorted[half]]
-    s2_vars = t_sorted[half:]
+    s2_vars = t_sorted[half:] + [
+        (BRK_POS, ref[BRK_POS:BRK_POS + BRK_LEN + 1], ref[BRK_POS])]
     s1a, s1b = ref, _apply_variants(ref, s1_vars)          # het
     s2a = s2b = _apply_variants(ref, s2_vars)              # hom
 
-    # ~20x per haplotype, 0.3% error
+    # sample1: SE reads, ~20x per haplotype, 0.3% error
     r1 = simulate_reads(s1a, s1b, 40 * G // 100, 100, 0.003, rng)
-    r2 = simulate_reads(s2a, s2b, 40 * G // 100, 100, 0.003, rng)
+    # sample2: PE reads (FR, insert ~300) at the same total depth
+    p1, p2 = simulate_pe(s2a, s2b, 20 * G // 100, 100, 300, 0.003, rng)
 
     ref_fa = str(tmp_path / "ref.fa")
     with open(ref_fa, "w") as fh:
         fh.write(f">ref\n{ref}\n")
-    files = []
-    for nm, reads in (("s1", r1), ("s2", r2)):
-        f = str(tmp_path / f"{nm}.fa")
-        with open(f, "w") as fh:
-            for i, r in enumerate(reads):
-                fh.write(f">{nm}_{i}\n{r}\n")
-        files.append(f)
+    f1 = str(tmp_path / "s1.fa")
+    with open(f1, "w") as fh:
+        for i, r in enumerate(r1):
+            fh.write(f">s1_{i}\n{r}\n")
+    f2a = str(tmp_path / "s2.1.fa")
+    f2b = str(tmp_path / "s2.2.fa")
+    with open(f2a, "w") as fh:
+        for i, r in enumerate(p1):
+            fh.write(f">s2_{i}/1\n{r}\n")
+    with open(f2b, "w") as fh:
+        for i, r in enumerate(p2):
+            fh.write(f">s2_{i}/2\n{r}\n")
+    samples_txt = str(tmp_path / "samples.txt")
+    with open(samples_txt, "w") as fh:
+        fh.write(f"s1 {f1} . .\n")
+        fh.write(f"s2 . {f2a}:{f2b} .\n")
 
     outdir = str(tmp_path / "pipe")
     rc = mctx(["pipeline", "-k", str(k),
-               "--sample", f"s1:{files[0]}", "--sample", f"s2:{files[1]}",
+               "--samples", samples_txt,
                "--ref", ref_fa, "--kcov", "28,28",
                "-o", outdir])
     assert rc == 0
@@ -102,6 +145,19 @@ def test_pipeline_diploid_50kb(tmp_path):
             missed.append((pp, rr[:8], aa[:8]))
     assert not missed, (len(missed), missed,
                         sorted(found_exact)[:20])
+
+    # the 400bp deletion: must appear in the breakpoints output and in
+    # the decomposed VCF as a long deletion near BRK_POS
+    brk_file = os.path.join(outdir, "breakpoints.txt.gz")
+    assert os.path.exists(brk_file)
+    with gzip.open(brk_file, "rt") as fh:
+        brk_txt = fh.read()
+    assert ">brkpnt" in brk_txt or "call" in brk_txt.lower()
+    big_dels = [r for r in vcf.records
+                if len(r.ref) - len(r.alts[0]) >= BRK_LEN - 2 * k
+                and abs(r.pos - BRK_POS) <= 2 * k]
+    assert big_dels, [(r.pos, len(r.ref), len(r.alts[0]))
+                      for r in vcf.records if len(r.ref) > 50]
 
     # genotyped VCF: GT present for both samples
     geno = vcfio.read_vcf(os.path.join(outdir, "calls.geno.vcf"))
