@@ -281,3 +281,62 @@ def test_bcf_gt_coding_roundtrip(tmp_path):
     vf2 = bcfio.read_bcf(str(p))
     assert vf2.records[0].samples[0]["GT"] == "1|0"
     assert vf2.records[0].samples[1]["GT"] == "."
+
+
+# ---------------------------------------------------------------------------
+# BAM (SAM spec section 4.2)
+# ---------------------------------------------------------------------------
+
+def test_bam_spec_vector(tmp_path):
+    """Hand-packed BAM per the SAM spec section 4.2 (BGZF + BAM\\1 +
+    binary alignment records with 4-bit seq nibbles), decoded by our
+    sequence reader AND the alignment-field parser."""
+    from mccortex_tpu.io import seqio
+
+    header_text = "@HD\tVN:1.6\n@SQ\tSN:chrZ\tLN:500\n"
+    ht = header_text.encode()
+    body = bytearray()
+    body += b"BAM\x01"
+    body += struct.pack("<i", len(ht)) + ht
+    body += struct.pack("<i", 1)                      # n_ref
+    body += struct.pack("<i", 5) + b"chrZ\x00"        # name
+    body += struct.pack("<i", 500)                    # l_ref
+
+    # one mapped record: name "r1", chrZ:10 (0-based 9), MAPQ 42,
+    # CIGAR 4M2D3M, SEQ ACGTACG (7 bases), QUAL 30s
+    name = b"r1\x00"
+    cigar = [(4 << 4) | 0, (2 << 4) | 2, (3 << 4) | 0]   # 4M 2D 3M
+    # 4-bit codes: =ACMGRSVTWYHKDBN -> A=1 C=2 G=4 T=8
+    nib = {"A": 1, "C": 2, "G": 4, "T": 8}
+    seq = "ACGTACG"
+    packed = bytearray()
+    for i in range(0, len(seq), 2):
+        hi = nib[seq[i]] << 4
+        lo = nib[seq[i + 1]] if i + 1 < len(seq) else 0
+        packed.append(hi | lo)
+    rec = bytearray()
+    rec += struct.pack("<ii", 0, 9)                   # ref_id, pos0
+    rec += bytes([len(name)])                         # l_read_name
+    rec += bytes([42])                                # mapq
+    rec += struct.pack("<H", 4680)                    # bin (unused here)
+    rec += struct.pack("<HH", len(cigar), 0)          # n_cigar, flag
+    rec += struct.pack("<i", len(seq))                # l_seq
+    rec += struct.pack("<ii", -1, -1)                 # next ref/pos
+    rec += struct.pack("<i", 0)                       # tlen
+    rec += name
+    for cv in cigar:
+        rec += struct.pack("<I", cv)
+    rec += bytes(packed)
+    rec += bytes([30] * len(seq))                     # qual
+    body += struct.pack("<i", len(rec)) + rec
+
+    p = tmp_path / "spec.bam"
+    p.write_bytes(_bgzf(bytes(body)))
+
+    reads = list(seqio._parse_bam(str(p)))
+    assert len(reads) == 1
+    assert reads[0].name == "r1" and reads[0].seq == "ACGTACG"
+    assert list(reads[0].quals) == [30] * 7
+
+    alns = list(seqio.parse_bam_alignments(str(p)))
+    assert alns == [("r1", 0, "chrZ", 9, 42, 4 + 2 + 3)]
