@@ -340,3 +340,127 @@ def test_bam_spec_vector(tmp_path):
 
     alns = list(seqio.parse_bam_alignments(str(p)))
     assert alns == [("r1", 0, "chrZ", 9, 42, 4 + 2 + 3)]
+
+
+# ---------------------------------------------------------------------------
+# CRAM 3.0 (hts-specs CRAMv3 section 8-10)
+# ---------------------------------------------------------------------------
+
+def _itf8(v):
+    """ITF-8 per CRAMv3 section 2.3 (independent of io/cram.py)."""
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 0x4000:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 0x200000:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 0x10000000:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF,
+                      (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([0xF0 | (v >> 28), (v >> 20) & 0xFF, (v >> 12) & 0xFF,
+                  (v >> 4) & 0xFF, v & 0x0F])
+
+
+def _cram_block(method, ctype, cid, data, comp=None):
+    comp = data if comp is None else comp
+    out = (bytes([method, ctype]) + _itf8(cid) + _itf8(len(comp))
+           + _itf8(len(data)) + comp)
+    return out + struct.pack("<I", zlib.crc32(out))
+
+
+def test_cram_spec_vector(tmp_path):
+    """Hand-built CRAM 3.0 container with codec choices the repo's own
+    writer never emits (HUFFMAN read lengths + BETA flags in the CORE
+    bit stream, BYTE_ARRAY_LEN names, a gzip external block, shuffled
+    block order): the reader must decode it from the spec alone."""
+    import gzip as _gzip
+    from mccortex_tpu.io import cram
+
+    # --- compression header ----------------------------------------
+    # preservation: RN=1, AP=1 (delta), SM default, TD one empty line
+    pres_entries = (b"RN\x01" + b"AP\x01"
+                    + b"SM" + bytes([0x1B] * 5)
+                    + b"TD" + _itf8(1) + b"\x00")
+    pres_body = _itf8(4) + pres_entries
+
+    def enc(key, codec_id, params):
+        return key + _itf8(codec_id) + _itf8(len(params)) + params
+
+    encs = [
+        enc(b"BF", 3, _itf8(1) + _itf8(4) + _itf8(1) + _itf8(0)),
+        # ^ HUFFMAN constant 4 (unmapped), zero-bit code
+        enc(b"CF", 6, _itf8(0) + _itf8(1)),       # BETA offset0 1 bit
+        enc(b"RL", 3, _itf8(2) + _itf8(10) + _itf8(6)
+            + _itf8(2) + _itf8(1) + _itf8(1)),    # HUFFMAN {10, 6}
+        enc(b"AP", 1, _itf8(4)),                  # EXTERNAL cid 4
+        enc(b"RG", 1, _itf8(5)),
+        enc(b"RN", 4, (_itf8(1) + _itf8(len(_itf8(10))) + _itf8(10)
+                       + _itf8(1) + _itf8(len(_itf8(6))) + _itf8(6))),
+        # ^ BYTE_ARRAY_LEN: len EXTERNAL cid10, vals EXTERNAL cid6
+        enc(b"TL", 1, _itf8(7)),
+        enc(b"BA", 1, _itf8(8)),
+        enc(b"QS", 1, _itf8(9)),
+    ]
+    enc_body = _itf8(len(encs)) + b"".join(encs)
+    chdr = (_itf8(len(pres_body)) + pres_body
+            + _itf8(len(enc_body)) + enc_body
+            + _itf8(1) + _itf8(0))                # no tag encodings
+    chdr_block = _cram_block(0, 1, 0, chdr)
+
+    # --- data streams ------------------------------------------------
+    seq1, seq2 = "ACGTACGTAC", "GGGTTT"
+    q1 = bytes(range(35, 45))
+    # core bits per record: CF (1 bit), RL (1 huffman bit; canonical
+    # code over sorted (len,value): 0 -> 6, 1 -> 10)
+    core = bytes([0b11000000])                    # rec1: 1,1  rec2: 0,0
+    ext = {
+        4: _itf8(0) + _itf8(0),                   # AP deltas
+        5: _itf8(0) + _itf8(0),                   # RG
+        6: b"q1q2",                               # RN values
+        7: _itf8(0) + _itf8(0),                   # TL
+        8: (seq1 + seq2).encode(),                # BA
+        9: q1,                                    # QS (rec1 only)
+        10: _itf8(2) + _itf8(2),                  # RN lengths
+    }
+
+    # --- slice -------------------------------------------------------
+    shdr = (_itf8(-1) + _itf8(0) + _itf8(0) + _itf8(2)  # ref,start,span,nrec
+            + b"\x00"                              # counter (ltf8 0)
+            + _itf8(1 + len(ext))                  # nblocks
+            + _itf8(len(ext)) + b"".join(_itf8(c) for c in sorted(ext))
+            + _itf8(-1) + bytes(16))               # embedded ref, md5
+    blocks = [_cram_block(0, 2, 0, shdr),
+              _cram_block(0, 4, 0, core)]
+    # shuffled external order; BA block gzip-compressed
+    for cid in (9, 8, 4, 10, 5, 7, 6):
+        data = ext[cid]
+        if cid == 8:
+            blocks.append(_cram_block(1, 3, cid, data,
+                                      comp=_gzip.compress(data)))
+        else:
+            blocks.append(_cram_block(0, 3, cid, data))
+
+    body = chdr_block + b"".join(blocks)
+
+    def container(body_bytes, ref_id, nrec, nblocks):
+        hdr = (_itf8(ref_id) + _itf8(0) + _itf8(0) + _itf8(nrec)
+               + b"\x00" + b"\x00"                 # counter, bases ltf8
+               + _itf8(nblocks) + _itf8(0))        # nblocks, landmarks
+        return (struct.pack("<i", len(body_bytes)) + hdr
+                + struct.pack("<I", 0) + body_bytes)
+
+    sam_text = "@HD\tVN:1.6\n"
+    sam_block = _cram_block(
+        0, 0, 0, struct.pack("<i", len(sam_text)) + sam_text.encode())
+
+    p = tmp_path / "spec.cram"
+    p.write_bytes(b"CRAM" + bytes([3, 0]) + bytes(20)
+                  + container(sam_block, 0, 0, 1)
+                  + container(body, -1, 2, 1 + len(blocks))
+                  + cram._EOF_CONTAINER)
+
+    got = list(cram.parse_cram(str(p)))
+    assert [(n, s) for n, s, _ in got] == [("q1", seq1), ("q2", seq2)]
+    assert list(got[0][2]) == list(q1)
+    assert got[1][2] is None
