@@ -74,15 +74,26 @@ def _bucketize(keys, covg, edges, owner, n_shards: int, cap: int):
 
 
 def build_step_sharded(mesh: Mesh, k: int, ncols: int, colour: int,
-                       bucket_cap: int, out_cap: int):
+                       bucket_cap: int, out_cap: int,
+                       packed_L: int | None = None):
     """Compile a sharded build step.
 
     Step signature: (bases (B, L) u8 sharded over B, shard-local graph
     arrays) -> merged shard-local graph arrays + dropped count.
     B must divide by n_shards.
+
+    packed_L: when set, the step instead takes (packed, nmask, ...)
+    where packed is the 2-bit (B, ceil(L/4)) u8 from
+    gbuild.pack_reads_np and nmask its (B, ceil(L/8)) N-bitmask —
+    4x less H2D on tunnel/PCIe-bound ingest; decode happens per shard
+    inside the step.
     """
     n_shards = mesh.devices.size
     W = nwords(k)
+
+    def local_step_packed(packed, nmask, keys0, covg0, edges0, n0):
+        bases = gbuild.unpack_reads(packed, nmask, packed_L)
+        return local_step(bases, keys0, covg0, edges0, n0)
 
     def local_step(bases, keys0, covg0, edges0, n0):
         # bases: (B/n, L); graph arrays: local shard slices
@@ -117,6 +128,14 @@ def build_step_sharded(mesh: Mesh, k: int, ncols: int, colour: int,
         return (ok, oc, oe, n.astype(jnp.int64)[None],
                 dropped.astype(jnp.int64)[None])
 
+    if packed_L is not None:
+        mapped = shard_map(
+            local_step_packed, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                      P(AXIS, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                       P(AXIS), P(AXIS)))
+        return jax.jit(mapped)
     mapped = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
@@ -146,7 +165,8 @@ class ShardedBuilder:
     """
 
     def __init__(self, mesh: Mesh, k: int, ncols: int, colour: int,
-                 bucket_cap: int, out_cap: int):
+                 bucket_cap: int, out_cap: int,
+                 packed_L: int | None = None):
         self.mesh = mesh
         self.k = k
         self.ncols = ncols
@@ -155,15 +175,23 @@ class ShardedBuilder:
         self.out_cap = out_cap
         self.n_grows = 0
         self.hier = mesh.devices.ndim == 2
+        if packed_L is not None and self.hier:
+            raise ValueError("packed input is 1-D mesh only")
+        self.packed_L = packed_L
         from jax.sharding import NamedSharding
         spec = P((HOST_AXIS, AXIS), None) if self.hier else P(AXIS, None)
         self._sh2 = NamedSharding(mesh, spec)
         self._recompile()
 
     def _recompile(self):
-        factory = build_step_sharded_2d if self.hier else build_step_sharded
-        self._step = factory(self.mesh, self.k, self.ncols, self.colour,
-                             self.bucket_cap, self.out_cap)
+        if self.hier:
+            self._step = build_step_sharded_2d(
+                self.mesh, self.k, self.ncols, self.colour,
+                self.bucket_cap, self.out_cap)
+        else:
+            self._step = build_step_sharded(
+                self.mesh, self.k, self.ncols, self.colour,
+                self.bucket_cap, self.out_cap, packed_L=self.packed_L)
 
     def empty_state(self):
         fn = empty_sharded_graph_2d if self.hier else empty_sharded_graph
@@ -194,9 +222,18 @@ class ShardedBuilder:
                 jax.device_put(eh, self._sh2))
 
     def step(self, bases, keys, covg, edges, n):
+        """bases: (B, L) u8 codes, or (packed, nmask) when packed_L is
+        set (pack_reads_np layout; nmask all-zeros when the batch has
+        no invalid bases)."""
         while True:
-            ok, oc, oe, on, dropped = self._step(bases, keys, covg,
-                                                 edges, n)
+            if self.packed_L is not None:
+                packed, nmask = bases
+                ok, oc, oe, on, dropped = self._step(packed, nmask,
+                                                     keys, covg,
+                                                     edges, n)
+            else:
+                ok, oc, oe, on, dropped = self._step(bases, keys, covg,
+                                                     edges, n)
             on_max = int(np.asarray(on).max(initial=0))
             drop = int(np.asarray(dropped).sum()) != 0
             if not drop and on_max <= self.out_cap:
@@ -255,7 +292,8 @@ def build_sharded(reads_batches, k: int, ncols: int, mesh: Mesh,
         if key not in builders:
             bucket_cap = _round_pow2(max(256, 4 * M // (n_shards ** 2)))
             builders[key] = ShardedBuilder(mesh, k, ncols, colour,
-                                           bucket_cap, state_cap)
+                                           bucket_cap, state_cap,
+                                           packed_L=L)
         bld = builders[key]
         # capacity grown by another builder: adopt before stepping
         if bld.out_cap != state_cap:
@@ -263,7 +301,10 @@ def build_sharded(reads_batches, k: int, ncols: int, mesh: Mesh,
             bld._recompile()
         if state is None:
             state = bld.empty_state()
-        keys, covg, edges, n = bld.step(np.asarray(bases), *state[:3],
+        packed, nmask, _L = gbuild.pack_reads_np(bases)
+        if nmask is None:
+            nmask = np.zeros((packed.shape[0], -(-L // 8)), np.uint8)
+        keys, covg, edges, n = bld.step((packed, nmask), *state[:3],
                                         state[3])
         state = (keys, covg, edges, n)
         if bld.out_cap != state_cap:   # this step grew the store
