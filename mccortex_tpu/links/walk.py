@@ -41,6 +41,8 @@ from . import store as lstore
 CMAX = 64   # cursor slots per walker
 CMAX2 = 32  # counter-path slots per walker (missing-info check)
 SMAX = 32   # graph-segment window per walker (ref gsegs; age window)
+HOP_CAP = 512  # unitig-interior hop records per walker; when full the
+               # walk gracefully degrades to per-node stepping
 
 # cumulative dropped-pickup counts per walk context, surfaced so every
 # entry point (contigs, bubbles, breakpoints, correct, server) reports
@@ -90,6 +92,16 @@ class LinkedWalkState:
     # full (the reference's lists are unbounded; these SLOTS are a knob,
     # so dropped pickups are counted and surfaced, never silent)
     n_drop: jnp.ndarray = None     # (B,) int32 dropped pickups
+    # unitig-interior hop records (round 5): when a hopinfo is passed to
+    # walk_linked, event-free interior stretches are skipped in one
+    # update and recorded here; out_bases/out_vert gaps are filled on
+    # host by fill_hop_outputs.  hop_v = entry vertex (the skipped
+    # stretch is the next hop_n layout positions after it), hop_off =
+    # the out_len offset the stretch occupies.
+    hop_v: jnp.ndarray = None      # (B, HCAP) int32
+    hop_n: jnp.ndarray = None      # (B, HCAP) int32
+    hop_off: jnp.ndarray = None    # (B, HCAP) int32
+    hop_cnt: jnp.ndarray = None    # (B,) int32
 
 
 def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
@@ -111,7 +123,11 @@ def linked_init(g: gstore.DBGraph, links: lstore.LinkStore,
         cum_conf=jnp.ones((B,), jnp.float32),
         max_gap=jnp.zeros((B,), jnp.int32),
         used=jnp.zeros((max(links.nlinks, 1),), bool),
-        n_drop=jnp.zeros((B,), jnp.int32))
+        n_drop=jnp.zeros((B,), jnp.int32),
+        hop_v=jnp.zeros((B, HOP_CAP), jnp.int32),
+        hop_n=jnp.zeros((B, HOP_CAP), jnp.int32),
+        hop_off=jnp.zeros((B, HOP_CAP), jnp.int32),
+        hop_cnt=jnp.zeros((B,), jnp.int32))
     # pick up links on the seed node itself (ref graph_walker_start ->
     # pickup via _graph_walker_force_jump on first move; the reference
     # picks up at start too via graph_walker_start's caller prime)
@@ -284,6 +300,109 @@ def _path_gap(st: LinkedWalkState, live, bases, rep):
     return cum[jnp.arange(B), astar]
 
 
+# ---------------------------------------------------------------------------
+# unitig-interior hops (round 5, VERDICT item 5): links attach only at
+# unitig heads/tails (thread.py attaches at merge-1 / fork+1, both
+# junction-adjacent), cursor advancement happens only at in-colour
+# forks (unitig tails), age bumps only at forks/in-merges, and a
+# single-out-edge step always proceeds (POPFWD even out of colour) —
+# so the stretch of chain vertices between events is walkable in ONE
+# state update.  Event vertices = chain heads, chain tails, vertices
+# carrying links (covers hand-written .ctp files that attach links
+# anywhere), cycle unitigs and sentinels.
+# ---------------------------------------------------------------------------
+
+_hopinfo_cache: dict = {}
+
+
+def get_hopinfo(g: gstore.DBGraph, links: lstore.LinkStore):
+    """(jump (2N,) i32, tgt (2N,) i32) device arrays: jump[v] = number
+    of event-free vertices following v along its unitig chain, tgt[v] =
+    the vertex jump[v] positions ahead in walk order.  Cached per
+    (store, links) identity; colour-independent."""
+    from ..graph import traverse as T_
+    from ..graph import unitigs as U_
+    from ..graph import store as gstore_
+    ck = (id(g.keys), id(links.offsets))
+    hit = _hopinfo_cache.get(ck)
+    if hit is not None and hit[0] is g.keys and hit[1] is links.offsets:
+        return hit[2]
+    uedges = gstore_.cached_union_edges(g)
+    uv = U_.cached_unitig_view(g.keys, uedges, g.k)
+    chars = T_.cached_emit_chars(g.keys, g.k)
+    end, dist, is_cyc, order, sorted_chars, run_start = \
+        T_._chain_layout(uv, chars)
+    P2 = order.shape[0]
+    pos_of = np.empty(P2, np.int64)
+    pos_of[order] = np.arange(P2)
+    deg = np.diff(np.asarray(links.offsets))
+    has_link = np.zeros(P2, bool)
+    has_link[:min(deg.shape[0], P2)] = deg[:P2] > 0
+    tail = dist == 0
+    head = pos_of == run_start[end]
+    cyc_v = np.repeat(np.asarray(is_cyc, bool), 2)
+    live = ~np.asarray(
+        (np.asarray(g.keys) == np.uint64(sops.SENTINEL64)).all(axis=1))
+    live_v = np.repeat(live, 2)
+    event = head | tail | has_link | cyc_v | ~live_v
+
+    ev_at_pos = event[order]
+    idxs = np.arange(P2, dtype=np.int64)
+    evpos = np.where(ev_at_pos, idxs, P2 + 1)
+    sufmin = np.minimum.accumulate(evpos[::-1])[::-1]
+    nse = np.empty(P2, np.int64)
+    nse[:-1] = sufmin[1:]
+    nse[-1] = P2 + 1
+    jump_pos = np.clip(nse - idxs - 1, 0, None)
+    jump_pos[tail[order]] = 0        # never jump across a chain end
+    jump_pos[cyc_v[order]] = 0
+    tgt_pos = np.clip(idxs + jump_pos, 0, P2 - 1)
+    jump_v = np.zeros(P2, np.int32)
+    tgt_v = np.zeros(P2, np.int32)
+    jump_v[order] = jump_pos.astype(np.int32)
+    tgt_v[order] = order[tgt_pos].astype(np.int32)
+    info = (jnp.asarray(jump_v), jnp.asarray(tgt_v))
+    if len(_hopinfo_cache) > 4:
+        _hopinfo_cache.clear()
+    _hopinfo_cache[ck] = (g.keys, links.offsets, info)
+    return info
+
+
+def fill_hop_outputs(g: gstore.DBGraph, st: LinkedWalkState):
+    """Host: fill the out_bases/out_vert gaps left by interior hops
+    from the unitig walk-order layout.  Returns (out_bases, out_vert)
+    dense numpy arrays."""
+    from ..graph import traverse as T_
+    from ..graph import unitigs as U_
+    from ..graph import store as gstore_
+    ob = np.asarray(st.base.out_bases).copy()
+    ov = np.asarray(st.base.out_vert).copy()
+    hc = np.asarray(st.hop_cnt)
+    if hc.max(initial=0) == 0:
+        return ob, ov
+    uedges = gstore_.cached_union_edges(g)
+    uv = U_.cached_unitig_view(g.keys, uedges, g.k)
+    chars = T_.cached_emit_chars(g.keys, g.k)
+    end, dist, is_cyc, order, sorted_chars, run_start = \
+        T_._chain_layout(uv, chars)
+    pos_of = np.empty(order.shape[0], np.int64)
+    pos_of[order] = np.arange(order.shape[0])
+    hv = np.asarray(st.hop_v)
+    hn = np.asarray(st.hop_n)
+    ho = np.asarray(st.hop_off)
+    Lmax = ob.shape[1]
+    for b in range(ob.shape[0]):
+        for h in range(int(hc[b])):
+            v, n, off = int(hv[b, h]), int(hn[b, h]), int(ho[b, h])
+            if n <= 0:
+                continue
+            p = pos_of[v]
+            n = min(n, Lmax - off)
+            ob[b, off:off + n] = sorted_chars[p + 1:p + 1 + n]
+            ov[b, off:off + n] = order[p + 1:p + 1 + n]
+    return ob, ov
+
+
 def _choose_linked(g, links, st: LinkedWalkState, pop_nib, col_nib,
                    missing_check: bool = False):
     """Full 9-state decision (graph_walker_choose)."""
@@ -351,14 +470,22 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                 min_step: float = -1.0, min_cumul: float = -1.0,
                 track_used: bool = False,
                 forced: jnp.ndarray | None = None,
-                forced_n: jnp.ndarray | None = None) -> LinkedWalkState:
+                forced_n: jnp.ndarray | None = None,
+                hopinfo=None) -> LinkedWalkState:
     """forced/forced_n: per-walker context priming (ref
     graph_walker_prime + graph_walker_traverse): for the first
     forced_n[i] steps, walker i takes forced[i, step] regardless of the
     choose outcome — links are picked up and cursors consumed/killed
     exactly as on a free walk (force_jump semantics).  The forced path
     must exist in the graph (callers prime along aligned read kmers);
-    callers skip the first forced_n outputs."""
+    callers skip the first forced_n outputs.
+
+    hopinfo: optional (jump, tgt) from get_hopinfo — event-free unitig
+    interiors are crossed in one update, with hop records instead of
+    per-step output writes (fill with fill_hop_outputs).  Incompatible
+    with forced priming (prime first, then walk with hops)."""
+    if hopinfo is not None and forced is not None:
+        raise ValueError("hopinfo and forced priming are exclusive")
     start = st.base.nsteps
 
     def cond(st):
@@ -532,6 +659,44 @@ def walk_linked(g: gstore.DBGraph, links: lstore.LinkStore,
             out_bases=out_bases, out_vert=out_vert, out_len=out_len,
             status=new_status.astype(jnp.int32), active=active,
             nsteps=b.nsteps + b.active.astype(jnp.int32))
+        if hopinfo is not None:
+            # unitig-interior hop: the node just arrived at had its
+            # full arrival processing above; if the next jump[v]
+            # vertices are event-free (no links, no degree changes, no
+            # cycles) nothing in the linked state can change across
+            # them — cross in one update and record a hop
+            jump_arr, tgt_arr = hopinfo
+            rowsB = jnp.arange(B)
+            v_now = nb2.idx * 2 + nb2.orient.astype(jnp.int32)
+            J = jump_arr[v_now]
+            room_len = Lmax - nb2.out_len
+            room_steps = max_steps - (nb2.nsteps - start)
+            J = jnp.minimum(J, jnp.minimum(room_len, room_steps))
+            can = (nb2.active & writes & (J > 0)
+                   & (st2.hop_cnt < HOP_CAP))
+            slot = jnp.clip(st2.hop_cnt, 0, HOP_CAP - 1)
+            hop_v = st2.hop_v.at[rowsB, slot].set(
+                jnp.where(can, v_now, st2.hop_v[rowsB, slot]))
+            hop_n = st2.hop_n.at[rowsB, slot].set(
+                jnp.where(can, J, st2.hop_n[rowsB, slot]))
+            hop_off = st2.hop_off.at[rowsB, slot].set(
+                jnp.where(can, nb2.out_len, st2.hop_off[rowsB, slot]))
+            hop_cnt = st2.hop_cnt + can.astype(jnp.int32)
+            Jw = jnp.where(can, J, 0)
+            tgt = tgt_arr[v_now]
+            new_idx = jnp.where(can, tgt >> 1, nb2.idx)
+            new_or = jnp.where(can, (tgt & 1).astype(jnp.uint8),
+                               nb2.orient)
+            new_okm = jnp.where(
+                can[:, None],
+                kops.oriented(g.keys[new_idx], new_or, g.k), nb2.okm)
+            nb2 = nb2.replace(idx=new_idx, orient=new_or, okm=new_okm,
+                              out_len=nb2.out_len + Jw,
+                              nsteps=nb2.nsteps + Jw)
+            st2 = st2.replace(
+                seg_nodes=st2.seg_nodes.at[:, 0].add(Jw),
+                hop_v=hop_v, hop_n=hop_n, hop_off=hop_off,
+                hop_cnt=hop_cnt)
         return st2.replace(base=nb2)
 
     return jax.lax.while_loop(cond, body, st)
@@ -564,12 +729,15 @@ def _other_prev_exists(g, b, lost_nuc, edge_colour):
 def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
                         missing_check=False, adj=None, chunk=512,
                         conf_table=None, min_step=-1.0, min_cumul=-1.0,
-                        track_used=False):
+                        track_used=False, hopinfo=None):
     """Resumable linked walking (bounded per-dispatch execution).
 
     As in graph/traverse.walk_chunked, the all-halted check runs one
     chunk behind the dispatches so the per-chunk host fetch overlaps
-    device work (a speculative chunk on a halted state is a no-op)."""
+    device work (a speculative chunk on a halted state is a no-op).
+
+    With hopinfo, a chunk's nsteps budget covers hopped nodes too, so
+    long contigs complete in a handful of dispatches."""
     done = 0
     prev_active = None
     while done < max_steps:
@@ -578,7 +746,7 @@ def walk_linked_chunked(g, links, st, colour, max_steps, ctpcol=0,
                          ctpcol=ctpcol, missing_check=missing_check,
                          adj=adj, conf_table=conf_table,
                          min_step=min_step, min_cumul=min_cumul,
-                         track_used=track_used)
+                         track_used=track_used, hopinfo=hopinfo)
         done += take
         act = st.base.active.any()
         try:
@@ -604,15 +772,17 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
     seeds = jnp.asarray(seed_rows, jnp.int32)
     from ..graph import adjacency as adjmod
     adj = adjmod.get_adjacency(g)
+    hopinfo = get_hopinfo(g, links)
     halves, stats = [], []
     for o in (0, 1):
         st = linked_init(g, links, seeds, jnp.full((B,), o, jnp.uint8),
                          max_len, ctpcol)
         st = walk_linked_chunked(g, links, st, colour, max_len + 1,
                                  ctpcol=ctpcol,
-                                 missing_check=missing_check, adj=adj)
-        halves.append((np.asarray(st.base.out_bases),
-                       np.asarray(st.base.out_len)))
+                                 missing_check=missing_check, adj=adj,
+                                 hopinfo=hopinfo, chunk=4096)
+        ob, _ov = fill_hop_outputs(g, st)
+        halves.append((ob, np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
         report_drops(st, "contigs")
     seed_strs = kmers_to_strings(np.asarray(g.keys)[seed_rows], g.k)
@@ -728,6 +898,8 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
 
     from ..graph import adjacency as adjmod
     adj = adjmod.get_adjacency(g)
+    hopinfo = get_hopinfo(g, links)
+    hop_chunk = 4096
     # direction 0: cold start at (seed, FORWARD)
     st0 = linked_init(g, links, seeds, jnp.zeros((B,), jnp.uint8),
                       max_len, ctpcol)
@@ -735,9 +907,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                               ctpcol=ctpcol, missing_check=missing_check,
                               adj=adj, conf_table=conf_table,
                               min_step=min_step, min_cumul=min_cumul,
-                              track_used=track_used)
-    fw_b = np.asarray(st0.base.out_bases)
-    fw_v = np.asarray(st0.base.out_vert)
+                              track_used=track_used, hopinfo=hopinfo,
+                              chunk=hop_chunk)
+    fw_b, fw_v = fill_hop_outputs(g, st0)
     fw_l = np.asarray(st0.base.out_len)
     stat0 = np.asarray(st0.base.status)
 
@@ -769,8 +941,9 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                               ctpcol=ctpcol, missing_check=missing_check,
                               adj=adj, conf_table=conf_table,
                               min_step=min_step, min_cumul=min_cumul,
-                              track_used=track_used)
-    rv_b = np.asarray(st1.base.out_bases)
+                              track_used=track_used, hopinfo=hopinfo,
+                              chunk=hop_chunk)
+    rv_b, _rv_v = fill_hop_outputs(g, st1)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)
 

@@ -299,3 +299,63 @@ def test_pickup_overflow_counted():
     assert nd == int(np.asarray(st.n_drop).sum())
     assert "link pickups dropped during testctx" in buf.getvalue()
     assert lwalk.DROP_COUNTS["testctx"] == nd
+
+
+def test_hop_walk_linked_equivalence():
+    """Interior-hop linked walking (get_hopinfo + fill_hop_outputs)
+    must produce exactly the per-node walk's contigs, halt statuses and
+    vertex paths, on a repeat-rich two-colour graph with links."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mccortex_tpu.graph import build as gbuild
+    from mccortex_tpu.links import thread as lthread
+    from mccortex_tpu.links import walk as lwalk
+    from util import random_dna, seq_to_codes
+
+    k = 11
+    rng = np.random.default_rng(909)
+    unit = random_dna(40, seed=910)
+    parts = []
+    for i in range(6):
+        parts.append(random_dna(60, seed=920 + i))
+        parts.append(unit)
+    genome = "".join(parts) + random_dna(60, seed=940)
+    reads = [genome[i:i + 50] for i in range(0, len(genome) - 50, 7)]
+    bases = np.stack([seq_to_codes(s) for s in reads])
+    g = gbuild.build([(bases, 0), (bases[::2], 1)], k, ncols=2)
+    links = lthread.thread_reads(g, [(bases, 0), (bases[::2], 1)], 2)
+    assert links.nlinks > 0
+
+    n = int(g.n)
+    seeds = (np.arange(24) * 13) % n
+    from mccortex_tpu.graph import adjacency as adjmod
+    adj = adjmod.get_adjacency(g)
+    hopinfo = lwalk.get_hopinfo(g, links)
+    for colour in (0, 1, None):
+        st_a = lwalk.linked_init(g, links, jnp.asarray(seeds, jnp.int32),
+                                 jnp.zeros(len(seeds), jnp.uint8), 512)
+        st_a = lwalk.walk_linked_chunked(g, links, st_a, colour, 513,
+                                         adj=adj)
+        st_b = lwalk.linked_init(g, links, jnp.asarray(seeds, jnp.int32),
+                                 jnp.zeros(len(seeds), jnp.uint8), 512)
+        st_b = lwalk.walk_linked_chunked(g, links, st_b, colour, 513,
+                                         adj=adj, hopinfo=hopinfo,
+                                         chunk=4096)
+        ob, ov = lwalk.fill_hop_outputs(g, st_b)
+        la = np.asarray(st_a.base.out_len)
+        lb = np.asarray(st_b.base.out_len)
+        np.testing.assert_array_equal(la, lb)
+        np.testing.assert_array_equal(np.asarray(st_a.base.status),
+                                      np.asarray(st_b.base.status))
+        oa = np.asarray(st_a.base.out_bases)
+        va = np.asarray(st_a.base.out_vert)
+        for i in range(len(seeds)):
+            np.testing.assert_array_equal(oa[i, :la[i]], ob[i, :la[i]],
+                                          err_msg=f"bases col={colour} "
+                                                  f"walker {i}")
+            np.testing.assert_array_equal(va[i, :la[i]], ov[i, :la[i]],
+                                          err_msg=f"verts col={colour} "
+                                                  f"walker {i}")
+        # hops actually happened (the optimisation is live)
+        if colour == 0:
+            assert int(np.asarray(st_b.hop_cnt).sum()) > 0
