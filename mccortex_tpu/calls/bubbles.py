@@ -110,6 +110,7 @@ def _branch_walks(g, links, fork_verts, max_allele, ncols, mesh=None):
     out = []
     from ..graph import adjacency as adjmod
     adj = adjmod.get_adjacency(g)  # one row gather per step, not log2(N)
+    hopinfo = lwalk.get_hopinfo(g, links)
     for c in range(C):
         sel = np.nonzero(meta[:, 2] == c)[0]
         if len(sel) == 0:
@@ -131,7 +132,7 @@ def _branch_walks(g, links, fork_verts, max_allele, ncols, mesh=None):
                 lambda a: _jax.device_put(a, shd), sub)
         sub = lwalk.walk_linked(g, links, sub, c, max_steps=max_allele,
                                 ctpcol=min(c, links.nseen.shape[1] - 1),
-                                adj=adj)
+                                adj=adj, hopinfo=hopinfo)
         lwalk.report_drops(sub, "bubbles")
         out.append((sel, sub))
     return meta, out, B
@@ -230,13 +231,14 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
     if not res:
         return []
     meta, walks, B = res
-    # gather per-walker outputs
+    # gather per-walker outputs (fill interior-hop gaps from the layout)
     verts = np.full((B, max_allele), -1, np.int32)
     bases = np.zeros((B, max_allele), np.uint8)
     lens = np.zeros(B, np.int32)
     for sel, sub in walks:
-        verts[sel] = np.asarray(sub.base.out_vert)
-        bases[sel] = np.asarray(sub.base.out_bases)
+        ob, ov = lwalk.fill_hop_outputs(g, sub)
+        verts[sel] = ov
+        bases[sel] = ob
         lens[sel] = np.asarray(sub.base.out_len)
 
     view = U.unitig_view(g.keys, gstore.union_edges(g), g.k)
