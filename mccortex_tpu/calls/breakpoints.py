@@ -127,6 +127,7 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
     outs = {}
     from ..graph import adjacency as adjmod
     adj = adjmod.get_adjacency(g)  # one row gather per step, not log2(N)
+    hopinfo = lwalk.get_hopinfo(g, links)
     for c in set(meta[:, 2].tolist()):
         sel = np.nonzero(meta[:, 2] == c)[0]
         sub = _take_walkers(st, sel)
@@ -134,7 +135,7 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
                                 max_steps=max_steps,
                                 ctpcol=min(int(c),
                                            links.nseen.shape[1] - 1),
-                                adj=adj)
+                                adj=adj, hopinfo=hopinfo)
         lwalk.report_drops(sub, "breakpoints")
         outs[c] = (sel, sub)
 
@@ -142,8 +143,9 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
     base_paths = np.zeros((B, max_steps), np.uint8)
     lens = np.zeros(B, np.int32)
     for c, (sel, sub) in outs.items():
-        vert_paths[sel] = np.asarray(sub.base.out_vert)
-        base_paths[sel] = np.asarray(sub.base.out_bases)
+        ob, ov = lwalk.fill_hop_outputs(g, sub)
+        vert_paths[sel] = ov
+        base_paths[sel] = ob
         lens[sel] = np.asarray(sub.base.out_len)
 
     # 5p flanks: backward walks from each site (linkless, ref-tracking)
