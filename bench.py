@@ -211,22 +211,36 @@ def main():
         kmers / ((time.perf_counter() - t0) / iters))
     emit(out)
 
-    # secondary: batched lookup.  Every dispatch gets a DISTINCT
-    # pre-staged query buffer and every result is fetched to host: the
-    # axon backend's block_until_ready does not actually synchronise, so
-    # fetch-timing is the only honest clock (scripts/perf_lab4.py).
+    # secondary: batched lookup, chained like the headline epoch: each
+    # iteration's query buffer is a data-dependent roll of the staged
+    # buffer (same key set, so the hit rate is unchanged), iterations
+    # serialise on device, and ONE final int() closes the chain.
+    # Fetch-timing every dispatch (the round-3/4 protocol) pays the
+    # ~20 ms axon RPC round trip per dispatch, which swamps the device
+    # time at this shape (r5 capture: join 66M fetch-timed on a day the
+    # tunnel ran slow vs 98M r4; the chained clock removes that noise
+    # while a real host fetch still bounds the measurement).
     from mccortex_tpu.ops import hashidx
     N_STORE = 4 << 20
     raw = np.unique(rng.integers(0, 1 << 62, size=N_STORE,
                                  dtype=np.uint64))
     store_keys = jnp.asarray(np.sort(raw)[:, None])
     Q = 1 << 22
-    nbuf = 6
     nu_i = store_keys.shape[0]
-    qks = [store_keys[jnp.asarray(rng.integers(0, nu_i, Q))]
-           for _ in range(nbuf)]
-    for q in qks:
-        q.block_until_ready()
+    qk0 = store_keys[jnp.asarray(rng.integers(0, nu_i, Q))]
+    qk0.block_until_ready()
+    liters = 8
+
+    def _timed_lookup(fn, *fixed):
+        s = fn(*fixed, qk0, jnp.int64(0))
+        int(s)                      # compile + sync
+        s = fn(*fixed, qk0, s)
+        int(s)
+        t0 = time.perf_counter()
+        for _ in range(liters):
+            s = fn(*fixed, qk0, s)
+        assert int(s) > 0
+        return (time.perf_counter() - t0) / liters
 
     def _promote_lookup():
         best_v, best_impl = 0, None
@@ -245,16 +259,12 @@ def main():
         from mccortex_tpu.ops import sorted as sops
 
         @jax.jit
-        def lkj(store, qk):
-            idx, found = sops.lookup_join(store, qk)
+        def lkj(store, qk, salt):
+            q = jnp.roll(qk, (salt % 7).astype(jnp.int32), axis=0)
+            idx, found = sops.lookup_join(store, q)
             return (idx * found).astype(jnp.int64).sum()
 
-        np.asarray(lkj(store_keys, qks[0]))
-        np.asarray(lkj(store_keys, qks[1]))
-        t0 = time.perf_counter()
-        valsj = [np.asarray(lkj(store_keys, q)) for q in qks]
-        dtj = (time.perf_counter() - t0) / nbuf
-        assert all(v > 0 for v in valsj)
+        dtj = _timed_lookup(lkj, store_keys)
         out["lookup_join_kmers_per_s"] = round(Q / dtj)
     except Exception as e:
         out["lookup_join_error"] = str(e)[:200]
@@ -268,16 +278,12 @@ def main():
         table, b_bits = hashidx.get_index_for(store_keys)
 
         @jax.jit
-        def lk(table, qk):
-            idx, found = hashidx.lookup_planar(table, qk, b_bits, 1)
+        def lk(table, qk, salt):
+            q = jnp.roll(qk, (salt % 7).astype(jnp.int32), axis=0)
+            idx, found = hashidx.lookup_planar(table, q, b_bits, 1)
             return (idx * found).astype(jnp.int64).sum()
 
-        np.asarray(lk(table, qks[0]))  # compile + warm
-        np.asarray(lk(table, qks[1]))
-        t0 = time.perf_counter()
-        vals = [np.asarray(lk(table, q)) for q in qks]
-        dt_lk = (time.perf_counter() - t0) / nbuf
-        assert all(v > 0 for v in vals)
+        dt_lk = _timed_lookup(lk, table)
         out["lookup_planar_kmers_per_s"] = round(Q / dt_lk)
     except Exception as e:
         out["lookup_planar_error"] = str(e)[:200]
@@ -403,16 +409,12 @@ def main():
             from mccortex_tpu.ops import sorted as sops2
 
             @jax.jit
-            def lkjm(store, qk):
-                idx, found = sops2.lookup_join(store, qk, variant="mp")
+            def lkjm(store, qk, salt):
+                q = jnp.roll(qk, (salt % 7).astype(jnp.int32), axis=0)
+                idx, found = sops2.lookup_join(store, q, variant="mp")
                 return (idx * found).astype(jnp.int64).sum()
 
-            np.asarray(lkjm(store_keys, qks[0]))
-            np.asarray(lkjm(store_keys, qks[1]))
-            t0 = time.perf_counter()
-            valsm = [np.asarray(lkjm(store_keys, q)) for q in qks]
-            dtm = (time.perf_counter() - t0) / nbuf
-            assert all(v > 0 for v in valsm)
+            dtm = _timed_lookup(lkjm, store_keys)
             out["lookup_join_mp_kmers_per_s"] = round(Q / dtm)
         except Exception as e:
             out["lookup_join_mp_error"] = str(e)[:200]
@@ -429,16 +431,12 @@ def main():
             t128j = jnp.asarray(t128)
 
             @jax.jit
-            def lkp(tbl, qk):
-                idx, found = PLK.lookup_fused(tbl, qk, bb128, 1)
+            def lkp(tbl, qk, salt):
+                q = jnp.roll(qk, (salt % 7).astype(jnp.int32), axis=0)
+                idx, found = PLK.lookup_fused(tbl, q, bb128, 1)
                 return (idx * found).astype(jnp.int64).sum()
 
-            np.asarray(lkp(t128j, qks[0]))
-            np.asarray(lkp(t128j, qks[1]))
-            t0 = time.perf_counter()
-            vals2 = [np.asarray(lkp(t128j, q)) for q in qks]
-            dt2 = (time.perf_counter() - t0) / nbuf
-            assert all(v > 0 for v in vals2)
+            dt2 = _timed_lookup(lkp, t128j)
             out["lookup_fused_kmers_per_s"] = round(Q / dt2)
         except Exception as e:
             out["lookup_fused_error"] = str(e)[:200]
