@@ -124,36 +124,30 @@ def _make_kernel(k: int, L: int, nl: int, with_valid: bool = True):
         col = jax.lax.broadcasted_iota(jnp.int32, b.shape, 1)
         zero = jnp.zeros_like(b, jnp.uint32)
 
-        # rolling pack via width doubling on u32 limb lists
+        # rolling pack via width doubling to the OVERSHOT window
+        # P = next-pow2(k), then one shift down by 2*(P-k) drops the
+        # trailing P-k bases.  Raw rolls (no boundary fill): window i's
+        # bit-pair for base offset t is code[(i+t) mod L], so wraparound
+        # garbage sits exactly at offsets t >= k for every VALID window
+        # (valid needs i+k <= L), i.e. only in the bits the final shift
+        # discards; invalid windows are sentinel-filled below anyway.
+        # This replaces the popcount(k)-piece combine of the base-2
+        # decomposition (4 combine steps at k=31, each as costly as a
+        # doubling level) with ONE extra doubling level — and drops the
+        # per-level iota+select of the boundary fill.  2*P always fits
+        # the limbs: k <= 31 -> P = 32 = 2 limbs; k <= 63 -> P = 64 = 4.
+        P = 1 << (k - 1).bit_length()
         code = (b & 3).astype(jnp.uint32)
-        pows = {1: [code] + [zero] * (nl - 1)}
+        limbs = [code] + [zero] * (nl - 1)
         m = 1
-        while m * 2 <= k:
-            limbs = pows[m]
+        while m < P:
             shifted = _shl(limbs, 2 * m)
-            rolled = [_from_right_L(x, m, 0) for x in limbs]
-            pows[m * 2] = _or(shifted, rolled)
+            rolled = [pltpu.roll(x, _i32(L - m), 1) for x in limbs]
+            limbs = _or(shifted, rolled)
             m *= 2
-        acc = None
-        acc_w = 0
-        for bit in range(int(np.log2(k)), -1, -1):
-            m = 1 << bit
-            if k & m:
-                piece = pows[m]
-                if acc is None:
-                    acc, acc_w = piece, m
-                else:
-                    acc = _or(_shl(acc, 2 * m),
-                              [_from_right_L(x, acc_w, 0) for x in piece])
-                    acc_w += m
-        fwd = acc
-        # mask bits above 2k
-        for i in range(nl):
-            lo_bit = 32 * i
-            if 2 * k <= lo_bit:
-                fwd[i] = jnp.zeros_like(fwd[i])
-            elif 2 * k < lo_bit + 32:
-                fwd[i] = fwd[i] & _u32((1 << (2 * k - lo_bit)) - 1)
+        # bits above 2*P are zero by induction (each doubling fills
+        # exactly 4*m low bits), so no masking is needed after the shift
+        fwd = _shr(limbs, 2 * (P - k))
 
         # validity: window fits and contains no invalid base
         inval = (b >= 4).astype(jnp.int32)
