@@ -375,3 +375,24 @@ def test_packed_host_batch_matches_direct():
     assert nmask is None and packed.shape == (4, 13) and L == 50
     dec = np.asarray(gbuild.unpack_reads(jnp.asarray(packed), None, L))
     np.testing.assert_array_equal(dec, codes)
+
+
+def test_lazy_device_merge_matches_plain(monkeypatch):
+    """The lazy LSM fold (ROUND5: merge compaction deferred to the next
+    fold so the count fetch overlaps later epochs) must produce the
+    same graph as the eager host path.  MCTX_FORCE_DEV_MERGE routes the
+    CPU run through the device-merge branch (merge_sorted_fused in
+    interpret mode) so _resolve/_merge_items lazy plumbing is actually
+    exercised: multiple batches force folds at equal levels plus the
+    final-assembly resolution of a still-lazy stack item."""
+    rng = np.random.default_rng(4242)
+    k = 11
+    reads = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(24)]
+    batches = [batchify([(r, 0) for r in reads[i:i + 4]])[0]
+               for i in range(0, 24, 4)]
+    g_plain = gbuild.build(iter(batches), k, ncols=1)
+    monkeypatch.setenv("MCTX_FORCE_DEV_MERGE", "1")
+    g_lazy = gbuild.build(iter(batches), k, ncols=1)
+    assert int(g_plain.n) == int(g_lazy.n)
+    assert graph_to_dict(gstore.compacted(g_plain), k) == \
+        graph_to_dict(gstore.compacted(g_lazy), k)
