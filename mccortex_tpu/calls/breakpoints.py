@@ -143,9 +143,12 @@ def call_breakpoints(g: gstore.DBGraph, ref: KO.RefGenome,
     base_paths = np.zeros((B, max_steps), np.uint8)
     lens = np.zeros(B, np.int32)
     for c, (sel, sub) in outs.items():
+        # prefix-width returns (live pow2 bucket, not the full buffer)
         ob, ov = lwalk.fill_hop_outputs(g, sub)
-        vert_paths[sel] = ov
-        base_paths[sel] = ob
+        wv = min(ov.shape[1], vert_paths.shape[1])
+        wb = min(ob.shape[1], base_paths.shape[1])
+        vert_paths[np.asarray(sel)[:, None], np.arange(wv)] = ov[:, :wv]
+        base_paths[np.asarray(sel)[:, None], np.arange(wb)] = ob[:, :wb]
         lens[sel] = np.asarray(sub.base.out_len)
 
     # 5p flanks: backward walks from each site (linkless, ref-tracking)

@@ -236,9 +236,12 @@ def call_bubbles(g: gstore.DBGraph, links: lstore.LinkStore | None = None,
     bases = np.zeros((B, max_allele), np.uint8)
     lens = np.zeros(B, np.int32)
     for sel, sub in walks:
+        # prefix-width returns (live pow2 bucket, not the full buffer)
         ob, ov = lwalk.fill_hop_outputs(g, sub)
-        verts[sel] = ov
-        bases[sel] = ob
+        wv = min(ov.shape[1], verts.shape[1])
+        wb = min(ob.shape[1], bases.shape[1])
+        verts[np.asarray(sel)[:, None], np.arange(wv)] = ov[:, :wv]
+        bases[np.asarray(sel)[:, None], np.arange(wb)] = ob[:, :wb]
         lens[sel] = np.asarray(sub.base.out_len)
 
     view = U.unitig_view(g.keys, gstore.union_edges(g), g.k)

@@ -695,6 +695,18 @@ def _rank_est_bytes(na, nb, W, C):
     return (2 * (8 * W + 4 * C + C) + 8 + 12) * (na + nb)
 
 
+def _merge_should_fallback(e) -> bool:
+    """Errors the merge fallback chain self-heals: HBM exhaustion AND
+    compiler death (the round-5 10-colour joint build hit an axon
+    remote-compile HTTP 500 / tpu_compile_helper crash on the 22-plane
+    C=10 merge program; rank-scatter compiles fine and produces the
+    identical result, so falling back beats dying 80 minutes into a
+    build)."""
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "remote_compile" in s
+            or "tpu_compile_helper" in s or "INTERNAL" in s)
+
+
 def _resolve(item):
     """Resolve a LAZY merge item — a 6-tuple carrying the un-compacted
     merge output, its in-flight live count, and the input items for the
@@ -717,7 +729,7 @@ def _resolve(item):
         # async RESOURCE_EXHAUSTED surfaces at the deferred fetch: run
         # the same self-healing chain the eager path used, against the
         # retained inputs
-        if "RESOURCE_EXHAUSTED" not in str(e) or ab is None:
+        if not _merge_should_fallback(e) or ab is None:
             raise
         import sys as _sys
         a, b = ab
@@ -727,7 +739,7 @@ def _resolve(item):
         try:
             mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
         except jax.errors.JaxRuntimeError as e2:
-            if "RESOURCE_EXHAUSTED" not in str(e2):
+            if not _merge_should_fallback(e2):
                 raise
             print("[mctx] rank-scatter also exhausted HBM; host "
                   "native merge", file=_sys.stderr)
@@ -780,7 +792,7 @@ def _merge_items(a, b, resident_bytes: int = 0):
             try:
                 mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
             except jax.errors.JaxRuntimeError as e:
-                if "RESOURCE_EXHAUSTED" not in str(e):
+                if not _merge_should_fallback(e):
                     raise
                 import sys as _sys
                 print("[mctx] rank-scatter merge of %d+%d records "
@@ -804,7 +816,7 @@ def _merge_items(a, b, resident_bytes: int = 0):
                                                interpret=force_dev)
             _async_fetch(n)
         except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+            if not _merge_should_fallback(e):
                 raise
             # the static budget can't see the rest of the LSM stack's
             # residency — self-heal with the O(n+m) rank-scatter merge
@@ -816,7 +828,7 @@ def _merge_items(a, b, resident_bytes: int = 0):
                 mk, mc, me = _merge2(a[1], a[2], a[3],
                                      b[1], b[2], b[3])
             except jax.errors.JaxRuntimeError as e2:
-                if "RESOURCE_EXHAUSTED" not in str(e2):
+                if not _merge_should_fallback(e2):
                     raise
                 print("[mctx] rank-scatter also exhausted HBM; host "
                       "native merge", file=_sys.stderr)

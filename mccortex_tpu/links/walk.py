@@ -368,15 +368,58 @@ def get_hopinfo(g: gstore.DBGraph, links: lstore.LinkStore):
     return info
 
 
-def fill_hop_outputs(g: gstore.DBGraph, st: LinkedWalkState):
+@functools.partial(jax.jit, static_argnames=("Lc",))
+def _pack2_dev(ob, Lc: int):
+    """(B, L) u8 base codes -> (B, Lc//4) u8, 4 codes/byte (Lc may
+    exceed L by up to 3 when L is not a multiple of 4)."""
+    if Lc > ob.shape[1]:
+        ob = jnp.concatenate(
+            [ob, jnp.zeros((ob.shape[0], Lc - ob.shape[1]), ob.dtype)],
+            axis=1)
+    q = (ob[:, :Lc].astype(jnp.uint32) & jnp.uint32(3)).reshape(
+        ob.shape[0], Lc // 4, 4)
+    return (q[:, :, 0] | (q[:, :, 1] << jnp.uint32(2))
+            | (q[:, :, 2] << jnp.uint32(4))
+            | (q[:, :, 3] << jnp.uint32(6))).astype(jnp.uint8)
+
+
+def _unpack2_np(packed: np.ndarray, Lc: int) -> np.ndarray:
+    shifts = np.array([0, 2, 4, 6], np.uint8)
+    return ((packed[:, :, None] >> shifts) & 3).astype(np.uint8).reshape(
+        packed.shape[0], -1)[:, :Lc]
+
+
+def fill_hop_outputs(g: gstore.DBGraph, st: LinkedWalkState,
+                     verts: bool = True, verts_cols: int | None = None):
     """Host: fill the out_bases/out_vert gaps left by interior hops
     from the unitig walk-order layout.  Returns (out_bases, out_vert)
-    dense numpy arrays."""
+    dense numpy arrays of width Lc = the pow2 bucket covering
+    max(out_len) (NOT the full max_len buffer width).
+
+    Transfer discipline: the raw buffers are (B, max_len); fetching
+    them whole moved ~0.5 GB per 256-walker/200kb-cap assemble call —
+    the entirety of the round-5 E.coli linked-contigs wall-clock over
+    the ~22 MB/s axon tunnel.  Instead the live prefix is sliced on
+    device (pow2 buckets keep the program count O(log)), the base
+    plane crosses packed 2-bit (4x), and the 4x-wider vertex plane is
+    fetched only when the caller needs it (verts=False skips it;
+    verts_cols=C fetches just the first C columns — context priming
+    reads only the head window)."""
     from ..graph import traverse as T_
     from ..graph import unitigs as U_
     from ..graph import store as gstore_
-    ob = np.asarray(st.base.out_bases).copy()
-    ov = np.asarray(st.base.out_vert).copy()
+    ol = np.asarray(st.base.out_len)
+    Lmax = st.base.out_bases.shape[1]
+    Lc = 4
+    while Lc < min(int(ol.max(initial=0)), Lmax):
+        Lc *= 2
+    Lc = min(Lc, -(-Lmax // 4) * 4)   # pow2 bucket, capped at ceil4(Lmax)
+    ob = _unpack2_np(np.asarray(_pack2_dev(st.base.out_bases, Lc)), Lc)
+    W = min(Lc, Lmax) if verts_cols is None else min(verts_cols, Lmax)
+    if not verts or W == 0:
+        ov = np.full((ob.shape[0], W), -1, np.int32) if verts else None
+    else:
+        ov = np.asarray(st.base.out_vert[:, :W]).copy()
     hc = np.asarray(st.hop_cnt)
     if hc.max(initial=0) == 0:
         return ob, ov
@@ -390,16 +433,19 @@ def fill_hop_outputs(g: gstore.DBGraph, st: LinkedWalkState):
     hv = np.asarray(st.hop_v)
     hn = np.asarray(st.hop_n)
     ho = np.asarray(st.hop_off)
-    Lmax = ob.shape[1]
     for b in range(ob.shape[0]):
         for h in range(int(hc[b])):
             v, n, off = int(hv[b, h]), int(hn[b, h]), int(ho[b, h])
             if n <= 0:
                 continue
             p = pos_of[v]
-            n = min(n, Lmax - off)
-            ob[b, off:off + n] = sorted_chars[p + 1:p + 1 + n]
-            ov[b, off:off + n] = order[p + 1:p + 1 + n]
+            nb = min(n, Lc - off)
+            if nb > 0:
+                ob[b, off:off + nb] = sorted_chars[p + 1:p + 1 + nb]
+            if ov is not None:
+                nv = min(n, W - off)
+                if nv > 0:
+                    ov[b, off:off + nv] = order[p + 1:p + 1 + nv]
     return ob, ov
 
 
@@ -781,7 +827,7 @@ def assemble_contigs_linked(g: gstore.DBGraph, links: lstore.LinkStore,
                                  ctpcol=ctpcol,
                                  missing_check=missing_check, adj=adj,
                                  hopinfo=hopinfo, chunk=4096)
-        ob, _ov = fill_hop_outputs(g, st)
+        ob, _ov = fill_hop_outputs(g, st, verts=False)
         halves.append((ob, np.asarray(st.base.out_len)))
         stats.append(np.asarray(st.base.status))
         report_drops(st, "contigs")
@@ -909,13 +955,14 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                               min_step=min_step, min_cumul=min_cumul,
                               track_used=track_used, hopinfo=hopinfo,
                               chunk=hop_chunk)
-    fw_b, fw_v = fill_hop_outputs(g, st0)
     fw_l = np.asarray(st0.base.out_len)
-    stat0 = np.asarray(st0.base.status)
-
     # direction 1 context: reversed direction-0 path (vertices flipped),
-    # truncated to the last max_context nodes, ending AT the seed
+    # truncated to the last max_context nodes, ending AT the seed.  The
+    # ctx chain reads only fw_v[:, :C-1], so only that head window of
+    # the vertex plane crosses D2H (verts_cols)
     C = int(min(max_context, max(int(fw_l.max()), 0) + 1))
+    fw_b, fw_v = fill_hop_outputs(g, st0, verts_cols=max(C - 1, 0))
+    stat0 = np.asarray(st0.base.status)
     ctx_verts = np.full((B, max(C, 1)), -1, np.int32)
     ctx_len = np.zeros(B, np.int32)
     seed_v1 = (np.asarray(seed_rows) * 2 + 1).astype(np.int32)
@@ -943,7 +990,7 @@ def assemble_contigs_primed(g: gstore.DBGraph, links: lstore.LinkStore,
                               min_step=min_step, min_cumul=min_cumul,
                               track_used=track_used, hopinfo=hopinfo,
                               chunk=hop_chunk)
-    rv_b, _rv_v = fill_hop_outputs(g, st1)
+    rv_b, _rv_v = fill_hop_outputs(g, st1, verts=False)
     rv_l = np.asarray(st1.base.out_len)
     stat1 = np.asarray(st1.base.status)
 
