@@ -28,9 +28,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # reads per grid step: fewer, larger tiles amortise per-step grid/DMA
-# overhead (the kernel is compute-light relative to its VMEM traffic);
+# overhead; lab7 on v5e (chained, RPC-free): 256 -> 4.62 ms, 512 ->
+# 4.33 ms, 1024 -> 4.36 ms, 2048 -> scoped-VMEM OOM at L=256.
 # MCTX_FE_TILE overrides for A/B (perf_lab7)
-TILE_B = int(__import__("os").environ.get("MCTX_FE_TILE", 256))
+TILE_B = int(__import__("os").environ.get("MCTX_FE_TILE", 512))
 
 
 def _i32(v):
