@@ -87,6 +87,7 @@ def reads_to_node_paths(g: gstore.DBGraph, bases: jnp.ndarray, k: int):
     return idx, orient, valid
 
 
+@functools.partial(jax.jit, static_argnames=("k", "edge_colour"))
 def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,
                        orient: jnp.ndarray, valid: jnp.ndarray,
                        bases: jnp.ndarray, k: int, edge_colour: int = 0):
@@ -131,7 +132,7 @@ def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
     """
     k = g.k
     is_fw, fw_base, is_rv, rv_base = junctions_of_paths(
-        g, idx, orient, valid, bases, k, edge_colour)
+        g, idx, orient, valid, bases, k=k, edge_colour=edge_colour)
     is_fw = np.asarray(is_fw)
     is_rv = np.asarray(is_rv)
     fw_base = np.asarray(fw_base)
