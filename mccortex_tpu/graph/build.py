@@ -695,6 +695,11 @@ def _rank_est_bytes(na, nb, W, C):
     return (2 * (8 * W + 4 * C + C) + 8 + 12) * (na + nb)
 
 
+# (W, C) record signatures whose fused merge program killed the
+# compiler this process — routed straight to rank-scatter thereafter
+_FUSED_MERGE_BAD: set = set()
+
+
 def _merge_should_fallback(e) -> bool:
     """Errors the merge fallback chain self-heals: HBM exhaustion AND
     compiler death (the round-5 10-colour joint build hit an axon
@@ -807,6 +812,15 @@ def _merge_items(a, b, resident_bytes: int = 0):
         impl = SORT_IMPL
         if max(na, nb) >= BITONIC_MERGE_MIN and impl == "lax":
             impl = "mp"
+        if (W, C) in _FUSED_MERGE_BAD:
+            # a fused merge at this record signature already killed the
+            # compiler this process (wide-C plane counts; r5 joint
+            # build): go straight to rank-scatter, don't pay another
+            # ~60s failing remote compile per LSM level
+            mk, mc, me = _merge2(a[1], a[2], a[3], b[1], b[2], b[3])
+            if prof:
+                prof.add("dev_merge_rank", time.perf_counter() - t0)
+            return (mk.shape[0], mk, mc, me)
         try:
             # NOTE: no buffer donation here — the RESOURCE_EXHAUSTED
             # fallback below must be able to retry with the same inputs
@@ -818,11 +832,13 @@ def _merge_items(a, b, resident_bytes: int = 0):
         except jax.errors.JaxRuntimeError as e:
             if not _merge_should_fallback(e):
                 raise
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                _FUSED_MERGE_BAD.add((W, C))   # compiler death, not size
             # the static budget can't see the rest of the LSM stack's
             # residency — self-heal with the O(n+m) rank-scatter merge
             import sys as _sys
-            print("[mctx] merge of %d+%d records exhausted HBM; "
-                  "retrying via rank-scatter" % (na, nb),
+            print("[mctx] merge of %d+%d records failed (%s); "
+                  "retrying via rank-scatter" % (na, nb, str(e)[:80]),
                   file=_sys.stderr)
             try:
                 mk, mc, me = _merge2(a[1], a[2], a[3],

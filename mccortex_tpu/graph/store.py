@@ -80,8 +80,19 @@ def _reduce_records_best(keys, covg, edges, capacity: int):
         skeys, scovg, sedges = sops.sort_by_key(keys, covg, edges)
         return sops.unique_reduce(skeys, scovg, sedges, capacity)
     from . import build as _gb
-    ok, oc, oe, n = _gb.reduce_records_fused(
-        keys, covg.astype(jnp.uint32), edges)
+    try:
+        ok, oc, oe, n = _gb.reduce_records_fused(
+            keys, covg.astype(jnp.uint32), edges)
+    except jax.errors.JaxRuntimeError as e:
+        # wide-C plane counts can kill the remote compiler (r5 joint
+        # build); the XLA path compiles everywhere, self-heal to it
+        if not _gb._merge_should_fallback(e):
+            raise
+        import sys as _sys
+        print("[mctx] fused reduce failed (%s); XLA fallback"
+              % str(e)[:80], file=_sys.stderr)
+        skeys, scovg, sedges = sops.sort_by_key(keys, covg, edges)
+        return sops.unique_reduce(skeys, scovg, sedges, capacity)
     N = keys.shape[0]
     if capacity == N:
         return ok, oc.astype(covg.dtype), oe, n
