@@ -621,7 +621,12 @@ class _BuildProf:
 _PROF = None
 
 MIN_LEVEL = 1 << 15
-BUILD_DEPTH = 3   # epochs in flight before a live count is consumed
+# epochs in flight before a live count is consumed: at depth 3 the r5b
+# E.coli profile still blocked 21 ms per count fetch and 39 ms per lazy
+# merge resolve (the transfers complete only after the producing
+# program runs; a deeper queue hides that).  ~51 MB of pending epoch
+# output per slot at the bench shape — trivial beside HBM.
+BUILD_DEPTH = int(__import__("os").environ.get("MCTX_BUILD_DEPTH", 6))
 
 
 def _async_fetch(n):
