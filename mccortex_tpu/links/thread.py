@@ -87,19 +87,27 @@ def reads_to_node_paths(g: gstore.DBGraph, bases: jnp.ndarray, k: int):
     return idx, orient, valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "edge_colour"))
-def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,
-                       orient: jnp.ndarray, valid: jnp.ndarray,
-                       bases: jnp.ndarray, k: int, edge_colour: int = 0):
-    """Per position: (is_fw_junc, fw_base, is_rv_junc, rv_base_raw).
+@functools.partial(jax.jit, static_argnames=("k", "edge_colour", "cap"))
+def _junction_records(g: gstore.DBGraph, idx: jnp.ndarray,
+                      orient: jnp.ndarray, valid: jnp.ndarray,
+                      k: int, edge_colour: int, cap: int):
+    """Compact junction/run-boundary records for a batch of node paths.
 
     fw junction at i: outdeg>1 and position i+1 valid; choice base =
     last base of the oriented node at i+1.
     rv junction at i: indeg>1 and position i-1 valid; raw base = first
     base of the oriented node at i-1 (complemented later).
-    (ref generate_paths.c:351-378).  Bases are derived from the node
-    path itself so gap-bridged paths (whose bases differ from the read)
-    work unchanged; `bases` is unused but kept for API stability.
+    (ref generate_paths.c:351-378.)
+
+    Only positions that are junctions or valid-run boundaries are
+    emitted (ascending flat order), each carrying the neighbour verts
+    the host attach loops need — the dense (B, P) planes never cross
+    the device boundary (over the TPU tunnel they were ~39 MB per 32k
+    read batch; records are a few thousand).  Returns
+    (n_true, pos_flat, flags[fw|rv<<1|start<<2|end<<3], fw_base,
+    rv_base, vert_prev, vert_next); entries past n_true are padding,
+    and n_true > cap means the record buffer overflowed (caller grows
+    and retries — the computation is pure).
     """
     B, P = idx.shape
     ebyte = g.edges[idx, edge_colour]
@@ -111,48 +119,99 @@ def junctions_of_paths(g: gstore.DBGraph, idx: jnp.ndarray,
         [jnp.zeros((B, 1), bool), valid[:, :-1]], axis=1)
     is_fw = valid & nxt_valid & (outdeg > 1)
     is_rv = valid & prv_valid & (indeg > 1)
+    start = valid & ~prv_valid
+    end = valid & ~nxt_valid
     okm = kops.oriented(g.keys[idx], orient, k)
-    lastb = kops.last_base(okm)    # (B, P)
-    firstb = kops.first_base(okm, k)
+    lastb = (kops.last_base(okm) & 3).astype(jnp.uint8)
+    firstb = (kops.first_base(okm, k) & 3).astype(jnp.uint8)
     # choice base for fw junc at i = last base of node i+1
     fw_base = jnp.concatenate(
-        [lastb[:, 1:], jnp.zeros((B, 1), lastb.dtype)], axis=1) & 3
+        [lastb[:, 1:], jnp.zeros((B, 1), jnp.uint8)], axis=1)
     # raw base for rv junc at i = first base of node i-1
     rv_base = jnp.concatenate(
-        [jnp.zeros((B, 1), firstb.dtype), firstb[:, :-1]], axis=1) & 3
-    return is_fw, fw_base, is_rv, rv_base
+        [jnp.zeros((B, 1), jnp.uint8), firstb[:, :-1]], axis=1)
+    vert = idx.astype(jnp.int32) * 2 + orient.astype(jnp.int32)
+    vprev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), vert[:, :-1]], axis=1)
+    vnext = jnp.concatenate(
+        [vert[:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1)
+    flags = (is_fw.astype(jnp.uint8)
+             | (is_rv.astype(jnp.uint8) << 1)
+             | (start.astype(jnp.uint8) << 2)
+             | (end.astype(jnp.uint8) << 3))
+    mask = flags > 0
+    n = jnp.sum(mask, dtype=jnp.int32)
+    sel = jnp.nonzero(mask.reshape(-1), size=cap, fill_value=B * P)[0]
+    selc = jnp.minimum(sel, B * P - 1).astype(jnp.int32)
+
+    def take(a):
+        return a.reshape(-1)[selc]
+
+    pos = jnp.where(sel == B * P, -1, sel).astype(jnp.int32)
+    return (n, pos, take(flags), take(fw_base), take(rv_base),
+            take(vprev), take(vnext))
+
+
+# record-buffer size hint carried across batches (same density ->
+# one compile); grown to the next pow2 on overflow
+_REC_CAP_HINT = [4096]
 
 
 def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
                    colour: int, edge_colour: int = 0, jmax: int = 0):
     """Emit raw link records for a batch of node paths (host+device mix).
 
+    `bases` is unused (junction bases derive from the node path itself
+    so gap-bridged paths work unchanged); kept for API stability.
     Returns (rows, orients, juncs (L, Jmax) u8, nj, colours) numpy arrays
     ready for lstore.build_store.
     """
     k = g.k
-    is_fw, fw_base, is_rv, rv_base = junctions_of_paths(
-        g, idx, orient, valid, bases, k=k, edge_colour=edge_colour)
-    is_fw = np.asarray(is_fw)
-    is_rv = np.asarray(is_rv)
-    fw_base = np.asarray(fw_base)
-    rv_base = np.asarray(rv_base)
-    idx = np.asarray(idx)
-    orient = np.asarray(orient)
-    valid = np.asarray(valid)
+    idx = jnp.asarray(idx)
+    orient = jnp.asarray(orient)
+    valid = jnp.asarray(valid)
+    cap = _REC_CAP_HINT[0]
+    if jmax:
+        cap = max(cap, 1 << (int(jmax) - 1).bit_length())
+    while True:
+        n, pos, flags, fwb, rvb, vprev, vnext = _junction_records(
+            g, idx, orient, valid, k=k, edge_colour=edge_colour, cap=cap)
+        n = int(n)
+        if n <= cap:
+            break
+        cap = 1 << (n - 1).bit_length()
+    _REC_CAP_HINT[0] = max(_REC_CAP_HINT[0], cap)
+    pos = np.asarray(pos)[:n]
+    flags = np.asarray(flags)[:n]
+    fwb = np.asarray(fwb)[:n]
+    rvb = np.asarray(rvb)[:n]
+    vprev = np.asarray(vprev)[:n]
+    vnext = np.asarray(vnext)[:n]
 
     rows_out, orients_out, junc_out, nj_out = [], [], [], []
-    B, P = idx.shape
-    for b in range(B):
-        # split into contiguous valid runs (gaps split contigs, like the
-        # reference's alignment gap handling before gap-filling)
-        v = valid[b]
-        run_starts = np.nonzero(v & ~np.concatenate([[False], v[:-1]]))[0]
-        run_ends = np.nonzero(v & ~np.concatenate([v[1:], [False]]))[0]
-        for s, e in zip(run_starts, run_ends):
-            _thread_one(idx[b], orient[b], is_fw[b], fw_base[b],
-                        is_rv[b], rv_base[b], s, e,
-                        rows_out, orients_out, junc_out, nj_out)
+    i = 0
+    while i < n:
+        # records of one valid run: start-flag record .. end-flag record
+        fw_pos, fw_base, fw_att = [], [], []
+        rv_pos, rv_att = [], []
+        nuc_rv = []
+        j = i
+        while True:
+            f = flags[j]
+            if f & 1:
+                fw_pos.append(int(pos[j]))
+                fw_base.append(int(fwb[j]))
+                fw_att.append(int(vnext[j]))
+            if f & 2:
+                rv_pos.append(int(pos[j]))
+                nuc_rv.append((3 - int(rvb[j])) & 3)
+                rv_att.append(int(vprev[j]))
+            if f & 8:
+                break
+            j += 1
+        _emit_run(fw_pos, fw_base, fw_att, rv_pos, nuc_rv, rv_att,
+                  rows_out, orients_out, junc_out, nj_out)
+        i = j + 1
     L = len(rows_out)
     if L == 0:
         return (np.zeros(0, np.int64), np.zeros(0, np.int64),
@@ -166,49 +225,48 @@ def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
             np.array(nj_out), np.full(L, colour, np.int64))
 
 
-def _thread_one(idx, orient, is_fw, fw_base, is_rv, rv_base, s, e,
-                rows_out, orients_out, junc_out, nj_out):
-    """Sequential per-contig link emission (ref _juncs_to_paths).  The
-    runs are short (read length); the heavy lifting (lookups, degrees)
-    happened on device."""
-    pos_fw = [i for i in range(s, e + 1) if is_fw[i] and i + 1 <= e]
-    pos_rv = [i for i in range(s, e + 1) if is_rv[i] and i > s]
-    if not pos_fw or not pos_rv:
+def _emit_run(fw_pos, fw_base, fw_att, rv_pos, nuc_rv, rv_att,
+              rows_out, orients_out, junc_out, nj_out):
+    """Sequential per-contig link emission (ref _juncs_to_paths) over one
+    valid run's junction records.  Positions are flat (row * P + p) —
+    within a run all comparisons are same-row so flat order works.  The
+    is_fw/is_rv definitions already bound junctions away from the run
+    ends (nxt_valid/prv_valid + run maximality), so no edge filtering is
+    needed here."""
+    if not fw_pos or not rv_pos:
         return
-    nuc_fw = [fw_base[i] for i in pos_fw]
-    # rv choices: complement of read base before i, in DESCENDING pos
-    nuc_rv = [(3 - rv_base[i]) & 3 for i in pos_rv]
 
     # FW links: for each merge at p (ascending), attach at p-1 along fw.
     # The loop breaks when no fw junction remains at pos >= p; the
     # backtrack then ALSO includes a junction exactly at the attach node
     # (ref _juncs_to_paths "bCD ... backtrack to add the 'F'" comment).
-    for p in pos_rv:
+    for pi, p in enumerate(rv_pos):
         js = 0
-        while js < len(pos_fw) and pos_fw[js] < p:
+        while js < len(fw_pos) and fw_pos[js] < p:
             js += 1
-        if js == len(pos_fw):
+        if js == len(fw_pos):
             break
-        js -= (js > 0 and pos_fw[js - 1] == p - 1)
-        attach = p - 1
-        rows_out.append(idx[attach])
-        orients_out.append(orient[attach])
-        junc_out.append(nuc_fw[js:])
-        nj_out.append(len(nuc_fw) - js)
+        js -= (js > 0 and fw_pos[js - 1] == p - 1)
+        v = rv_att[pi]              # vert at p-1
+        rows_out.append(v >> 1)
+        orients_out.append(v & 1)
+        junc_out.append(fw_base[js:])
+        nj_out.append(len(fw_base) - js)
 
     # RV links: for each fork at q (descending), attach at q+1 against fw
-    pos_rv_desc = pos_rv[::-1]
+    rv_pos_desc = rv_pos[::-1]
     nuc_rv_desc = nuc_rv[::-1]
-    for q in pos_fw[::-1]:
+    for qi in range(len(fw_pos) - 1, -1, -1):
+        q = fw_pos[qi]
         js = 0
-        while js < len(pos_rv_desc) and pos_rv_desc[js] > q:
+        while js < len(rv_pos_desc) and rv_pos_desc[js] > q:
             js += 1
-        if js == len(pos_rv_desc):
+        if js == len(rv_pos_desc):
             break
-        js -= (js > 0 and pos_rv_desc[js - 1] == q + 1)
-        attach = q + 1
-        rows_out.append(idx[attach])
-        orients_out.append(1 - orient[attach])
+        js -= (js > 0 and rv_pos_desc[js - 1] == q + 1)
+        v = fw_att[qi]              # vert at q+1
+        rows_out.append(v >> 1)
+        orients_out.append(1 - (v & 1))
         junc_out.append(nuc_rv_desc[js:])
         nj_out.append(len(nuc_rv_desc) - js)
 
