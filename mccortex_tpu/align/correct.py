@@ -242,8 +242,8 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
         links = lstore.empty(g.capacity, g.ncols)
     if aln_stats is None:
         aln_stats = CorrectAlnStats()
-    bj = jnp.asarray(bases)
-    idx, orient, valid = lthread.reads_to_node_paths(g, bj, k)
+    bases = np.asarray(bases)
+    idx, orient, valid = lthread.reads_to_node_paths(g, bases, k)
     idx = np.asarray(idx)
     orient = np.asarray(orient)
     valid = np.asarray(valid)

@@ -995,9 +995,8 @@ def cmd_thread(argv):
         links = None
     if args.print_contigs and batches:
         for bcodes, _c in batches:
-            import jax.numpy as jnp
             idx, orient, valid = lthread.reads_to_node_paths(
-                g, jnp.asarray(bcodes), g.k)
+                g, np.asarray(bcodes), g.k)
             idx, orient, valid = (np.asarray(idx), np.asarray(orient),
                                   np.asarray(valid))
             for b in range(idx.shape[0]):

@@ -254,8 +254,7 @@ def _reads_touch_graph(g, reads):
             s = reads[i].seq
             arr[r, :len(s)] = CHAR_TO_BASE[
                 np.frombuffer(s.encode(), np.uint8)]
-        _, _, valid = lthread.reads_to_node_paths(g, jnp.asarray(arr),
-                                                  g.k)
+        _, _, valid = lthread.reads_to_node_paths(g, arr, g.k)
         out[np.asarray(idxs)] = np.asarray(valid).any(axis=1)
     return out
 
@@ -433,7 +432,7 @@ def cmd_coverage(argv):
         L = 1 << max(len(arr) - 1, 1).bit_length()
         pad = np.full((1, L), 4, np.uint8)
         pad[0, :len(arr)] = arr
-        i, o, v = lthread.reads_to_node_paths(g, jnp.asarray(pad), g.k)
+        i, o, v = lthread.reads_to_node_paths(g, pad, g.k)
         return np.asarray(i[0]), np.asarray(o[0]), np.asarray(v[0])
 
     for path in args.seq:

@@ -70,18 +70,38 @@ def _extract_canonical(bases: jnp.ndarray, k: int):
     return keys, orient, valid
 
 
+@functools.partial(jax.jit, static_argnames=("L", "k"))
+def _extract_canonical_packed(packed, nmask, L: int, k: int):
+    from ..graph import build as gbuild
+    bases = gbuild.unpack_reads(packed, nmask, L)
+    kmers, valid = kops.rolling_kmers(bases, k)
+    keys, orient = kops.canonical(kmers, k)
+    return keys, orient, valid
+
+
 @jax.jit
 def _combine_valid(idx, valid, found):
     return idx.astype(jnp.int32), valid & found
 
 
-def reads_to_node_paths(g: gstore.DBGraph, bases: jnp.ndarray, k: int):
+def reads_to_node_paths(g: gstore.DBGraph, bases, k: int):
     """Map reads (B, P) to node paths: (idx, orient, valid) per position.
     A position is valid if its kmer window is clean AND present in the
     graph.  Host-level: the store lookup goes through the planar
-    hashed-bucket index (ops/hashidx.py), one row gather per kmer."""
+    hashed-bucket index (ops/hashidx.py), one row gather per kmer.
+
+    Host numpy batches ship 2-bit packed (+N-mask when needed) and
+    decode inside the extraction program — 4x less H2D on the
+    tunnel/PCIe-bound ingest, same as the build path."""
     from ..ops import hashidx
-    keys, orient, valid = _extract_canonical(bases, k)
+    if isinstance(bases, np.ndarray):
+        from ..graph import build as gbuild
+        packed, nmask, L = gbuild.pack_reads_np(bases)
+        nd = jax.device_put(nmask) if nmask is not None else None
+        keys, orient, valid = _extract_canonical_packed(
+            jax.device_put(packed), nd, L, k)
+    else:
+        keys, orient, valid = _extract_canonical(bases, k)
     idx, found = hashidx.lookup(g.keys, keys)
     idx, valid = _combine_valid(idx, valid, found)
     return idx, orient, valid
@@ -279,10 +299,10 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
     split at missing/unclean kmers)."""
     all_recs = []
     for bases, colour in read_batches:
-        bj = jnp.asarray(bases)
-        idx, orient, valid = reads_to_node_paths(g, bj, g.k)
+        idx, orient, valid = reads_to_node_paths(
+            g, np.asarray(bases), g.k)
         _record_valid_runs(stats, colour, valid, g.k)
-        recs = thread_contigs(g, idx, orient, valid, bj, colour,
+        recs = thread_contigs(g, idx, orient, valid, None, colour,
                               edge_colour)
         if len(recs[0]):
             all_recs.append(recs)
