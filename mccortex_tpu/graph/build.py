@@ -549,7 +549,14 @@ def build(reads_batches, k: int, ncols: int = 1,
 
     for bases, colour in reads_batches:
         t0 = time.perf_counter() if prof else 0.0
-        if isinstance(bases, np.ndarray):
+        if isinstance(bases, tuple) and len(bases) == 3:
+            # pre-staged batch (packed_dev, nmask_dev|None, L): reads
+            # already on device — measures the build pipeline without
+            # ingest H2D (and serves callers that staged ahead)
+            packed, nmask, L = bases
+            out = _count_batch_packed(packed, nmask, L, k, ncols,
+                                      colour)
+        elif isinstance(bases, np.ndarray):
             # host batch: 2-bit pack -> 4x less H2D (tunnel/PCIe bound)
             out = count_batch_host(bases, k, ncols, colour)
         else:

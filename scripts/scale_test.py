@@ -88,6 +88,26 @@ def main():
     print(f"build(warm): {t_build:.1f}s  "
           f"({total_kmers/t_build/1e6:.2f}M kmer-obs/s)", file=sys.stderr)
 
+    # device-ingest pass: reads pre-staged on device (2-bit packed) —
+    # the build pipeline without the tunnel/PCIe H2D.  On the axon
+    # tunnel (~22 MB/s) packed H2D alone floors e2e at ~70M obs/s for
+    # this recipe; local hosts move the same bytes at 10+ GB/s.
+    staged = []
+    for bases, colour in batches:
+        packed, nmask, L = gbuild.pack_reads_np(bases)
+        pd = jax.device_put(packed)
+        nd = jax.device_put(nmask) if nmask is not None else None
+        staged.append(((pd, nd, L), colour))
+    staged[-1][0][0].block_until_ready()
+    t0 = time.perf_counter()
+    g = gbuild.build(staged, k, ncols=1)
+    g.keys.block_until_ready()
+    t_build_dev = time.perf_counter() - t0
+    print(f"build(device-ingest): {t_build_dev:.1f}s  "
+          f"({total_kmers/t_build_dev/1e6:.2f}M kmer-obs/s)",
+          file=sys.stderr)
+    del staged
+
     t0 = time.perf_counter()
     hist = gclean.covg_histogram(g)
     cutoff, a, b_, fp, fn = gclean.pick_kmer_threshold(hist)
@@ -198,6 +218,8 @@ def main():
         "genome_mb": gsize / 1e6, "coverage": cov,
         "build_warm_s": round(t_build, 1),
         "build_kmer_obs_per_s": round(total_kmers / t_build),
+        "build_dev_s": round(t_build_dev, 1),
+        "build_dev_kmer_obs_per_s": round(total_kmers / t_build_dev),
         "clean_s": round(t_clean, 1),
         "lookup_mkmers_per_s": round(Q / t_lookup / 1e6, 1),
         "contigs_s": round(t_contig, 1),
