@@ -516,7 +516,7 @@ def build(reads_batches, k: int, ncols: int = 1,
         for it in stack:
             if it is not exclude:
                 tot += _item_bytes(it)
-        for kk, cc, ee, _nu in pending:
+        for (kk, cc, ee, _nu), _b, _c in pending:
             tot += kk.shape[0] * (8 * kk.shape[1] + 5 * cc.shape[1])
         return tot
 
@@ -529,10 +529,45 @@ def build(reads_batches, k: int, ncols: int = 1,
 
     drains = [0]
 
+    def _dispatch(bases, colour):
+        if isinstance(bases, tuple) and len(bases) == 3:
+            # pre-staged batch (packed_dev, nmask_dev|None, L): reads
+            # already on device — measures the build pipeline without
+            # ingest H2D (and serves callers that staged ahead)
+            packed, nmask, L = bases
+            return _count_batch_packed(packed, nmask, L, k, ncols,
+                                       colour)
+        if isinstance(bases, np.ndarray):
+            # host batch: 2-bit pack -> 4x less H2D (tunnel/PCIe bound)
+            return count_batch_host(bases, k, ncols, colour)
+        return count_batch_best(jnp.asarray(bases), k, ncols, colour)
+
+    def _heal_residency():
+        # free device memory before a retry: resolve every lazy merge
+        # item (their retained un-compacted inputs are the big
+        # buffers).  Wide-C builds (joint calling, C=10: 5x the bytes
+        # per record) hit this — the epoch program's own allocation
+        # fails while lazy inputs idle in HBM.
+        for i_ in range(len(stack)):
+            stack[i_] = _resolve(stack[i_])
+
     def drain_one():
-        keys, covg, edges, nu = pending.popleft()
+        out, bases_, colour_ = pending.popleft()
+        keys, covg, edges, nu = out
         t0 = time.perf_counter() if prof else 0.0
-        n_live = int(nu)
+        try:
+            n_live = int(nu)
+        except jax.errors.JaxRuntimeError as e:
+            # async epoch failure surfaces at the count fetch; heal
+            # residency and re-run this batch's epoch
+            if not _merge_should_fallback(e):
+                raise
+            print("[mctx] batch epoch exhausted HBM at drain; "
+                  "resolving lazy merges and re-running",
+                  file=__import__("sys").stderr)
+            _heal_residency()
+            keys, covg, edges, nu = _dispatch(bases_, colour_)
+            n_live = int(nu)
         if prof:
             prof.add("count_fetch", time.perf_counter() - t0)
             drains[0] += 1
@@ -547,26 +582,53 @@ def build(reads_batches, k: int, ncols: int = 1,
                     pass
         fold(_compact_item(keys, covg, edges, n_live))
 
-    for bases, colour in reads_batches:
-        t0 = time.perf_counter() if prof else 0.0
+    def _split_rows(bases):
         if isinstance(bases, tuple) and len(bases) == 3:
-            # pre-staged batch (packed_dev, nmask_dev|None, L): reads
-            # already on device — measures the build pipeline without
-            # ingest H2D (and serves callers that staged ahead)
             packed, nmask, L = bases
-            out = _count_batch_packed(packed, nmask, L, k, ncols,
-                                      colour)
-        elif isinstance(bases, np.ndarray):
-            # host batch: 2-bit pack -> 4x less H2D (tunnel/PCIe bound)
-            out = count_batch_host(bases, k, ncols, colour)
-        else:
-            out = count_batch_best(jnp.asarray(bases), k, ncols, colour)
+            h = packed.shape[0] // 2
+            return ((packed[:h], None if nmask is None else nmask[:h],
+                     L),
+                    (packed[h:], None if nmask is None else nmask[h:],
+                     L))
+        h = bases.shape[0] // 2
+        return bases[:h], bases[h:]
+
+    def dispatch_batch(bases, colour, depth=0):
+        try:
+            out = _dispatch(bases, colour)
+        except jax.errors.JaxRuntimeError as e:
+            if not _merge_should_fallback(e):
+                raise
+            print("[mctx] batch epoch exhausted HBM; resolving lazy "
+                  "merges and retrying",
+                  file=__import__("sys").stderr)
+            while pending:
+                drain_one()
+            _heal_residency()
+            try:
+                out = _dispatch(bases, colour)
+            except jax.errors.JaxRuntimeError as e2:
+                nrows = (bases[0] if isinstance(bases, tuple)
+                         else bases).shape[0]
+                if (not _merge_should_fallback(e2) or depth >= 4
+                        or nrows < 2):
+                    raise
+                print("[mctx] still exhausted; splitting batch %d -> "
+                      "2 x %d rows" % (nrows, nrows // 2),
+                      file=__import__("sys").stderr)
+                for half in _split_rows(bases):
+                    dispatch_batch(half, colour, depth + 1)
+                return
         _async_fetch(out[3])
-        if prof:
-            prof.add("batch_dispatch", time.perf_counter() - t0)
-        pending.append(out)
+        pending.append((out, bases, colour))
         if len(pending) >= BUILD_DEPTH:
             drain_one()
+
+    for bases, colour in reads_batches:
+        t0 = time.perf_counter() if prof else 0.0
+        dispatch_batch(bases, colour)
+        if prof:
+            prof.add("batch_dispatch", time.perf_counter() - t0)
     while pending:
         drain_one()
     if not stack:

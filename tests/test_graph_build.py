@@ -396,3 +396,36 @@ def test_lazy_device_merge_matches_plain(monkeypatch):
     assert int(g_plain.n) == int(g_lazy.n)
     assert graph_to_dict(gstore.compacted(g_plain), k) == \
         graph_to_dict(gstore.compacted(g_lazy), k)
+
+
+def test_batch_epoch_oom_self_heal(monkeypatch):
+    """A RESOURCE_EXHAUSTED batch epoch must self-heal (resolve lazy
+    merges + retry), and a second failure must split the batch — the
+    graph must come out identical either way (joint-calling C=10 hit
+    this in r5c: lazy merge inputs idled in HBM while the next epoch
+    failed to allocate)."""
+    import jax
+    rng = np.random.default_rng(99)
+    k = 11
+    reads = ["".join(rng.choice(list("ACGT"), size=60))
+             for _ in range(16)]
+    batches = [batchify([(r, 0) for r in reads[i:i + 4]])[0]
+               for i in range(0, 16, 4)]
+    g_plain = gbuild.build(iter(batches), k, ncols=1)
+
+    real = gbuild.count_batch_host
+    fails = {"n": 2}   # first call heals+retries; retry fails -> split
+
+    def flaky(bases_np, k_, ncols_, colour_):
+        if fails["n"] > 0 and bases_np.shape[0] == 4:
+            fails["n"] -= 1
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: injected")
+        return real(bases_np, k_, ncols_, colour_)
+
+    monkeypatch.setattr(gbuild, "count_batch_host", flaky)
+    g_heal = gbuild.build(iter(batches), k, ncols=1)
+    assert fails["n"] == 0
+    assert int(g_plain.n) == int(g_heal.n)
+    assert graph_to_dict(gstore.compacted(g_plain), k) == \
+        graph_to_dict(gstore.compacted(g_heal), k)
