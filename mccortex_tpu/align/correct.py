@@ -349,8 +349,14 @@ def correct_batch(g: gstore.DBGraph, links: lstore.LinkStore | None,
                                forced=jnp.asarray(forced),
                                forced_n=jnp.asarray(forced_n))
         aln_stats.num_link_drops += lwalk.report_drops(st, "correct")
-        wverts = np.asarray(st.base.out_vert)
+        # prefix-sized fetch: lens first (tiny), then only the pow2
+        # bucket of columns any walker actually wrote — the full
+        # (2G, max_steps) plane is dead weight on the tunnel
         wlens = np.asarray(st.base.out_len)
+        ml = int(wlens.max()) if wlens.size else 1
+        Wb = min(1 << max(ml, 1).bit_length(),
+                 st.base.out_vert.shape[1])
+        wverts = np.asarray(st.base.out_vert[:, :Wb])
         for gi, (b, l, r) in enumerate(gaps):
             lo, hi, dead, is_ins, gap_est = gap_bounds[gi]
             if dead:
