@@ -748,13 +748,16 @@ def _merge_est_bytes(na, nb, W, C):
         * (na + nb)
 
 
-# absolute ceiling on device merges: above this total record count even
-# the rank-scatter path cannot fit beside the resident store, so the
-# merge goes to the host native C++ merge (the axon tunnel moves only
-# ~22MB/s, so this is a last resort — round-4 100Mb profiling: 275s of
-# spill fetches + 114s final upload vs 18s of device merges).
+# blunt record-count gate forcing merges to the host native path.
+# OFF by default since round 5: the r5c 100Mb profile showed the two
+# >160M-record top merges cost 688s of spill fetch + 30s host merge +
+# 82s re-upload through the ~22MB/s tunnel, while the rank-scatter
+# estimate (46B/record ~ 8.3GB at 180M records) fits the 16GB chip —
+# and the RESOURCE_EXHAUSTED self-heal chain makes an optimistic
+# device attempt safe (worst case: one failed allocation, then the
+# same host path).  Set MCTX_MERGE_HOST_MIN to restore a hard cutoff.
 MERGE_HOST_MIN = int(__import__("os").environ.get(
-    "MCTX_MERGE_HOST_MIN", 160 << 20))
+    "MCTX_MERGE_HOST_MIN", 1 << 62))
 # device ceilings for the two merge engines, counting estimated temps
 # PLUS the resident LSM stack (passed by build's fold)
 MERGE_MP_CEIL = int(__import__("os").environ.get(
