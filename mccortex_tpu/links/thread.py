@@ -190,7 +190,11 @@ def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
     idx = jnp.asarray(idx)
     orient = jnp.asarray(orient)
     valid = jnp.asarray(valid)
-    cap = _REC_CAP_HINT[0]
+    # every valid run emits >= 2 boundary records, so size the first
+    # attempt from the batch (~4 records/read) — the flat default would
+    # overflow (and recompile) on every first big batch
+    cap = max(_REC_CAP_HINT[0],
+              1 << (4 * int(idx.shape[0]) - 1).bit_length())
     if jmax:
         cap = max(cap, 1 << (int(jmax) - 1).bit_length())
     while True:
