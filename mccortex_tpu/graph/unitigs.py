@@ -177,15 +177,7 @@ def pointer_doubling(succ: jnp.ndarray):
         if nch == 1:
             pk, changed = _pd_step_packed(pk)
         else:
-            bounds = np.linspace(0, V, nch + 1, dtype=np.int64)
-            outs = []
-            changed = jnp.zeros((), jnp.int32)
-            for c in range(nch):
-                o, ch = _pd_step_chunk(pk, int(bounds[c]),
-                                       int(bounds[c + 1] - bounds[c]))
-                outs.append(o)
-                changed = changed + ch
-            pk = jnp.concatenate(outs)
+            pk, changed = _pd_step_chunked(pk, nch)
         if pending is not None:
             cnt = int(pending)
             if prev_cnt is not None and cnt == prev_cnt:
@@ -197,10 +189,13 @@ def pointer_doubling(succ: jnp.ndarray):
             pass
         pending = changed
     p, d = _pd_unpack(pk)
-    # cycle labels on the compacted subset (usually empty)
-    cyc = np.asarray(_pd_cyc_mask(succ, p))
+    # cycle labels on the compacted subset (usually empty); fetch the
+    # full mask only when a device-side any() says cycles exist — the
+    # dense bool plane is V bytes of D2H (10s at V=235M on the tunnel)
+    cyc_mask = _pd_cyc_mask(succ, p)
     m = iota
-    if cyc.any():
+    if bool(jnp.any(cyc_mask)):
+        cyc = np.asarray(cyc_mask)
         idx = np.nonzero(cyc)[0].astype(np.int64)
         sub_succ = np.asarray(succ)[idx]
         # remap into the compact set: every cycle successor is a cycle
@@ -237,16 +232,37 @@ def _pd_step_packed(pk):
     return new, (new != pk).sum(dtype=jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("start", "size"))
-def _pd_step_chunk(pk, start: int, size: int):
-    """One doubling pass over pk[start:start+size] (gathers from the
-    full array); separate dispatches bound the temp footprint."""
-    seg = jax.lax.dynamic_slice(pk, (start,), (size,))
-    p = (seg >> jnp.uint64(32)).astype(jnp.int32)
-    at = jnp.take(pk, p, mode="clip")
-    d = jnp.minimum((seg & _PD_DMASK) + (at & _PD_DMASK), _PD_DMASK)
-    new = (at & ~_PD_DMASK) | d
-    return new, (new != seg).sum(dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("nch",))
+def _pd_step_chunked(pk, nch: int):
+    """One doubling pass in `nch` chunk sub-passes inside ONE program:
+    chunk results land in a preallocated output via
+    dynamic_update_slice, so peak memory is in + out + one chunk's
+    gather temps.  The previous host-loop version held every chunk
+    output AND their concatenation beside pk simultaneously — that
+    (~3x the packed plane) OOM'd the r5c 100Mb clean at V=235M.
+    Chunks are equal-sized with the start clamped to V-size: the tail
+    overlap recomputes identical values (the pass is elementwise-pure
+    in pk), and the changed count stays strictly decreasing while any
+    chain is unconverged, which is all the caller's convergence test
+    needs."""
+    V = pk.shape[0]
+    size = -(-V // nch)
+
+    def body(c, carry):
+        out, changed = carry
+        start = jnp.minimum(c * size, V - size)
+        seg = jax.lax.dynamic_slice(pk, (start,), (size,))
+        p = (seg >> jnp.uint64(32)).astype(jnp.int32)
+        at = jnp.take(pk, p, mode="clip")
+        d = jnp.minimum((seg & _PD_DMASK) + (at & _PD_DMASK), _PD_DMASK)
+        new = (at & ~_PD_DMASK) | d
+        ch = (new != seg).sum(dtype=jnp.int32)
+        return (jax.lax.dynamic_update_slice(out, new, (start,)),
+                changed + ch)
+
+    out, changed = jax.lax.fori_loop(
+        0, nch, body, (jnp.zeros_like(pk), jnp.zeros((), jnp.int32)))
+    return out, changed
 
 
 @jax.jit

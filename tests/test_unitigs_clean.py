@@ -262,3 +262,24 @@ def test_adjacency_free_paths_match(monkeypatch):
     adjmod._cache_store.clear()
     succ_pub = np.asarray(U.successors(g.keys, uedges, k))
     np.testing.assert_array_equal(succ_adj, succ_pub)
+
+
+def test_pd_step_chunked_matches_packed():
+    """The single-program chunked doubling pass (used above V=96M,
+    r5 100Mb clean OOM fix) must produce exactly the packed pass's
+    output, including the clamped-overlap tail chunk."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mccortex_tpu.graph import unitigs as U
+    rng = np.random.default_rng(5)
+    for V in (7, 64, 101):
+        succ = rng.integers(-1, V, V).astype(np.int32)
+        pk = U._pd_init(jnp.asarray(succ))
+        ref, ch_ref = U._pd_step_packed(pk)
+        for nch in (2, 3, 5):
+            out, ch = U._pd_step_chunked(pk, nch)
+            np.testing.assert_array_equal(np.asarray(out),
+                                          np.asarray(ref))
+            # overlap may double-count changes but never invent or
+            # lose convergence: zero iff the packed count is zero
+            assert (int(ch) == 0) == (int(ch_ref) == 0)
