@@ -22,11 +22,16 @@ from . import prune as P
 
 
 def covg_histogram(g: gstore.DBGraph, maxcovg: int = 1000) -> np.ndarray:
-    """Histogram of per-kmer sum-across-colours coverage, clipped."""
-    n = int(g.n)
-    s = np.asarray(jnp.sum(g.covg, axis=1))[:n]
-    s = np.clip(s, 0, maxcovg - 1)
-    return np.bincount(s.astype(np.int64), minlength=maxcovg).astype(np.uint64)
+    """Histogram of per-kmer sum-across-colours coverage, clipped.
+    Binned on device — fetching the dense per-kmer coverage plane was
+    ~1GB of D2H at 100M kmers on the tunnel; the histogram is 8KB."""
+    import jax.ops
+    from ..ops import sorted as sops
+    live = ~sops.is_sentinel(g.keys)
+    s = jnp.clip(jnp.sum(g.covg, axis=1), 0, maxcovg - 1)
+    h = jax.ops.segment_sum(live.astype(jnp.int64),
+                            s.astype(jnp.int32), num_segments=maxcovg)
+    return np.asarray(h).astype(np.uint64)
 
 
 def pick_kmer_threshold(kmer_covg: np.ndarray):
