@@ -18,7 +18,7 @@ MCTX_WATCHDOG=2700 python scripts/perf_lab8.py > "$OUT/lab8.json" 2>> "$OUT/log"
 tail -1 "$OUT/lab8.json" | tee -a "$OUT/log"
 
 echo "=== scale: 100Mb @ 5x (host gate off, device merges)" | tee -a "$OUT/log"
-MCTX_WATCHDOG=5400 MCTX_BUILD_PROF=1 python scripts/scale_test.py 100 5 > "$OUT/scale_100mb.json" 2>> "$OUT/log"
+MCTX_WATCHDOG=7200 MCTX_BUILD_PROF=1 python scripts/scale_test.py 100 5 > "$OUT/scale_100mb.json" 2>> "$OUT/log"
 tail -1 "$OUT/scale_100mb.json" | tee -a "$OUT/log"
 
 echo "=== done $(date -u)" | tee -a "$OUT/log"
