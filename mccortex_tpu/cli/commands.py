@@ -981,7 +981,12 @@ def cmd_thread(argv):
         import jax.numpy as _jnp
         prev_for_gapfill = prev_for_gapfill.replace(
             nseen=_jnp.zeros_like(prev_for_gapfill.nseen))
+    from .common import devices_arg
+    n_dev = devices_arg(args)
     if args.gap_fill:
+        if n_dev > 1:
+            _status("thread: --devices applies to --no-gap-fill "
+                    "threading; gap-fill runs single-device")
         links = lthread.thread_reads_gapfill(
             g, batches, ncols, links_prev=prev_for_gapfill,
             stats=stats, one_way=args.one_way,
@@ -990,7 +995,14 @@ def cmd_thread(argv):
             max_context=args.max_context, end_check=args.end_check,
             use_new_paths=args.use_new_paths, aln_stats=aln_stats)
     elif batches:
-        links = lthread.thread_reads(g, batches, ncols, stats=stats)
+        devs = None
+        if n_dev > 1:
+            import jax
+            devs = jax.devices()[:n_dev]
+            _status(f"thread: read batches sharded over {n_dev} "
+                    "devices (store replicated)")
+        links = lthread.thread_reads(g, batches, ncols, stats=stats,
+                                     devices=devs)
     else:
         links = None
     if args.print_contigs and batches:

@@ -177,6 +177,17 @@ def _junction_records(g: gstore.DBGraph, idx: jnp.ndarray,
 _REC_CAP_HINT = [4096]
 
 
+def _jr_cap_for(nrows: int, jmax: int = 0) -> int:
+    # every valid run emits >= 2 boundary records, so size the first
+    # attempt from the batch (~4 records/read) — the flat default would
+    # overflow (and recompile) on every first big batch
+    cap = max(_REC_CAP_HINT[0],
+              1 << (4 * max(int(nrows), 1) - 1).bit_length())
+    if jmax:
+        cap = max(cap, 1 << (int(jmax) - 1).bit_length())
+    return cap
+
+
 def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
                    colour: int, edge_colour: int = 0, jmax: int = 0):
     """Emit raw link records for a batch of node paths (host+device mix).
@@ -190,13 +201,7 @@ def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
     idx = jnp.asarray(idx)
     orient = jnp.asarray(orient)
     valid = jnp.asarray(valid)
-    # every valid run emits >= 2 boundary records, so size the first
-    # attempt from the batch (~4 records/read) — the flat default would
-    # overflow (and recompile) on every first big batch
-    cap = max(_REC_CAP_HINT[0],
-              1 << (4 * int(idx.shape[0]) - 1).bit_length())
-    if jmax:
-        cap = max(cap, 1 << (int(jmax) - 1).bit_length())
+    cap = _jr_cap_for(idx.shape[0], jmax)
     while True:
         n, pos, flags, fwb, rvb, vprev, vnext = _junction_records(
             g, idx, orient, valid, k=k, edge_colour=edge_colour, cap=cap)
@@ -205,6 +210,13 @@ def thread_contigs(g: gstore.DBGraph, idx, orient, valid, bases,
             break
         cap = 1 << (n - 1).bit_length()
     _REC_CAP_HINT[0] = max(_REC_CAP_HINT[0], cap)
+    return _records_walk(n, pos, flags, fwb, rvb, vprev, vnext, colour)
+
+
+def _records_walk(n, pos, flags, fwb, rvb, vprev, vnext, colour):
+    """Host walk over fetched junction records -> raw link-record
+    arrays (the sequential tail of thread_contigs, shared with the
+    data-parallel path)."""
     pos = np.asarray(pos)[:n]
     flags = np.asarray(flags)[:n]
     fwb = np.asarray(fwb)[:n]
@@ -296,11 +308,21 @@ def _emit_run(fw_pos, fw_base, fw_att, rv_pos, nuc_rv, rv_att,
 
 
 def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
-                 edge_colour: int = 0, stats=None) -> lstore.LinkStore:
+                 edge_colour: int = 0, stats=None,
+                 devices=None) -> lstore.LinkStore:
     """Thread read batches [(bases (B,P) np.uint8, colour)] through the
     graph and build the deduplicated link store (role of ref
     generate_paths.c:499 generate_paths, without gap filling — reads
-    split at missing/unclean kmers)."""
+    split at missing/unclean kmers).
+
+    devices: list of jax devices for data-parallel threading — the
+    store is replicated, read batches round-robin across devices, all
+    junction-record programs dispatched before any result is
+    collected (the TPU-native form of the reference's per-thread
+    generate_paths workers)."""
+    if devices is not None and len(devices) > 1:
+        return _thread_reads_dp(g, read_batches, ncols, edge_colour,
+                                stats, devices)
     all_recs = []
     for bases, colour in read_batches:
         idx, orient, valid = reads_to_node_paths(
@@ -312,20 +334,56 @@ def thread_reads(g: gstore.DBGraph, read_batches, ncols: int,
             all_recs.append(recs)
     if not all_recs:
         return lstore.empty(g.capacity, ncols)
-    Jmax = max(r[2].shape[1] for r in all_recs)
+    return _store_from_recs(g, all_recs, ncols)
 
-    def widen(j):
-        out = np.zeros((j.shape[0], Jmax), np.uint8)
-        out[:, :j.shape[1]] = j
-        return out
 
-    rows = np.concatenate([r[0] for r in all_recs])
-    orients = np.concatenate([r[1] for r in all_recs])
-    juncs = np.concatenate([widen(r[2]) for r in all_recs])
-    njs = np.concatenate([r[3] for r in all_recs])
-    cols = np.concatenate([r[4] for r in all_recs])
-    return lstore.build_store(g.keys, rows, orients, juncs, njs, cols,
-                              ncols)
+def _thread_reads_dp(g: gstore.DBGraph, read_batches, ncols: int,
+                     edge_colour, stats, devices) -> lstore.LinkStore:
+    """Data-parallel thread_reads: replicate (keys, covg, edges) on
+    every device, round-robin the read batches, dispatch every batch's
+    extraction + lookup + junction-records program asynchronously,
+    then collect.  Identical records (and store) to the sequential
+    path — only the dispatch schedule differs."""
+    import jax as _jax
+    from ..graph import build as gbuild
+    from ..ops import hashidx
+    nd = len(devices)
+    gd = [gstore.DBGraph(keys=_jax.device_put(g.keys, d),
+                         covg=_jax.device_put(g.covg, d),
+                         edges=_jax.device_put(g.edges, d),
+                         n=g.n, k=g.k) for d in devices]
+    inflight = []
+    for i, (bases, colour) in enumerate(read_batches):
+        d = devices[i % nd]
+        gdx = gd[i % nd]
+        packed, nmask, L = gbuild.pack_reads_np(np.asarray(bases))
+        pd_ = _jax.device_put(packed, d)
+        nd_ = _jax.device_put(nmask, d) if nmask is not None else None
+        keys_q, orient, valid = _extract_canonical_packed(
+            pd_, nd_, L, g.k)
+        idx, found = hashidx.lookup(gdx.keys, keys_q)
+        idx, valid = _combine_valid(idx, valid, found)
+        cap = _jr_cap_for(idx.shape[0])
+        out = _junction_records(gdx, idx, orient, valid, k=g.k,
+                                edge_colour=edge_colour, cap=cap)
+        inflight.append((out, (gdx, idx, orient, valid), colour, cap))
+    all_recs = []
+    for out, ctx, colour, cap in inflight:
+        _record_valid_runs(stats, colour, ctx[3], g.k)
+        n = int(out[0])
+        while n > cap:
+            cap = 1 << (n - 1).bit_length()
+            gdx, idx, orient, valid = ctx
+            out = _junction_records(gdx, idx, orient, valid, k=g.k,
+                                    edge_colour=edge_colour, cap=cap)
+            n = int(out[0])
+        _REC_CAP_HINT[0] = max(_REC_CAP_HINT[0], cap)
+        recs = _records_walk(n, *out[1:], colour)
+        if len(recs[0]):
+            all_recs.append(recs)
+    if not all_recs:
+        return lstore.empty(g.capacity, ncols)
+    return _store_from_recs(g, all_recs, ncols)
 
 
 def thread_reads_gapfill(g: gstore.DBGraph, read_batches, ncols: int,

@@ -315,3 +315,38 @@ def test_cli_bubbles_devices_identical(tmp_path):
     c1, c8 = calls(o1), calls(o8)
     assert len(c1) > 0
     assert c1 == c8
+
+
+def test_cli_thread_devices_identical_ctp(tmp_path):
+    """`mctx thread --no-gap-fill --devices 4` writes a byte-identical
+    .ctp (modulo the recorded command line) to the single-device run:
+    read batches round-robin across the replicated store, records and
+    store construction unchanged (round 5)."""
+    import gzip
+    from mccortex_tpu.cli.main import main as mctx
+    from test_ctx_io import write_fasta
+    rng = np.random.default_rng(77)
+    u = "".join("ACGT"[i] for i in rng.integers(0, 4, 40))
+    a = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    b = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    c = "".join("ACGT"[i] for i in rng.integers(0, 4, 60))
+    gen = a + u + b + u + c
+    reads = [gen[i:i + 60] for i in range(0, len(gen) - 60, 5)]
+    fa = tmp_path / "reads.fa"
+    write_fasta(str(fa), reads)
+    ctx = tmp_path / "g.ctx"
+    assert mctx(["build", "-k", "11", "--sample", "s0",
+                 "--seq", str(fa), str(ctx)]) == 0
+    ctp1 = tmp_path / "one.ctp"
+    ctp4 = tmp_path / "four.ctp"
+    assert mctx(["thread", "--no-gap-fill", "--seq", str(fa),
+                 "-o", str(ctp1), str(ctx)]) == 0
+    assert mctx(["thread", "--no-gap-fill", "--seq", str(fa),
+                 "--devices", "4", "-o", str(ctp4), str(ctx)]) == 0
+
+    def body(p):
+        t = gzip.open(p, "rt").read()
+        return t[t.index("\n\n"):]  # drop the JSON header (cmd line)
+
+    assert body(ctp1) == body(ctp4)
+    assert "F" in body(ctp1) or "R" in body(ctp1)  # non-trivial links
