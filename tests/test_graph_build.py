@@ -429,3 +429,23 @@ def test_batch_epoch_oom_self_heal(monkeypatch):
     assert int(g_plain.n) == int(g_heal.n)
     assert graph_to_dict(gstore.compacted(g_plain), k) == \
         graph_to_dict(gstore.compacted(g_heal), k)
+
+
+def test_rank_scatter_merge_matches_plain(monkeypatch):
+    """With the 160M host gate off (round 5), oversized merges route to
+    the on-device rank-scatter (_merge2).  Force that branch on CPU
+    (MERGE_MP_CEIL=0) and assert the graph equals the plain build."""
+    rng = np.random.default_rng(1717)
+    k = 11
+    reads = ["".join(rng.choice(list("ACGT"), size=60))
+             for _ in range(24)]
+    batches = [batchify([(r, 0) for r in reads[i:i + 4]])[0]
+               for i in range(0, 24, 4)]
+    g_plain = gbuild.build(iter(batches), k, ncols=1)
+    monkeypatch.setenv("MCTX_FORCE_DEV_MERGE", "1")
+    monkeypatch.setattr(gbuild, "MERGE_MP_CEIL", 0)
+    monkeypatch.setattr(gbuild, "MERGE_RANK_CEIL", 1 << 62)
+    g_rank = gbuild.build(iter(batches), k, ncols=1)
+    assert int(g_plain.n) == int(g_rank.n)
+    assert graph_to_dict(gstore.compacted(g_plain), k) == \
+        graph_to_dict(gstore.compacted(g_rank), k)
