@@ -526,6 +526,12 @@ def build(reads_batches, k: int, ncols: int = 1,
             item = _merge_items(item, other,
                                 resident_bytes=_resident_bytes())
         stack.append(item)
+        # proactive residency relief: each lazy item retains its two
+        # concrete inputs (~2x the stack's live bytes) until resolved.
+        # Wide-C builds (joint calling) cross the chip's HBM on that
+        # doubling alone — resolve early instead of OOM-thrashing
+        if _resident_bytes() > RESIDENT_SOFT_MAX:
+            _heal_residency()
 
     drains = [0]
 
@@ -559,15 +565,17 @@ def build(reads_batches, k: int, ncols: int = 1,
             n_live = int(nu)
         except jax.errors.JaxRuntimeError as e:
             # async epoch failure surfaces at the count fetch; heal
-            # residency and re-run this batch's epoch
+            # residency and re-enter the batch through dispatch_batch
+            # so a still-exhausted chip gets the split ladder too (the
+            # r5d joint10 retry died at device_put with HBM full)
             if not _merge_should_fallback(e):
                 raise
             print("[mctx] batch epoch exhausted HBM at drain; "
-                  "resolving lazy merges and re-running",
+                  "resolving lazy merges and re-dispatching",
                   file=__import__("sys").stderr)
             _heal_residency()
-            keys, covg, edges, nu = _dispatch(bases_, colour_)
-            n_live = int(nu)
+            dispatch_batch(bases_, colour_, depth=1)
+            return
         if prof:
             prof.add("count_fetch", time.perf_counter() - t0)
             drains[0] += 1
@@ -764,6 +772,11 @@ MERGE_MP_CEIL = int(__import__("os").environ.get(
     "MCTX_MERGE_MP_CEIL", 8 << 30))
 MERGE_RANK_CEIL = int(__import__("os").environ.get(
     "MCTX_MERGE_RANK_CEIL", 13 << 30))
+# soft cap on estimated device residency (stack + retained lazy
+# inputs + pending epochs); above it build() resolves lazy merges
+# eagerly to free the retained inputs
+RESIDENT_SOFT_MAX = int(__import__("os").environ.get(
+    "MCTX_RESIDENT_SOFT_MAX", 9 << 30))
 
 
 def _rank_est_bytes(na, nb, W, C):
