@@ -8,6 +8,10 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/mctx_tpu_cache
 OUT=${1:-/tmp/tpu_round5e}
 mkdir -p "$OUT"
 
+echo "=== joint calling: 10 samples (split ladder + residency soft cap)" | tee -a "$OUT/log"
+MCTX_WATCHDOG=4500 python scripts/joint_call_10.py 4.6 10 10 > "$OUT/joint10.json" 2>> "$OUT/log"
+tail -1 "$OUT/joint10.json" | tee -a "$OUT/log"
+
 echo "=== diploid 1Mb breakpoints+genotyping (configs 3-4)" | tee -a "$OUT/log"
 MCTX_WATCHDOG=4200 python scripts/diploid_scale.py 1.0 /tmp/mctx_diploid > "$OUT/diploid.json" 2>> "$OUT/log"
 tail -1 "$OUT/diploid.json" | tee -a "$OUT/log"
